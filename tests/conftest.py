@@ -1,0 +1,33 @@
+"""Test configuration: run JAX on a virtual 8-device CPU mesh.
+
+Multi-chip TPU hardware is not available in CI; sharding correctness is
+validated on ``xla_force_host_platform_device_count=8`` CPU devices exactly
+as the driver's dryrun does. Must run before jax is imported anywhere.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+import subprocess
+from pathlib import Path
+
+import pytest
+
+REPO = Path(__file__).resolve().parent.parent
+
+
+@pytest.fixture(scope="session")
+def oracle():
+    """The reference esp-audio-libs compiled as a host shared library."""
+    from . import oracle as oracle_mod
+
+    return oracle_mod.load()
+
+
+def pytest_configure(config):
+    # Build the oracle once up front so individual tests never race.
+    subprocess.run([str(REPO / "native" / "oracle" / "build_oracle.sh")], check=True, capture_output=True)
