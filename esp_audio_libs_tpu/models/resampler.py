@@ -1,0 +1,271 @@
+"""User-facing batched resampling pipeline.
+
+Mirror of the reference ``resampler::Resampler`` wrapper (reference:
+src/resample/resampler.cpp:21-160, include/resampler.h:15-82): packed PCM in,
+packed PCM out, with the same configuration semantics —
+
+* ``lowpass_ratio`` heuristic ``1 - 10.24/taps`` clamped to >= 0.84 and
+  >= ratio (resampler.cpp:48-59),
+* pre- vs post- biquad lowpass selection at the 0.98 thresholds
+  (:60-70), two cascaded 2nd-order sections per channel (:71-77,126-149),
+* ``sampleRatio * lowpassRatio`` folded into the sinc design when
+  downsampling (:79-89),
+* ``taps/2`` latency cancellation via advance_position (:94),
+* required-samples throttle per call (:104-110),
+* pass-through (bit-depth-convert-only) mode when rates match (:111-118),
+* clipped-sample accounting from float->quantized (:152-153).
+
+TPU-first structure: each ``resample()`` call executes ONE fused jitted
+program per chunk shape — unpack -> gain -> pre-biquads -> polyphase ->
+post-biquads -> quantize+pack — so per-call device dispatch overhead is a
+single execution regardless of pipeline depth.  The host only runs the f32
+phase-grid control plane (runtime/phase_grid.py) and carries Python-side
+counters; all per-stream state (history, biquad states) lives on device.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import biquad as bq
+from ..ops import quantization as q
+from ..ops import sinc
+from ..ops.polyphase import polyphase_apply
+from ..runtime.phase_grid import (
+    HISTORY_MARGIN,
+    PhaseState,
+    phase_grid,
+    required_samples,
+)
+from ..runtime.native import design_filterbank_native
+
+__all__ = ["ResamplerConfiguration", "ResamplerResults", "Resampler"]
+
+
+@dataclasses.dataclass
+class ResamplerConfiguration:
+    """Field-for-field mirror of the reference struct (include/resampler.h:22-32)."""
+
+    source_sample_rate: float
+    target_sample_rate: float
+    source_bits_per_sample: int
+    target_bits_per_sample: int
+    channels: int
+    use_pre_or_post_filter: bool
+    subsample_interpolate: bool
+    number_of_taps: int
+    number_of_filters: int
+
+
+@dataclasses.dataclass
+class ResamplerResults:
+    """Mirror of include/resampler.h:15-20, plus per-stream clip counts."""
+
+    frames_used: int
+    frames_generated: int
+    predicted_frames_used: int
+    clipped_samples: np.ndarray  # uint32 [batch]
+
+
+class Resampler:
+    """Batched quantized->float -> (biquads) -> sinc resample -> quantized.
+
+    Args:
+      batch: number of independent streams processed per call.
+      exact: bit-exact f32 kernels (parity mode) vs MXU fast path.
+    """
+
+    def __init__(self, batch: int, *, exact: bool = True):
+        self.batch = batch
+        self.exact = exact
+        self._initialized = False
+        self._chunk_fns = {}
+
+    def initialize(self, config: ResamplerConfiguration) -> bool:
+        """Reference Resampler::initialize (resampler.cpp:21-98)."""
+        f32 = np.float32
+        self.config = config
+        self.input_bits = config.source_bits_per_sample
+        self.output_bits = config.target_bits_per_sample
+        self.channels = config.channels
+        taps = config.number_of_taps
+        self.sample_ratio = f32(f32(config.target_sample_rate) / f32(config.source_sample_rate))
+        self.lowpass_ratio = f32(1.0)
+        self.requires_resampling = config.source_sample_rate != config.target_sample_rate
+        self.pre_filter = False
+        self.post_filter = False
+        self._fir_len = None
+
+        if self.requires_resampling:
+            flags = sinc.SUBSAMPLE_INTERPOLATE if config.subsample_interpolate else 0
+
+            if self.sample_ratio < 1.0:
+                self.lowpass_ratio = f32(self.lowpass_ratio - f32(f32(10.24) / f32(taps)))
+                if self.lowpass_ratio < f32(0.84):
+                    self.lowpass_ratio = f32(0.84)
+                if self.lowpass_ratio < self.sample_ratio:
+                    # avoid discontinuities near unity sample ratios
+                    self.lowpass_ratio = self.sample_ratio
+
+            if f32(self.lowpass_ratio * self.sample_ratio) < f32(0.98) and config.use_pre_or_post_filter:
+                cutoff = f32(f32(self.lowpass_ratio * self.sample_ratio) / f32(2.0))
+                self.lowpass_coeffs = bq.biquad_init(bq.biquad_lowpass(float(cutoff)), 1.0)
+                self.pre_filter = True
+            if (f32(self.lowpass_ratio / self.sample_ratio) < f32(0.98) and config.use_pre_or_post_filter
+                    and not self.pre_filter):
+                cutoff = f32(f32(self.lowpass_ratio / self.sample_ratio) / f32(2.0))
+                self.lowpass_coeffs = bq.biquad_init(bq.biquad_lowpass(float(cutoff)), 1.0)
+                self.post_filter = True
+
+            if self.pre_filter or self.post_filter:
+                self._coeffs_dev = jnp.asarray(self.lowpass_coeffs)
+                self._biquad_state = [
+                    bq.BiquadState.zeros((self.batch, self.channels)) for _ in range(2)
+                ]
+                if not self.exact:
+                    self._fir_len = bq.fir_len_for(self.lowpass_coeffs)
+
+            if self.sample_ratio < 1.0:
+                bank_lowpass = f32(self.sample_ratio * self.lowpass_ratio)
+                bank_flags = flags | sinc.INCLUDE_LOWPASS
+            elif self.lowpass_ratio < 1.0:
+                bank_lowpass = self.lowpass_ratio
+                bank_flags = flags | sinc.INCLUDE_LOWPASS
+            else:
+                bank_lowpass = f32(1.0)
+                bank_flags = flags
+
+            sinc.validate_params(taps, config.number_of_filters)
+            self.bank_flags = bank_flags
+            self.filters = jnp.asarray(
+                design_filterbank_native(taps, config.number_of_filters, float(bank_lowpass), bank_flags))
+            self.hist_len = taps + HISTORY_MARGIN
+            self.phase = PhaseState.initial(taps)
+            self.phase.advance(taps / 2.0)
+            self.history = jnp.zeros((self.batch, self.channels, self.hist_len), jnp.float32)
+
+        self._initialized = True
+        return True
+
+    # ------------------------------------------------------------------ core
+    def resample(self, input_bytes, input_frames_available: int,
+                 output_frames_free: int, gain_db: float = 0.0):
+        """Reference Resampler::resample (resampler.cpp:100-160), batched.
+
+        Args:
+          input_bytes: uint8 ``[batch, >= frames*channels*bps]`` packed
+            little-endian interleaved PCM.
+          input_frames_available / output_frames_free: per-stream counts
+            (identical across the batch — streams advance in lockstep).
+        Returns: (packed uint8 ``[batch, generated*channels*bps_out]``, results).
+        Frames beyond ``results.frames_used`` were not consumed — resend them.
+        """
+        assert self._initialized
+        ch = self.channels
+        cfg = self.config
+
+        if self.requires_resampling:
+            necessary = required_samples(self.phase, output_frames_free, self.sample_ratio)
+            frames_to_process = min(input_frames_available, necessary)
+        else:
+            frames_to_process = min(input_frames_available, output_frames_free)
+
+        bps_in = q.bytes_per_sample(self.input_bits)
+        factor = q.gain_factor(self.input_bits, gain_db)
+        data = jnp.asarray(input_bytes)[:, : frames_to_process * ch * bps_in]
+
+        if not self.requires_resampling:
+            fn = self._get_passthrough_fn(frames_to_process)
+            packed, clipped = fn(data, factor)
+            return packed, ResamplerResults(
+                frames_to_process, frames_to_process, frames_to_process, np.asarray(clipped))
+
+        grid = phase_grid(
+            self.phase, cfg.number_of_filters, self.bank_flags, self.sample_ratio,
+            frames_to_process, output_frames_free)
+
+        fn = self._get_chunk_fn(frames_to_process, output_frames_free)
+        packed, clipped, self.history, new_bq = fn(
+            data, factor, self.history,
+            tuple(self._biquad_state) if (self.pre_filter or self.post_filter) else (),
+            jnp.asarray(grid.win0), jnp.asarray(grid.idx1), jnp.asarray(grid.idx2),
+            jnp.asarray(grid.weight), jnp.asarray(grid.mode.astype(np.int32)),
+            jnp.int32(grid.input_used), jnp.int32(grid.output_generated))
+        if self.pre_filter or self.post_filter:
+            self._biquad_state = list(new_bq)
+
+        bps_out = q.bytes_per_sample(self.output_bits)
+        out = packed[:, : grid.output_generated * ch * bps_out]
+        return out, ResamplerResults(
+            frames_used=grid.input_used,
+            frames_generated=grid.output_generated,
+            predicted_frames_used=frames_to_process,
+            clipped_samples=np.asarray(clipped),
+        )
+
+    # ---------------------------------------------------------------- fused fns
+    def _get_passthrough_fn(self, frames: int):
+        key = ("pass", frames)
+        if key not in self._chunk_fns:
+            in_bits, out_bits = self.input_bits, self.output_bits
+
+            @jax.jit
+            def fn(data, factor):
+                x = q.int_to_float(q.unpack_pcm(data, in_bits), factor)
+                samples, clipped = q.float_to_int(x, out_bits)
+                per_stream = jnp.sum(clipped.astype(jnp.uint32), axis=-1)
+                return q.pack_pcm(samples, out_bits), per_stream
+
+            self._chunk_fns[key] = fn
+        return self._chunk_fns[key]
+
+    def _get_chunk_fn(self, frames: int, out_max: int):
+        key = (frames, out_max)
+        if key not in self._chunk_fns:
+            ch = self.channels
+            in_bits, out_bits = self.input_bits, self.output_bits
+            exact = self.exact
+            pre, post = self.pre_filter, self.post_filter
+            hist_len, half = self.hist_len, self.config.number_of_taps // 2
+            compute_second = bool(self.bank_flags & sinc.SUBSAMPLE_INTERPOLATE)
+            filters = self.filters
+            coeffs = self._coeffs_dev if (pre or post) else None
+            fir_len = self._fir_len
+
+            @jax.jit
+            def fn(data, factor, hist, bq_states, win0, idx1, idx2, weight, mode, used, gen):
+                B = data.shape[0]
+                x = q.int_to_float(q.unpack_pcm(data, in_bits), factor)
+                xc = x.reshape(B, frames, ch).transpose(0, 2, 1)  # [B, ch, frames]
+
+                new_bq = list(bq_states)
+                if pre:
+                    for stage in range(2):
+                        xc, new_bq[stage] = bq.biquad_apply(
+                            xc, coeffs, bq_states[stage], exact=exact, fir_len=fir_len)
+
+                xext = jnp.concatenate([hist, xc], axis=-1)
+                out = polyphase_apply(
+                    xext, filters, win0 + hist_len, idx1, idx2, weight, mode,
+                    half=half, exact=exact, compute_second=compute_second)  # [B, ch, out_max]
+                new_hist = jax.lax.dynamic_slice_in_dim(xext, used, hist_len, axis=-1)
+
+                if post:
+                    for stage in range(2):
+                        out, new_bq[stage] = bq.biquad_apply(
+                            out, coeffs, bq_states[stage], exact=exact, fir_len=fir_len,
+                            valid_len=gen)
+
+                y = out.transpose(0, 2, 1).reshape(B, out_max * ch)
+                samples, clipped = q.float_to_int(y, out_bits)
+                valid = (jnp.arange(out_max * ch, dtype=jnp.int32) < gen * ch)
+                per_stream = jnp.sum((clipped & valid).astype(jnp.uint32), axis=-1)
+                packed = q.pack_pcm(samples, out_bits)
+                return packed, per_stream, new_hist, tuple(new_bq)
+
+            self._chunk_fns[key] = fn
+        return self._chunk_fns[key]

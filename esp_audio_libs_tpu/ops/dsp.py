@@ -23,6 +23,8 @@ import functools
 import jax
 import jax.numpy as jnp
 
+from .scan import iir2_scan
+
 __all__ = ["dotprod_f32", "biquad_f32", "add_s16", "mulc_s16"]
 
 
@@ -88,41 +90,10 @@ def biquad_f32(x: jax.Array, coef: jax.Array, w: jax.Array, *, exact: bool = Tru
         y = jnp.moveaxis(yt, 0, -1)
         return y, jnp.stack([w0f, w1f], axis=-1)
 
-    # Fast path: d[i] = x[i] - a1*d[i-1] - a2*d[i-2] via associative scan on
-    # affine maps s_i = A s_{i-1} + u_i with s = (d[i], d[i-1]) and
-    # A = [[-a1, -a2], [1, 0]].  The 2x2 algebra is expanded into scalar
-    # components so it runs as exact-f32 VPU elementwise math (a 2x2 MXU
-    # matmul would round through bf16 passes on TPU).
-    T = x.shape[-1]
-
-    def bcast(v):
-        return jnp.broadcast_to(v[..., None], x.shape[:-1] + (T,))
-
-    ones = jnp.ones_like(x)
-    zeros = jnp.zeros_like(x)
-    m11, m12, m21, m22 = bcast(-a1), bcast(-a2), ones, zeros
-    u1 = x
-    u2 = zeros
-    # fold initial state s_{-1} = (w0, w1) into element 0's offset
-    u1 = u1.at[..., 0].add(-a1 * w0 - a2 * w1)
-    u2 = u2.at[..., 0].add(w0)
-
-    def combine(e, f):
-        # f ∘ e: s -> Mf (Me s + ue) + uf
-        e11, e12, e21, e22, eu1, eu2 = e
-        f11, f12, f21, f22, fu1, fu2 = f
-        return (
-            f11 * e11 + f12 * e21,
-            f11 * e12 + f12 * e22,
-            f21 * e11 + f22 * e21,
-            f21 * e12 + f22 * e22,
-            f11 * eu1 + f12 * eu2 + fu1,
-            f21 * eu1 + f22 * eu2 + fu2,
-        )
-
-    elems = (m11, m12, m21, m22, u1, u2)
-    res = jax.lax.associative_scan(combine, elems, axis=x.ndim - 1)
-    d = res[4]  # [..., T]
+    # Fast path: the DF-II state d[i] = x[i] - a1*d[i-1] - a2*d[i-2] is a
+    # pure 2nd-order IIR solved by the blocked associative scan; the output
+    # tap y = b0*d + b1*d1 + b2*d2 is elementwise FIR.
+    d, _ = iir2_scan(x, a1, a2, w0, w1)
     d1 = jnp.concatenate([w0[..., None], d[..., :-1]], axis=-1)
     d2 = jnp.concatenate([w1[..., None], d1[..., :-1]], axis=-1)
     y = b0[..., None] * d + b1[..., None] * d1 + b2[..., None] * d2

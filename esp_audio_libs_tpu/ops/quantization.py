@@ -134,7 +134,7 @@ def int_to_float(samples: jax.Array, factor) -> jax.Array:
 
 
 def float_to_int(x: jax.Array, bits: int) -> tuple[jax.Array, jax.Array]:
-    """f32 -> storage-convention int32 samples + per-call clipped count.
+    """f32 -> storage-convention int32 samples + per-sample clipped mask.
 
     Mirrors src/quantization_utils.cpp:50-94: round-half-up via
     ``floorf(x*scalar + 0.5f)``, symmetric clip with counting, 32-bit clip
@@ -171,7 +171,7 @@ def float_to_int(x: jax.Array, bits: int) -> tuple[jax.Array, jax.Array]:
         out = out << left_shift
     if offset:
         out = out + offset
-    return out, jnp.sum(clipped.astype(jnp.uint32))
+    return out, clipped
 
 
 # ------------------------------------------------------- packed-byte wrappers
@@ -185,7 +185,7 @@ def _q2f_jit(data, factor, bits):
 @functools.partial(jax.jit, static_argnames=("bits",))
 def _f2q_jit(x, bits):
     samples, clipped = float_to_int(x, bits)
-    return pack_pcm(samples, bits), clipped
+    return pack_pcm(samples, bits), jnp.sum(clipped.astype(jnp.uint32))
 
 
 def quantized_to_float(data: jax.Array, bits: int, gain_db: float = 0.0) -> jax.Array:

@@ -1,0 +1,61 @@
+"""ctypes loader for the framework's native host library (libeal_host.so).
+
+The native library owns host-side control/init code that needs exact glibc
+f32 libm semantics (filter design) or is inherently serial (phase-grid
+generation, later: FLAC/MP3 bitstream front-ends).  Built by
+native/build_host.sh; auto-built on first import if missing.
+"""
+
+from __future__ import annotations
+
+import ctypes as C
+import functools
+import subprocess
+from pathlib import Path
+
+import numpy as np
+
+REPO = Path(__file__).resolve().parent.parent.parent
+LIB_PATH = REPO / "build" / "libeal_host.so"
+
+
+@functools.lru_cache(None)
+def host_lib() -> C.CDLL:
+    if not LIB_PATH.exists():
+        subprocess.run([str(REPO / "native" / "build_host.sh")], check=True, capture_output=True)
+    lib = C.CDLL(str(LIB_PATH))
+    f32p = C.POINTER(C.c_float)
+    i32p = C.POINTER(C.c_int32)
+    i8p = C.POINTER(C.c_int8)
+    lib.eal_design_filterbank.restype = C.c_int
+    lib.eal_design_filterbank.argtypes = [C.c_int, C.c_int, C.c_float, C.c_int, f32p]
+    lib.eal_phase_grid.restype = None
+    lib.eal_phase_grid.argtypes = [
+        C.c_int, C.c_int, C.c_int, C.c_float,       # config
+        C.c_int, C.c_int,                           # chunk
+        f32p, i32p,                                 # state io
+        i32p, i32p, i32p, f32p, i8p,                # schedule
+        i32p, i32p,                                 # results
+    ]
+    lib.eal_required_samples.restype = C.c_uint
+    lib.eal_required_samples.argtypes = [C.c_int, C.c_float, C.c_int, C.c_int, C.c_float]
+    lib.eal_expected_output.restype = C.c_uint
+    lib.eal_expected_output.argtypes = [C.c_int, C.c_float, C.c_int, C.c_int, C.c_float]
+    return lib
+
+
+def design_filterbank_native(num_taps: int, num_filters: int, lowpass_ratio: float, flags: int) -> np.ndarray:
+    """Bit-exact filterbank design via the native library.
+
+    (The pure-numpy fallback in ops/sinc.py agrees to <=1 ulp; it differs
+    only where numpy's vectorized sinf/cosf round differently from glibc's.)
+    """
+    out = np.zeros((num_filters + 1, num_taps), np.float32)
+    rc = host_lib().eal_design_filterbank(
+        num_taps, num_filters, np.float32(lowpass_ratio), flags,
+        out.ctypes.data_as(C.POINTER(C.c_float)))
+    if rc == 1:
+        raise ValueError("must 4-1024 filter taps, and a multiple of 4!")
+    if rc == 2:
+        raise ValueError("must be 2-1024 filters!")
+    return out

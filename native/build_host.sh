@@ -1,0 +1,19 @@
+#!/bin/bash
+# Build the framework's native host library (libeal_host.so).
+# -ffp-contract=off keeps pure IEEE f32 op order so host math matches the
+# device's order-preserving kernels and the reference's numerics.
+set -euo pipefail
+DIR="$(cd "$(dirname "$0")" && pwd)"
+OUT_DIR="$DIR/../build"
+mkdir -p "$OUT_DIR"
+OUT="$OUT_DIR/libeal_host.so"
+
+newest_src=$(ls -t "$DIR"/src/*.cpp | head -1)
+if [ -f "$OUT" ] && [ "$OUT" -nt "$newest_src" ]; then
+  echo "$OUT up to date"
+  exit 0
+fi
+
+g++ -O2 -fPIC -shared -std=c++17 -ffp-contract=off -Wall \
+  "$DIR"/src/*.cpp -o "$OUT"
+echo "built $OUT"

@@ -1,0 +1,134 @@
+"""End-to-end differential tests: models.Resampler vs the reference wrapper.
+
+Covers the full pipeline: packed PCM -> quantized_to_float(+gain) ->
+optional cascaded biquads -> sinc resample -> float_to_quantized, matching
+the C reference byte-for-byte including clip counts.
+"""
+
+import ctypes as C
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from esp_audio_libs_tpu.models.resampler import Resampler, ResamplerConfiguration
+
+
+class RefResampler:
+    def __init__(self, oracle, cfg: ResamplerConfiguration, in_samples=1 << 20, out_samples=1 << 20):
+        self.o = oracle
+        self.h = oracle.lib.ref_resampler_create(in_samples, out_samples)
+        ok = oracle.lib.ref_resampler_initialize(
+            self.h, cfg.source_sample_rate, cfg.target_sample_rate,
+            cfg.source_bits_per_sample, cfg.target_bits_per_sample, cfg.channels,
+            int(cfg.use_pre_or_post_filter), int(cfg.subsample_interpolate),
+            cfg.number_of_taps, cfg.number_of_filters)
+        assert ok == 1
+
+    def resample(self, in_bytes: np.ndarray, in_frames: int, out_frames_free: int, gain_db: float,
+                 out_cap_bytes: int):
+        out = np.zeros(out_cap_bytes, np.uint8)
+        used = C.c_size_t(0)
+        gen = C.c_size_t(0)
+        pred = C.c_size_t(0)
+        clipped = C.c_uint32(0)
+        self.o.lib.ref_resampler_resample(
+            self.h, in_bytes.ctypes.data_as(C.POINTER(C.c_uint8)),
+            out.ctypes.data_as(C.POINTER(C.c_uint8)), in_frames, out_frames_free,
+            np.float32(gain_db), C.byref(used), C.byref(gen), C.byref(pred), C.byref(clipped))
+        return out, used.value, gen.value, pred.value, clipped.value
+
+    def close(self):
+        self.o.lib.ref_resampler_destroy(self.h)
+
+
+CONFIGS = [
+    # 44.1k -> 16k stereo 16-bit, the BASELINE.json headline config
+    ResamplerConfiguration(44100.0, 16000.0, 16, 16, 2, True, True, 64, 32),
+    # 48k -> 16k mono, pre/post filter off
+    ResamplerConfiguration(48000.0, 16000.0, 16, 16, 1, False, True, 32, 16),
+    # upsample 16k -> 48k stereo, post-filter engages
+    ResamplerConfiguration(16000.0, 48000.0, 16, 16, 2, True, True, 32, 8),
+    # bit-depth conversion 24 -> 16 with resample
+    ResamplerConfiguration(44100.0, 16000.0, 24, 16, 1, True, False, 64, 16),
+    # pass-through (rates equal): bit-depth convert only, 16 -> 8
+    ResamplerConfiguration(22050.0, 22050.0, 16, 8, 2, True, True, 16, 4),
+]
+
+
+@pytest.mark.parametrize("cfg", CONFIGS)
+@pytest.mark.parametrize("gain_db", [0.0, 3.0])
+def test_resample_pipeline_bitexact(oracle, cfg, gain_db):
+    rng = np.random.default_rng(int(cfg.source_sample_rate) + cfg.number_of_taps)
+    bps = 1 if cfg.source_bits_per_sample <= 8 else (cfg.source_bits_per_sample + 7) // 8
+    bps_out = 1 if cfg.target_bits_per_sample <= 8 else (cfg.target_bits_per_sample + 7) // 8
+
+    n_frames_total = 2000
+    raw = rng.integers(0, 256, n_frames_total * cfg.channels * bps, dtype=np.uint8)
+
+    ref = RefResampler(oracle, cfg)
+    ours = Resampler(batch=1, exact=True)
+    assert ours.initialize(cfg)
+
+    pos = 0  # frame position into raw
+    for in_frames, out_free in [(500, 300), (700, 1000), (400, 2000)]:
+        in_frames = min(in_frames, n_frames_total - pos)
+        chunk = raw[pos * cfg.channels * bps: (pos + in_frames) * cfg.channels * bps]
+
+        r_out, r_used, r_gen, r_pred, r_clip = ref.resample(
+            chunk.copy(), in_frames, out_free, gain_db,
+            out_cap_bytes=(out_free + 16) * cfg.channels * bps_out)
+
+        g_bytes, res = ours.resample(chunk[None, :], in_frames, out_free, gain_db)
+        g_out = np.asarray(g_bytes)[0]
+
+        assert (res.frames_used, res.frames_generated) == (r_used, r_gen)
+        assert res.predicted_frames_used == r_pred
+        assert int(res.clipped_samples[0]) == r_clip
+        n = r_gen * cfg.channels * bps_out
+        np.testing.assert_array_equal(g_out[:n], r_out[:n])
+
+        pos += res.frames_used  # both sides advance by consumed frames
+    ref.close()
+
+
+def test_batch_of_streams_matches_singles(oracle):
+    cfg = CONFIGS[0]
+    rng = np.random.default_rng(77)
+    B = 4
+    frames = 800
+    bps = 2
+    raw = rng.integers(0, 256, (B, frames * cfg.channels * bps), dtype=np.uint8)
+
+    batched = Resampler(batch=B, exact=True)
+    batched.initialize(cfg)
+    out_b, res_b = batched.resample(raw, frames, 400, 0.0)
+
+    for s in range(B):
+        single = Resampler(batch=1, exact=True)
+        single.initialize(cfg)
+        out_s, res_s = single.resample(raw[s: s + 1], frames, 400, 0.0)
+        np.testing.assert_array_equal(np.asarray(out_b)[s], np.asarray(out_s)[0])
+        assert int(res_b.clipped_samples[s]) == int(res_s.clipped_samples[0])
+
+
+def test_fast_mode_close(oracle):
+    cfg = CONFIGS[0]
+    rng = np.random.default_rng(5)
+    frames = 1000
+    raw = rng.integers(0, 256, (2, frames * cfg.channels * 2), dtype=np.uint8)
+
+    exact = Resampler(batch=2, exact=True)
+    exact.initialize(cfg)
+    fast = Resampler(batch=2, exact=False)
+    fast.initialize(cfg)
+
+    out_e, res_e = exact.resample(raw, frames, 500, 0.0)
+    out_f, res_f = fast.resample(raw, frames, 500, 0.0)
+    assert (res_e.frames_used, res_e.frames_generated) == (res_f.frames_used, res_f.frames_generated)
+    # compare decoded int16 sample values: allow tiny LSB wobble from the
+    # different f32 association order in the MXU path
+    e = np.asarray(out_e).view(np.int16).astype(np.int32)
+    f = np.asarray(out_f).view(np.int16).astype(np.int32)
+    assert np.abs(e - f).max() <= 1
