@@ -239,23 +239,28 @@ def _biquad_conv(x, coeffs, state, K: int, valid_len):
                  + out_d1[..., None] * g_o1 + out_d2[..., None] * g_o2)  # [..., K]
 
     # causal FIR via blocked Toeplitz matmul (requires shared coeffs so the
-    # Toeplitz matrix is batch-independent; enforced by taking index 0)
+    # Toeplitz matrix is batch-independent; enforced by taking index 0).
+    # Overlapping windows come from two reshapes + a concat (gather-free:
+    # a gather here materializes badly-laid-out intermediates on TPU).
     hvec = h_total.reshape(-1, K)[0]  # [K] (coeffs shared across batch)
-    Tb = 512
+    M = 1
+    for d in batch_shape:
+        M *= d
+    xf = x.reshape(M, T)
+    Tb = max(512, K)  # block size; needs K - 1 <= Tb for the overlap trick
     nb = -(-T // Tb)
     Tp = nb * Tb
-    xp = jnp.pad(x, [(0, 0)] * (len(batch_shape)) + [(K - 1, Tp - T)])
-    # window matrix per block: [..., nb, K-1+Tb]
-    starts = jnp.arange(nb) * Tb
-    win = jnp.arange(K - 1 + Tb)
-    gather_idx = starts[:, None] + win[None, :]  # [nb, K-1+Tb]
-    xw = xp[..., gather_idx]  # [..., nb, K-1+Tb]
+    # left-pad K-1 (causal history = zeros; transient handles state), right-pad
+    # so the padded length is (nb + 1) * Tb
+    xp = jnp.pad(xf, [(0, 0), (K - 1, (nb + 1) * Tb - (K - 1) - T)])
+    blocks = xp.reshape(M, nb + 1, Tb)
+    xw = jnp.concatenate([blocks[:, :-1, :], blocks[:, 1:, : K - 1]], axis=-1)  # [M, nb, Tb+K-1]
     # Toeplitz: H[r, j] = hvec[j + K - 1 - r] where in range
     r = jnp.arange(K - 1 + Tb)[:, None]
     j = jnp.arange(Tb)[None, :]
     idx = j + (K - 1) - r
     H = jnp.where((idx >= 0) & (idx < K), hvec[jnp.clip(idx, 0, K - 1)], 0.0)
-    y = jnp.einsum("...bk,kj->...bj", xw, H, precision=jax.lax.Precision.HIGHEST)
+    y = jnp.einsum("mbk,kj->mbj", xw, H, precision=jax.lax.Precision.HIGHEST)
     y = y.reshape(*batch_shape, Tp)[..., :T]
     m = min(K, T)
     y = y.at[..., :m].add(transient[..., :m])

@@ -41,6 +41,33 @@ def host_lib() -> C.CDLL:
     lib.eal_required_samples.argtypes = [C.c_int, C.c_float, C.c_int, C.c_int, C.c_float]
     lib.eal_expected_output.restype = C.c_uint
     lib.eal_expected_output.argtypes = [C.c_int, C.c_float, C.c_int, C.c_int, C.c_float]
+
+    # ---- FLAC front-end ----
+    u8p = C.POINTER(C.c_uint8)
+    lib.eal_flac_create.restype = C.c_void_p
+    lib.eal_flac_destroy.argtypes = [C.c_void_p]
+    lib.eal_flac_read_header.restype = C.c_int32
+    lib.eal_flac_read_header.argtypes = [C.c_void_p, u8p, C.c_size_t]
+    lib.eal_flac_set_max_metadata_size.argtypes = [C.c_void_p, C.c_int32, C.c_uint32]
+    lib.eal_flac_set_crc_check.argtypes = [C.c_void_p, C.c_int32]
+    for name, restype in [
+        ("eal_flac_sample_rate", C.c_uint32), ("eal_flac_num_channels", C.c_uint32),
+        ("eal_flac_sample_depth", C.c_uint32), ("eal_flac_min_block_size", C.c_uint32),
+        ("eal_flac_max_block_size", C.c_uint32), ("eal_flac_num_samples", C.c_uint64),
+        ("eal_flac_bytes_index", C.c_size_t), ("eal_flac_num_metadata", C.c_int32),
+    ]:
+        fn = getattr(lib, name)
+        fn.restype = restype
+        fn.argtypes = [C.c_void_p]
+    lib.eal_flac_md5.argtypes = [C.c_void_p, u8p]
+    lib.eal_flac_metadata_info.restype = C.c_int32
+    lib.eal_flac_metadata_info.argtypes = [C.c_void_p, C.c_int32, i32p, i32p]
+    lib.eal_flac_metadata_data.restype = C.c_int32
+    lib.eal_flac_metadata_data.argtypes = [C.c_void_p, C.c_int32, u8p]
+    lib.eal_flac_parse_frame.restype = C.c_int32
+    lib.eal_flac_parse_frame.argtypes = [
+        C.c_void_p, u8p, C.c_size_t, i32p, C.c_size_t,
+        i32p, i32p, i32p, i32p, i32p, i32p, i32p, i32p, i32p]
     return lib
 
 

@@ -14,6 +14,11 @@ if [ -f "$OUT" ] && [ "$OUT" -nt "$newest_src" ]; then
   exit 0
 fi
 
+# the MP3 front-end needs the ISO constant tables extracted as a header
+if [ ! -f "$OUT_DIR/mp3_tables.h" ]; then
+  python3 "$DIR/../tools/extract_mp3_tables.py"
+fi
+
 g++ -O2 -fPIC -shared -std=c++17 -ffp-contract=off -Wall \
   "$DIR"/src/*.cpp -o "$OUT"
 echo "built $OUT"

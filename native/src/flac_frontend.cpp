@@ -1,0 +1,636 @@
+// FLAC bitstream front-end (host side) for esp-audio-libs-tpu.
+//
+// Fresh implementation of the serial half of FLAC decoding — stream/metadata
+// header parsing, frame sync + header parse with CRC8, subframe headers,
+// Rice/escape residual decoding, CRC16 — emitting dense per-frame tensors
+// (residuals + predictor parameters) for the batched device back-end
+// (esp_audio_libs_tpu/ops/lpc.py), which performs LPC restoration, stereo
+// decorrelation, wasted-bits shifts and sample packing.
+//
+// Semantics mirror the reference decoder exactly (error codes, streaming
+// resume protocol, byte accounting): see reference
+// src/decode/flac/flac_decoder.cpp (SURVEY.md §3.1) — the split is ours, the
+// behavior is the reference's.  CRC tables are generated at startup from the
+// standard polynomials (CRC-8 poly 0x07, CRC-16 poly 0x8005).
+
+#include <algorithm>
+#include <cstdint>
+#include <cstdlib>
+#include <cstring>
+#include <vector>
+
+namespace {
+
+// ---------------------------------------------------------------- result codes
+// Values match the reference enum (include/flac_decoder.h:22-44).
+enum Result : int32_t {
+  OK = 0,
+  NO_MORE_FRAMES = 1,
+  HEADER_OUT_OF_DATA = 2,
+  ERR_OUT_OF_DATA = 3,
+  ERR_BAD_MAGIC_NUMBER = 4,
+  ERR_SYNC_NOT_FOUND = 5,
+  ERR_BAD_BLOCK_SIZE_CODE = 6,
+  ERR_BAD_HEADER = 7,
+  ERR_RESERVED_CHANNEL_ASSIGNMENT = 8,
+  ERR_RESERVED_SUBFRAME_TYPE = 9,
+  ERR_BAD_FIXED_PREDICTION_ORDER = 10,
+  ERR_RESERVED_RESIDUAL_CODING_METHOD = 11,
+  ERR_BLOCK_SIZE_NOT_DIVISIBLE_RICE = 12,
+  ERR_MEMORY_ALLOCATION = 13,
+  ERR_BLOCK_SIZE_OUT_OF_RANGE = 14,
+  ERR_CRC_MISMATCH = 15,
+  ERR_BAD_SAMPLE_DEPTH = 16,
+};
+
+// ------------------------------------------------------------------ CRC tables
+struct CrcTables {
+  uint8_t crc8[256];
+  uint16_t crc16[256];
+  CrcTables() {
+    for (int i = 0; i < 256; ++i) {
+      uint8_t c8 = (uint8_t) i;
+      for (int b = 0; b < 8; ++b) c8 = (c8 & 0x80) ? (uint8_t) ((c8 << 1) ^ 0x07) : (uint8_t) (c8 << 1);
+      crc8[i] = c8;
+      uint16_t c16 = (uint16_t) (i << 8);
+      for (int b = 0; b < 8; ++b) c16 = (c16 & 0x8000) ? (uint16_t) ((c16 << 1) ^ 0x8005) : (uint16_t) (c16 << 1);
+      crc16[i] = c16;
+    }
+  }
+};
+static const CrcTables kCrc;
+
+static uint8_t crc8(const uint8_t *data, size_t len) {
+  uint8_t crc = 0;
+  while (len--) crc = kCrc.crc8[crc ^ *data++];
+  return crc;
+}
+static uint16_t crc16(const uint8_t *data, size_t len) {
+  uint16_t crc = 0;
+  while (len--) crc = kCrc.crc16[(crc >> 8) ^ *data++] ^ (uint16_t) (crc << 8);
+  return crc;
+}
+
+// -------------------------------------------------------------- LPC bit math
+// Overflow analysis deciding 32- vs 64-bit accumulators (semantics of
+// reference src/decode/flac/flac_lpc.cpp:17-83).
+static uint32_t silog2(int64_t v) {
+  if (v == 0) return 0;
+  if (v == -1) return 2;
+  if (v == INT64_MIN) return 64;
+  uint64_t a = v < 0 ? (uint64_t) (-v) : (uint64_t) v;
+  uint32_t bits = 64 - (uint32_t) __builtin_clzll(a);
+  return bits + 1;
+}
+
+static bool can_use_32bit_lpc(uint32_t depth, const int32_t *coefs, uint32_t order, int shift) {
+  uint64_t max_abs_sample = (uint64_t) 1 << (depth - 1);
+  uint32_t abs_sum = 0;
+  for (uint32_t i = 0; i < order; ++i) abs_sum += (uint32_t) std::abs(coefs[i]);
+  uint64_t max_pred_before_shift = max_abs_sample * abs_sum;
+  uint32_t pred_bps = silog2((int64_t) max_pred_before_shift);
+  uint64_t max_pred_after_shift = (uint64_t) (-1 * ((-1 * (int64_t) max_pred_before_shift) >> shift));
+  uint32_t resid_bps = silog2((int64_t) (max_abs_sample + max_pred_after_shift));
+  return resid_bps <= 32 && pred_bps <= 32;
+}
+
+// ------------------------------------------------------------------- decoder
+struct FlacFrontend {
+  // --- input window (per read_header/parse_frame call) ---
+  const uint8_t *buffer = nullptr;
+  size_t buffer_index = 0;
+  int64_t bytes_left = 0;
+  uint32_t bit_buffer = 0;
+  uint32_t bit_buffer_length = 0;
+  bool out_of_data = false;
+
+  // --- STREAMINFO ---
+  uint32_t min_block_size = 0, max_block_size = 0;
+  uint32_t sample_rate = 0, num_channels = 0, sample_depth = 0;
+  uint64_t num_samples = 0;
+  uint8_t md5[16] = {0};
+
+  // --- partial header resume state ---
+  bool partial_header_read = false;
+  bool partial_header_last = false;
+  uint32_t partial_header_type = 0;
+  uint32_t partial_header_length = 0;
+  uint32_t partial_header_bytes_read = 0;
+  std::vector<uint8_t> partial_header_data;
+  // stored metadata blocks: (type, data)
+  std::vector<std::pair<uint32_t, std::vector<uint8_t>>> metadata;
+  // per-type size limits (defaults: include/flac_decoder.h:62-69)
+  uint32_t max_sizes[8] = {0, 0, 0, 0, 2048, 0, 0, 0};  // [7] = unknown
+
+  bool enable_crc_check = true;
+  size_t frame_start_index = 0;
+  uint32_t curr_block_size = 0, curr_channel_assign = 0, curr_sample_depth = 0;
+
+  // ------------------------------------------------------------- bit reader
+  // Mirrors reference flac_decoder.cpp:911-1047.
+  void reset_bit_buffer() {
+    buffer_index -= bit_buffer_length / 8;
+    bytes_left += bit_buffer_length / 8;
+    bit_buffer_length = 0;
+    bit_buffer = 0;
+  }
+
+  bool refill() {
+    if (bytes_left >= 4) {
+      uint32_t w;
+      std::memcpy(&w, buffer + buffer_index, 4);
+      bit_buffer = __builtin_bswap32(w);
+      bit_buffer_length = 32;
+      buffer_index += 4;
+      bytes_left -= 4;
+      return false;
+    } else if (bytes_left > 0) {
+      for (int64_t i = 0; i < bytes_left; ++i) bit_buffer = (bit_buffer << 8) | buffer[buffer_index++];
+      bit_buffer_length = (uint32_t) (8 * bytes_left);
+      bytes_left = 0;
+      return false;
+    }
+    return true;
+  }
+
+  uint32_t read_uint(uint32_t num_bits) {
+    uint32_t result = 0;
+    int32_t need = (int32_t) num_bits - (int32_t) bit_buffer_length;
+    if (need > 0) {
+      int32_t bytes_needed = (need + 7) / 8;
+      if (bytes_left < bytes_needed) {
+        out_of_data = true;
+        return 0;
+      }
+      if (need < 32) result = bit_buffer << need;
+      refill();
+      bit_buffer_length -= need;
+    } else {
+      bit_buffer_length -= num_bits;
+    }
+    result |= bit_buffer >> bit_buffer_length;
+    if (num_bits < 32) result &= ((uint32_t) 1 << num_bits) - 1;
+    return result;
+  }
+
+  int32_t read_sint(uint32_t num_bits) {
+    if (num_bits > 32) {
+      uint32_t hi = read_uint(num_bits - 32);
+      uint32_t lo = read_uint(32);
+      int64_t v = ((int64_t) hi << 32) | lo;
+      int64_t sign = (int64_t) 1 << (num_bits - 1);
+      if (v & sign) v |= ~(((int64_t) 1 << num_bits) - 1);
+      return (int32_t) v;
+    }
+    uint32_t u = read_uint(num_bits);
+    if (num_bits == 32) return (int32_t) u;
+    return (int32_t) u - (((int32_t) u >> (num_bits - 1)) << num_bits);
+  }
+
+  int32_t read_rice_sint(uint32_t param) {
+    uint32_t unary = 0;
+    while (true) {
+      if (bit_buffer_length == 0) {
+        if (refill()) {
+          out_of_data = true;
+          return 0;
+        }
+      }
+      uint32_t bit = (bit_buffer >> (bit_buffer_length - 1)) & 1;
+      bit_buffer_length--;
+      if (bit) break;
+      unary++;
+    }
+    uint32_t binary = read_uint(param);
+    uint32_t value = (unary << param) | binary;
+    return (int32_t) ((value >> 1) ^ (uint32_t) (-(int32_t) (value & 1)));
+  }
+
+  uint32_t read_aligned_byte() { return read_uint(8); }
+
+  void align_to_byte() {
+    if (bit_buffer_length >= 8)
+      bit_buffer_length -= bit_buffer_length % 8;
+    else
+      bit_buffer_length = 0;
+  }
+
+  // ------------------------------------------------------------ read_header
+  // Mirrors reference flac_decoder.cpp:35-176.
+  int32_t read_header(const uint8_t *buf, size_t len) {
+    buffer = buf;
+    buffer_index = 0;
+    bytes_left = (int64_t) len;
+    bit_buffer = 0;
+    bit_buffer_length = 0;
+    out_of_data = (len == 0);
+
+    if (!partial_header_read) {
+      metadata.clear();
+      partial_header_data.clear();
+      if (read_uint(32) != 0x664C6143u) return ERR_BAD_MAGIC_NUMBER;  // 'fLaC'
+    }
+
+    while (!partial_header_last || partial_header_length > 0) {
+      if (bytes_left == 0) {
+        partial_header_read = true;
+        reset_bit_buffer();
+        return HEADER_OUT_OF_DATA;
+      }
+      if (partial_header_length == 0) {
+        partial_header_last = read_uint(1) != 0;
+        partial_header_type = read_uint(7);
+        partial_header_length = read_uint(24);
+        partial_header_bytes_read = 0;
+        partial_header_data.clear();
+      }
+
+      bool should_skip = false;
+      if (partial_header_type != 0) {  // not STREAMINFO
+        uint32_t max_size = max_sizes[partial_header_type <= 6 ? partial_header_type : 7];
+        if (partial_header_length > max_size) should_skip = true;
+      }
+
+      if (partial_header_type == 0) {  // STREAMINFO
+        min_block_size = read_uint(16);
+        max_block_size = read_uint(16);
+        read_uint(24);  // min frame size
+        read_uint(24);  // max frame size
+        sample_rate = read_uint(20);
+        num_channels = read_uint(3) + 1;
+        sample_depth = read_uint(5) + 1;
+        uint64_t hi = read_uint(4), lo = read_uint(32);
+        num_samples = (hi << 32) | lo;
+        for (int i = 0; i < 16; ++i) md5[i] = (uint8_t) read_uint(8);
+        partial_header_length = 0;
+        partial_header_bytes_read = 0;
+      } else if (should_skip) {
+        uint32_t n = std::min<uint32_t>(partial_header_length - partial_header_bytes_read, (uint32_t) bytes_left);
+        for (uint32_t i = 0; i < n; ++i) {
+          read_uint(8);
+          partial_header_bytes_read++;
+        }
+        if (partial_header_bytes_read == partial_header_length) {
+          partial_header_length = 0;
+          partial_header_bytes_read = 0;
+          partial_header_data.clear();
+        }
+      } else {
+        uint32_t n = std::min<uint32_t>(partial_header_length - partial_header_bytes_read, (uint32_t) bytes_left);
+        partial_header_data.reserve(partial_header_length);
+        for (uint32_t i = 0; i < n; ++i) {
+          partial_header_data.push_back((uint8_t) read_uint(8));
+          partial_header_bytes_read++;
+        }
+        if (partial_header_bytes_read == partial_header_length) {
+          metadata.emplace_back(partial_header_type, std::move(partial_header_data));
+          partial_header_data.clear();
+          partial_header_length = 0;
+          partial_header_bytes_read = 0;
+        }
+      }
+    }
+
+    if (sample_rate == 0 || num_channels == 0 || sample_depth == 0 || max_block_size == 0) return ERR_BAD_HEADER;
+    if (min_block_size < 16 || min_block_size > max_block_size || max_block_size > 65535) return ERR_BAD_HEADER;
+    reset_bit_buffer();
+    return OK;
+  }
+
+  // -------------------------------------------------------- frame front-end
+  // find_frame_sync mirrors reference flac_decoder.cpp:431-468.
+  int32_t find_frame_sync(uint8_t &s0, uint8_t &s1) {
+    frame_start_index = 0;
+    s0 = s1 = 0;
+    bool second_ff = false;
+    uint32_t byte;
+    align_to_byte();
+    while (true) {
+      if (second_ff) {
+        byte = 0xff;
+        second_ff = false;
+      } else {
+        byte = read_aligned_byte();
+        ++frame_start_index;
+      }
+      if (byte == 0xff) {
+        byte = read_aligned_byte();
+        ++frame_start_index;
+        if (byte == 0xff) {
+          second_ff = true;
+        } else if (byte >> 1 == 0x7c) {
+          s0 = 0xff;
+          s1 = (uint8_t) byte;
+          frame_start_index -= 2;
+          return OK;
+        }
+      } else if (out_of_data) {
+        return ERR_SYNC_NOT_FOUND;
+      }
+    }
+  }
+
+  // decode_frame_header mirrors reference flac_decoder.cpp:470-662.
+  int32_t decode_frame_header() {
+    uint8_t raw[16];
+    uint32_t raw_len = 0;
+    uint8_t s0, s1;
+    if (find_frame_sync(s0, s1) != OK) return ERR_SYNC_NOT_FOUND;
+    raw[raw_len++] = s0;
+    raw[raw_len++] = s1;
+    if (raw[1] & 0x02) return ERR_BAD_MAGIC_NUMBER;
+
+    uint32_t nb = read_aligned_byte();
+    if (nb == 0xff) return ERR_SYNC_NOT_FOUND;
+    raw[raw_len++] = (uint8_t) nb;
+
+    uint8_t bs_code = raw[2] >> 4;
+    if (bs_code == 0) return ERR_BAD_BLOCK_SIZE_CODE;
+    else if (bs_code == 1) curr_block_size = 192;
+    else if (bs_code >= 2 && bs_code <= 5) curr_block_size = 576u << (bs_code - 2);
+    else if (bs_code == 6 || bs_code == 7) { /* parsed later */ }
+    else curr_block_size = 256u << (bs_code - 8);
+
+    uint8_t sr_code = raw[2] & 0x0f;
+
+    nb = read_aligned_byte();
+    if (nb == 0xff) return ERR_SYNC_NOT_FOUND;
+    raw[raw_len++] = (uint8_t) nb;
+    curr_channel_assign = raw[3] >> 4;
+
+    uint8_t bps_code = (raw[3] & 0x0e) >> 1;
+    switch (bps_code) {
+      case 0: curr_sample_depth = sample_depth; break;
+      case 1: curr_sample_depth = 8; break;
+      case 2: curr_sample_depth = 12; break;
+      case 3: return ERR_BAD_SAMPLE_DEPTH;
+      case 4: curr_sample_depth = 16; break;
+      case 5: curr_sample_depth = 20; break;
+      case 6: curr_sample_depth = 24; break;
+      case 7: curr_sample_depth = 32; break;
+      default: return ERR_BAD_SAMPLE_DEPTH;
+    }
+
+    // coded number (UTF-8-like), skipped
+    uint32_t next = read_aligned_byte();
+    raw[raw_len++] = (uint8_t) next;
+    while (next >= 0xC0) {
+      uint8_t b = (uint8_t) read_aligned_byte();
+      raw[raw_len++] = b;
+      next = (next << 1) & 0xFF;
+    }
+
+    if (bs_code == 6) {
+      uint8_t b = (uint8_t) read_aligned_byte();
+      raw[raw_len++] = b;
+      curr_block_size = (uint32_t) b + 1;
+    } else if (bs_code == 7) {
+      uint8_t b1 = (uint8_t) read_aligned_byte();
+      raw[raw_len++] = b1;
+      curr_block_size = (uint32_t) b1 << 8;
+      uint8_t b2 = (uint8_t) read_aligned_byte();
+      raw[raw_len++] = b2;
+      curr_block_size |= b2;
+      curr_block_size += 1;
+    }
+
+    uint32_t frame_rate = 0;
+    if (sr_code == 12) {
+      uint8_t b = (uint8_t) read_aligned_byte();
+      raw[raw_len++] = b;
+      frame_rate = (uint32_t) b * 1000;
+    } else if (sr_code == 13 || sr_code == 14) {
+      uint8_t b1 = (uint8_t) read_aligned_byte();
+      raw[raw_len++] = b1;
+      uint8_t b2 = (uint8_t) read_aligned_byte();
+      raw[raw_len++] = b2;
+      frame_rate = ((uint32_t) b1 << 8) | b2;
+      if (sr_code == 14) frame_rate *= 10;
+    } else if (sr_code == 0) {
+      frame_rate = sample_rate;
+    } else {
+      static const uint32_t rates[] = {88200, 176400, 192000, 8000, 16000, 22050, 24000, 32000, 44100, 48000, 96000};
+      if (sr_code >= 1 && sr_code <= 11) frame_rate = rates[sr_code - 1];
+      else return ERR_BAD_HEADER;
+    }
+
+    if (out_of_data) return ERR_OUT_OF_DATA;
+
+    uint8_t crc_read = (uint8_t) read_aligned_byte();
+    if (enable_crc_check) {
+      if (crc8(raw, raw_len) != crc_read) return ERR_CRC_MISMATCH;
+    }
+
+    uint32_t frame_channels;
+    if (curr_channel_assign <= 7) frame_channels = curr_channel_assign + 1;
+    else if (curr_channel_assign <= 10) frame_channels = 2;
+    else frame_channels = num_channels;
+    if (frame_channels != num_channels) return ERR_BAD_HEADER;
+    if (bps_code != 0 && curr_sample_depth != sample_depth) return ERR_BAD_HEADER;
+    if (frame_rate != sample_rate) return ERR_BAD_HEADER;
+    return OK;
+  }
+
+  // decode_residuals mirrors reference flac_decoder.cpp:842-905.
+  int32_t decode_residuals(int32_t *out, uint32_t warm_up, uint32_t block_size) {
+    uint32_t method = read_uint(2);
+    if (method >= 2) return ERR_RESERVED_RESIDUAL_CODING_METHOD;
+    uint32_t param_bits = method == 1 ? 5 : 4;
+    uint32_t escape = method == 1 ? 0x1F : 0xF;
+
+    uint32_t partition_order = read_uint(4);
+    uint32_t num_partitions = 1u << partition_order;
+    if (block_size % num_partitions) return ERR_BLOCK_SIZE_NOT_DIVISIBLE_RICE;
+
+    int32_t *p = out + warm_up;
+    uint32_t count0 = (block_size >> partition_order) - warm_up;
+    uint32_t count = block_size >> partition_order;
+    for (uint32_t part = 0; part < num_partitions; ++part) {
+      uint32_t n = part == 0 ? count0 : count;
+      uint32_t param = read_uint(param_bits);
+      if (param < escape) {
+        for (uint32_t j = 0; j < n; ++j) *p++ = read_rice_sint(param);
+      } else {
+        uint32_t num_bits = read_uint(5);
+        if (num_bits == 0) {
+          std::memset(p, 0, n * sizeof(int32_t));
+          p += n;
+        } else {
+          for (uint32_t j = 0; j < n; ++j) *p++ = read_sint(num_bits);
+        }
+      }
+    }
+    return OK;
+  }
+
+  // One subframe -> residual buffer + params.  Mirrors reference
+  // decode_subframe (flac_decoder.cpp:714-772) and the fixed/LPC headers
+  // (:774-840), but leaves prediction restoration to the device.
+  int32_t parse_subframe(uint32_t block_size, uint32_t depth, int32_t *data, int32_t *order, int32_t *shift,
+                         int32_t *wasted, int32_t *use64, int32_t *coeffs /*32*/) {
+    read_uint(1);
+    uint32_t type = read_uint(6);
+    uint32_t w = read_uint(1);
+    if (w == 1) {
+      while (read_uint(1) == 0) {
+        w += 1;
+        if (out_of_data) return ERR_OUT_OF_DATA;
+      }
+    }
+    depth -= w;
+
+    *order = 0;
+    *shift = 0;
+    *wasted = 0;
+    *use64 = 0;
+    std::memset(coeffs, 0, 32 * sizeof(int32_t));
+
+    if (type == 0) {  // constant: expand on host (shift applied like reference)
+      int32_t value = read_sint(depth) << w;
+      for (uint32_t i = 0; i < block_size; ++i) data[i] = value;
+    } else if (type == 1) {  // verbatim
+      for (uint32_t i = 0; i < block_size; ++i) data[i] = read_sint(depth) << w;
+    } else if (type >= 8 && type <= 12) {  // fixed prediction
+      uint32_t pre_order = type - 8;
+      if (pre_order > 4) return ERR_BAD_FIXED_PREDICTION_ORDER;
+      static const int32_t kFixed[5][4] = {{}, {1}, {-1, 2}, {1, -3, 3}, {-1, 4, -6, 4}};
+      for (uint32_t i = 0; i < pre_order; ++i) data[i] = read_sint(depth);
+      int32_t rc = decode_residuals(data, pre_order, block_size);
+      if (rc != OK) return rc;
+      *order = (int32_t) pre_order;
+      *wasted = (int32_t) w;
+      for (uint32_t i = 0; i < pre_order; ++i) coeffs[i] = kFixed[pre_order][i];
+      *use64 = can_use_32bit_lpc(depth, coeffs, pre_order, 0) ? 0 : 1;
+    } else if (type >= 32 && type <= 63) {  // LPC
+      uint32_t lpc_order = type - 31;
+      for (uint32_t i = 0; i < lpc_order; ++i) data[i] = read_sint(depth);
+      uint32_t precision = read_uint(4) + 1;
+      int32_t sh = read_sint(5);
+      for (uint32_t i = 0; i < lpc_order; ++i) coeffs[lpc_order - i - 1] = read_sint(precision);
+      int32_t rc = decode_residuals(data, lpc_order, block_size);
+      if (rc != OK) return rc;
+      *order = (int32_t) lpc_order;
+      *shift = sh;
+      *wasted = (int32_t) w;
+      *use64 = can_use_32bit_lpc(depth, coeffs, lpc_order, sh) ? 0 : 1;
+    } else {
+      return ERR_RESERVED_SUBFRAME_TYPE;
+    }
+    return OK;
+  }
+
+  // Parse one frame. data: [max_channels, max_block] row-major int32 out.
+  // params (per channel): order, shift, wasted, use64 (arrays of size C),
+  // coeffs [C, 32].  Mirrors decode_frame (flac_decoder.cpp:185-278) minus
+  // the numeric restoration/packing, which the device performs.
+  int32_t parse_frame(const uint8_t *buf, size_t len, int32_t *data, size_t data_stride, int32_t *order,
+                      int32_t *shift, int32_t *wasted, int32_t *use64, int32_t *coeffs, int32_t *block_size_out,
+                      int32_t *chan_assign_out, int32_t *depth_out, int32_t *crc_ok_out) {
+    buffer = buf;
+    buffer_index = 0;
+    bytes_left = (int64_t) len;
+    out_of_data = false;
+    *crc_ok_out = 1;
+
+    if (bytes_left == 0) return NO_MORE_FRAMES;
+
+    int32_t rc = decode_frame_header();
+    if (rc != OK) {
+      reset_bit_buffer();
+      return rc;
+    }
+    if (curr_block_size > max_block_size) return ERR_BLOCK_SIZE_OUT_OF_RANGE;
+
+    uint32_t bs = curr_block_size;
+    uint32_t ca = curr_channel_assign;
+    uint32_t depth = curr_sample_depth;
+
+    if (ca <= 7) {
+      for (uint32_t c = 0; c <= ca; ++c) {
+        rc = parse_subframe(bs, depth, data + c * data_stride, order + c, shift + c, wasted + c, use64 + c,
+                            coeffs + c * 32);
+        if (rc != OK) return rc;
+      }
+    } else if (ca <= 10) {
+      // stereo decorrelation modes: side channel gets +1 bit
+      rc = parse_subframe(bs, depth + (ca == 9 ? 1 : 0), data, order, shift, wasted, use64, coeffs);
+      if (rc != OK) return rc;
+      rc = parse_subframe(bs, depth + (ca == 9 ? 0 : 1), data + data_stride, order + 1, shift + 1, wasted + 1,
+                          use64 + 1, coeffs + 32);
+      if (rc != OK) return rc;
+    } else {
+      return ERR_RESERVED_CHANNEL_ASSIGNMENT;
+    }
+
+    align_to_byte();
+    if (bit_buffer_length / 8 + bytes_left < 2) {
+      reset_bit_buffer();
+      return ERR_OUT_OF_DATA;
+    }
+    size_t frame_end_index = buffer_index - bit_buffer_length / 8;
+    uint16_t crc_read = (uint16_t) read_uint(16);
+    if (enable_crc_check && frame_end_index > frame_start_index) {
+      uint16_t calc = crc16(buf + frame_start_index, frame_end_index - frame_start_index);
+      if (calc != crc_read) {
+        *crc_ok_out = 0;
+        return ERR_CRC_MISMATCH;
+      }
+    }
+
+    *block_size_out = (int32_t) bs;
+    *chan_assign_out = (int32_t) ca;
+    *depth_out = (int32_t) depth;
+    reset_bit_buffer();
+    return OK;
+  }
+};
+
+}  // namespace
+
+// ------------------------------------------------------------------ C ABI
+extern "C" {
+
+void *eal_flac_create() { return new FlacFrontend(); }
+void eal_flac_destroy(void *d) { delete (FlacFrontend *) d; }
+
+int32_t eal_flac_read_header(void *d, const uint8_t *buf, size_t len) {
+  return ((FlacFrontend *) d)->read_header(buf, len);
+}
+
+void eal_flac_set_max_metadata_size(void *d, int32_t type, uint32_t max_size) {
+  FlacFrontend *f = (FlacFrontend *) d;
+  f->max_sizes[(type >= 1 && type <= 6) ? type : 7] = max_size;
+}
+void eal_flac_set_crc_check(void *d, int32_t enabled) { ((FlacFrontend *) d)->enable_crc_check = enabled != 0; }
+
+uint32_t eal_flac_sample_rate(void *d) { return ((FlacFrontend *) d)->sample_rate; }
+uint32_t eal_flac_num_channels(void *d) { return ((FlacFrontend *) d)->num_channels; }
+uint32_t eal_flac_sample_depth(void *d) { return ((FlacFrontend *) d)->sample_depth; }
+uint32_t eal_flac_min_block_size(void *d) { return ((FlacFrontend *) d)->min_block_size; }
+uint32_t eal_flac_max_block_size(void *d) { return ((FlacFrontend *) d)->max_block_size; }
+uint64_t eal_flac_num_samples(void *d) { return ((FlacFrontend *) d)->num_samples; }
+void eal_flac_md5(void *d, uint8_t *out16) { std::memcpy(out16, ((FlacFrontend *) d)->md5, 16); }
+size_t eal_flac_bytes_index(void *d) { return ((FlacFrontend *) d)->buffer_index; }
+int32_t eal_flac_num_metadata(void *d) { return (int32_t) ((FlacFrontend *) d)->metadata.size(); }
+int32_t eal_flac_metadata_info(void *d, int32_t i, int32_t *type, int32_t *length) {
+  FlacFrontend *f = (FlacFrontend *) d;
+  if (i < 0 || (size_t) i >= f->metadata.size()) return -1;
+  *type = (int32_t) f->metadata[i].first;
+  *length = (int32_t) f->metadata[i].second.size();
+  return 0;
+}
+int32_t eal_flac_metadata_data(void *d, int32_t i, uint8_t *out) {
+  FlacFrontend *f = (FlacFrontend *) d;
+  if (i < 0 || (size_t) i >= f->metadata.size()) return -1;
+  std::memcpy(out, f->metadata[i].second.data(), f->metadata[i].second.size());
+  return 0;
+}
+
+int32_t eal_flac_parse_frame(void *d, const uint8_t *buf, size_t len, int32_t *data, size_t data_stride,
+                             int32_t *order, int32_t *shift, int32_t *wasted, int32_t *use64, int32_t *coeffs,
+                             int32_t *block_size, int32_t *chan_assign, int32_t *depth, int32_t *crc_ok) {
+  return ((FlacFrontend *) d)->parse_frame(buf, len, data, data_stride, order, shift, wasted, use64, coeffs,
+                                           block_size, chan_assign, depth, crc_ok);
+}
+
+}  // extern "C"

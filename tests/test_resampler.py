@@ -132,3 +132,33 @@ def test_fast_mode_close(oracle):
     e = np.asarray(out_e).view(np.int16).astype(np.int32)
     f = np.asarray(out_f).view(np.int16).astype(np.int32)
     assert np.abs(e - f).max() <= 1
+
+
+def test_resample_stream_matches_sequential(oracle):
+    """The device-scan streaming path equals per-chunk resample() bit-exactly."""
+    cfg = CONFIGS[0]
+    rng = np.random.default_rng(123)
+    chunk, n_chunks = 300, 4
+    raw = rng.integers(0, 256, (2, chunk * n_chunks * cfg.channels * 2), dtype=np.uint8)
+
+    seq = Resampler(batch=2, exact=True)
+    seq.initialize(cfg)
+    stream = Resampler(batch=2, exact=True)
+    stream.initialize(cfg)
+
+    packed, gens, clipped = stream.resample_stream(raw, chunk, n_chunks)
+    out_np = np.asarray(packed)
+    clip_np = np.asarray(clipped)
+
+    import math
+    out_max = int(math.ceil(chunk * float(seq.sample_ratio))) + 8
+    pos = 0
+    for i in range(n_chunks):
+        data = raw[:, pos * cfg.channels * 2:(pos + chunk) * cfg.channels * 2]
+        o, r = seq.resample(data, chunk, out_max, 0.0)
+        assert r.frames_used == chunk
+        assert r.frames_generated == gens[i]
+        n = gens[i] * cfg.channels * 2
+        np.testing.assert_array_equal(out_np[i, :, :n], np.asarray(o))
+        np.testing.assert_array_equal(clip_np[i], r.clipped_samples)
+        pos += chunk
