@@ -1,0 +1,274 @@
+"""MP3 decoding pipeline: native host front-end + batched device back-end.
+
+Public semantics mirror the reference Helix API (reference:
+include/mp3_decoder.h:386-394): ``MP3Decode`` / frame info / sync search,
+with the same error codes and bad-frame zero-fill behavior.
+
+Architecture (SURVEY.md §7.5): the native front-end
+(native/src/mp3_frontend.cpp) handles everything bitstream-serial and emits
+576-coefficient tensors + parameters; this module builds the per-sample
+parameter arrays that turn the reference's per-critical-band serial loops
+into uniform batched device passes (ops/mp3dsp.py dequant/stereo,
+ops/mp3imdct.py hybrid synthesis, ops/mp3subband.py PQMF), all bit-exact
+int32/int64 fixed-point.
+"""
+
+from __future__ import annotations
+
+import ctypes as C
+
+import numpy as np
+
+from ..runtime.native import host_lib
+from ..runtime.tables import mp3_tables
+from ..utils.errors import MP3Error
+
+__all__ = ["MP3Decoder", "granule_params"]
+
+MAX_NSAMP = 576
+IMDCT_SCALE = 2
+
+_i32p = C.POINTER(C.c_int32)
+
+
+def granule_params(params: np.ndarray, sf: np.ndarray, frame: np.ndarray, sfjs: np.ndarray,
+                   nzb: np.ndarray) -> dict:
+    """Build per-sample parameter arrays for one granule (all channels).
+
+    Mirrors the control flow of the reference DequantChannel
+    (src/decode/mp3_decoder.cpp:657-795): which critical band each sample
+    belongs to, its gainI, the short-block reorder permutation, and the
+    processed range implied by the early-exit-at-nonZeroBound logic — plus
+    the output-order structure arrays used by the stereo stage.
+
+    Args:
+      params: int32 ``[C, 24]`` per-channel side info (front-end layout).
+      sf:     int32 ``[C, 62]`` scalefactors (l[23] + s[13*3]).
+      frame:  int32 ``[16]`` frame fields (front-end layout).
+      sfjs:   int32 ``[8]`` slen[4] + nr[4].
+      nzb:    int32 ``[C]`` input non-zero bounds.
+
+    Returns: dict of numpy arrays keyed as ops.mp3dsp.dequantize_granule's
+    ``hp`` expects (without the leading lane axis).
+    """
+    T = mp3_tables()
+    ver, sr_idx, s_mode, mode_ext = int(frame[0]), int(frame[4]), int(frame[2]), int(frame[3])
+    nch = int(frame[5])
+    sfb_l = T["sfBandLong"][ver][sr_idx]
+    sfb_s = T["sfBandShort"][ver][sr_idx]
+    pre_tab = T["preTab"]
+
+    Cn = nch
+    gain = np.zeros((Cn, MAX_NSAMP), np.int32)
+    band_in = np.full((Cn, MAX_NSAMP), -1, np.int32)
+    win_in = np.zeros((Cn, MAX_NSAMP), np.int32)
+    is_long_in = np.zeros((Cn, MAX_NSAMP), bool)
+    processed = np.zeros((Cn, MAX_NSAMP), bool)
+    invperm = np.tile(np.arange(MAX_NSAMP, dtype=np.int32), (Cn, 1))
+    cb_start_s = np.zeros(Cn, np.int32)
+    has_short = np.zeros(Cn, bool)
+    cb_type = np.zeros(Cn, np.int32)
+    out_nzb_short = np.zeros(Cn, np.int32)
+
+    for ch in range(Cn):
+        p = params[ch]
+        block_type, mixed = int(p[5]), int(p[6])
+        sfact_mult = 2 * (int(p[16]) + 1)
+        global_gain = int(p[2])
+        if mode_ext >> 1:
+            global_gain -= 2
+        global_gain += IMDCT_SCALE
+
+        if block_type == 2:
+            if mixed:
+                cb_end_l = 8 if ver == 0 else 6
+                cbs = 3
+            else:
+                cb_end_l = 0
+                cbs = 0
+            cb_end_s = 13
+        else:
+            cb_end_l = 22
+            cbs = 13
+            cb_end_s = 13
+        cb_start_s[ch] = cbs
+        has_short[ch] = cbs < 12
+        cb_type[ch] = 0 if block_type != 2 else (2 if mixed else 1)
+
+        sfl = sf[ch, :23]
+        sfs = sf[ch, 23:].reshape(13, 3)
+        i = 0
+        for cb in range(cb_end_l):
+            n = int(sfb_l[cb + 1] - sfb_l[cb])
+            g = 210 - global_gain + sfact_mult * (int(sfl[cb]) + (int(pre_tab[cb]) if p[15] else 0))
+            gain[ch, i:i + n] = g
+            band_in[ch, i:i + n] = cb
+            is_long_in[ch, i:i + n] = True
+            processed[ch, i:i + n] = True
+            i += n
+            if i >= nzb[ch]:
+                break
+
+        if cbs < 12:
+            for cb in range(cbs, cb_end_s):
+                n = int(sfb_s[cb + 1] - sfb_s[cb])
+                for w in range(3):
+                    g = 210 - global_gain + 8 * int(p[10 + w]) + sfact_mult * int(sfs[cb, w])
+                    gain[ch, i + n * w: i + n * (w + 1)] = g
+                    band_in[ch, i + n * w: i + n * (w + 1)] = cb
+                    win_in[ch, i + n * w: i + n * (w + 1)] = w
+                    processed[ch, i + n * w: i + n * (w + 1)] = True
+                # reorder: out[i + 3j + w] = in[i + n*w + j]
+                for w in range(3):
+                    j = np.arange(n)
+                    invperm[ch, i + 3 * j + w] = i + n * w + j
+                i += 3 * n
+                if i >= nzb[ch]:
+                    break
+            out_nzb_short[ch] = i
+
+    # ---- output-order structure arrays (for the stereo stage) ----
+    idx = np.arange(MAX_NSAMP)
+    band_out_l = np.full(MAX_NSAMP, -1, np.int32)
+    for cb in range(22):
+        band_out_l[sfb_l[cb]: sfb_l[cb + 1]] = cb
+    band_out_s = np.full(MAX_NSAMP, -1, np.int32)
+    win_out = np.zeros(MAX_NSAMP, np.int32)
+    for cb in range(13):
+        lo, hi = 3 * int(sfb_s[cb]), 3 * int(sfb_s[cb + 1])
+        band_out_s[lo:hi] = cb
+        win_out[lo:hi] = (idx[lo:hi] - lo) % 3
+
+    # right-channel scalefactors per sample (for intensity)
+    sf_r_l = np.zeros(MAX_NSAMP, np.int32)
+    sf_r_s = np.zeros(MAX_NSAMP, np.int32)
+    il_l = np.zeros(MAX_NSAMP, np.int32)
+    il_s = np.zeros(MAX_NSAMP, np.int32)
+    if Cn == 2:
+        sfl1 = sf[1, :23]
+        sfs1 = sf[1, 23:].reshape(13, 3)
+        valid_l = band_out_l >= 0
+        sf_r_l[valid_l] = sfl1[band_out_l[valid_l]]
+        valid_s = band_out_s >= 0
+        sf_r_s[valid_s] = sfs1[band_out_s[valid_s], win_out[valid_s]]
+        # MPEG2 illegal-intensity-position per band (reference :1330-1334)
+        il = np.zeros(23, np.int64)
+        k = 0
+        for r in range(4):
+            tmp = (1 << int(sfjs[r])) - 1
+            for _ in range(int(sfjs[4 + r])):
+                if k < 23:
+                    il[k] = tmp
+                k += 1
+        il_long = il.copy()
+        il_long[21] = il_long[22] = 1     # (:1352)
+        il_short = il.copy()
+        il_short[12] = 1                  # (:1391)
+        il_l[valid_l] = il_long[band_out_l[valid_l]]
+        il_s[valid_s] = il_short[np.clip(band_out_s[valid_s], 0, 12)]
+
+    return dict(
+        gain=gain, band_in=band_in, win_in=win_in, is_long_in=is_long_in,
+        processed=processed, invperm=invperm, cb_start_s=cb_start_s,
+        has_short=has_short, cb_type=cb_type, out_nzb_short=out_nzb_short,
+        band_out_l=band_out_l, band_out_s=band_out_s, win_out=win_out,
+        sf_right_l=sf_r_l, sf_right_s=sf_r_s, il_out_l=il_l, il_out_s=il_s,
+        sfb_l=sfb_l.astype(np.int32), sfb_s=sfb_s.astype(np.int32),
+        mode_ext=np.int32(mode_ext), ver_is_mpeg1=np.bool_(ver == 0),
+        intensity_scale=np.int32(frame[12]),
+    )
+
+
+class MP3Decoder:
+    """Drop-in equivalent of the reference Helix public API, device-accelerated.
+
+    See ``decode`` (== MP3Decode), ``get_last_frame_info``,
+    ``get_next_frame_info``, ``find_sync_word``.
+    """
+
+    def __init__(self):
+        self._lib = host_lib()
+        self._ctx = self._lib.eal_mp3_create()
+        self._last_frame = None
+        # carried device-side state (per channel)
+        self._over = np.zeros((2, 288), np.int32)
+        self._prev_type = np.zeros(2, np.int32)
+        self._prev_win_switch = np.zeros(2, np.int32)
+        self._num_prev = np.zeros(2, np.int32)
+        self._vbuf = np.zeros(2 * 1088, np.int32)
+        self._vindex = 0
+
+    def __del__(self):
+        try:
+            self._lib.eal_mp3_destroy(self._ctx)
+        except Exception:
+            pass
+
+    @staticmethod
+    def find_sync_word(buf: bytes) -> int:
+        b = np.frombuffer(buf, np.uint8)
+        return host_lib().eal_mp3_find_sync_word(b.ctypes.data_as(C.POINTER(C.c_uint8)), b.size)
+
+    def parse_frame(self, buf: bytes, use_size: bool = False):
+        """Run the serial front-end on one frame; returns raw stage tensors."""
+        b = np.frombuffer(buf, np.uint8) if isinstance(buf, (bytes, bytearray)) else buf
+        huff = np.zeros(2 * 2 * MAX_NSAMP, np.int32)
+        params = np.zeros(2 * 2 * 24, np.int32)
+        sf = np.zeros(2 * 2 * 62, np.int32)
+        frame = np.zeros(16, np.int32)
+        sfjs = np.zeros(8, np.int32)
+        consumed = C.c_int32(0)
+        clear = C.c_int32(0)
+        err_gr = C.c_int32(0)
+        err = self._lib.eal_mp3_parse_frame(
+            self._ctx, b.ctypes.data_as(C.POINTER(C.c_uint8)), b.size, int(use_size),
+            huff.ctypes.data_as(_i32p), params.ctypes.data_as(_i32p), sf.ctypes.data_as(_i32p),
+            frame.ctypes.data_as(_i32p), sfjs.ctypes.data_as(_i32p),
+            C.byref(consumed), C.byref(clear), C.byref(err_gr))
+        self._last_frame = frame
+        return (MP3Error(err), huff.reshape(2, 2, MAX_NSAMP), params.reshape(2, 2, 24),
+                sf.reshape(2, 2, 62), frame, sfjs, consumed.value, bool(clear.value),
+                err_gr.value)
+
+    def get_next_frame_info(self, buf: bytes):
+        b = np.frombuffer(buf, np.uint8)
+        info = np.zeros(7, np.int32)
+        err = self._lib.eal_mp3_frame_info(self._ctx, b.ctypes.data_as(C.POINTER(C.c_uint8)),
+                                           info.ctypes.data_as(_i32p))
+        return MP3Error(err), {
+            "bitrate": int(info[0]), "nChans": int(info[1]), "samprate": int(info[2]),
+            "bitsPerSample": int(info[3]), "outputSamps": int(info[4]),
+            "layer": int(info[5]), "version": int(info[6]),
+        }
+
+    def decode(self, buf: bytes, use_size: bool = False):
+        """MP3Decode equivalent: one frame -> (error, int16 PCM, consumed bytes).
+
+        On bad frames returns zeroed PCM like MP3ClearBadFrame
+        (reference :8677-8685) when the frame size was known.
+        """
+        from . import mp3_pipeline  # device stages (separate module)
+
+        err, huff, params, sf, frame, sfjs, consumed, clear, err_gr = self.parse_frame(buf, use_size)
+        ngr, nch, ngs = int(frame[6]), int(frame[5]), int(frame[7])
+        state = (self._over, self._prev_type, self._prev_win_switch, self._num_prev,
+                 self._vbuf, self._vindex)
+        self.last_frame_reference_defined = True
+        if err != MP3Error.NONE:
+            # The reference decodes granule-by-granule: granules before the
+            # failing one have already updated the overlap/vbuf state even
+            # though the frame's PCM is zero-filled (MP3ClearBadFrame,
+            # reference :8677-8685, :8807-8854). Mirror that.
+            if err_gr > 0:
+                _, state, rdef = mp3_pipeline.decode_granules(
+                    huff, params, sf, frame, sfjs, state, n_granules=err_gr)
+                self.last_frame_reference_defined = rdef
+                (self._over, self._prev_type, self._prev_win_switch, self._num_prev,
+                 self._vbuf, self._vindex) = state
+            pcm = np.zeros(ngr * ngs * nch, np.int16) if clear else None
+            return err, pcm, consumed
+        pcm, state, rdef = mp3_pipeline.decode_granules(huff, params, sf, frame, sfjs, state)
+        self.last_frame_reference_defined = rdef
+        (self._over, self._prev_type, self._prev_win_switch, self._num_prev,
+         self._vbuf, self._vindex) = state
+        return err, pcm, consumed

@@ -46,6 +46,42 @@ from ..runtime.native import design_filterbank_native
 __all__ = ["ResamplerConfiguration", "ResamplerResults", "Resampler"]
 
 
+def _stage(x, exact):
+    """In exact mode, fence pipeline stages with an optimization barrier so
+    XLA cannot fuse (and FMA-contract / re-round) across stage boundaries;
+    each stage is individually bit-exact vs the C reference."""
+    return jax.lax.optimization_barrier(x) if exact else x
+
+
+import functools
+
+
+@functools.partial(jax.jit, static_argnames=("in_bits", "frames", "ch"))
+def _unpack_gain(data, factor, *, in_bits, frames, ch):
+    x = q.int_to_float(q.unpack_pcm(data, in_bits), factor)
+    return x.reshape(x.shape[0], frames, ch).transpose(0, 2, 1)
+
+
+@functools.partial(jax.jit, static_argnames=("hist_len", "half", "compute_second"))
+def _poly_exact(xc, hist, filters, win0, idx1, idx2, weight, mode, used,
+                *, hist_len, half, compute_second):
+    xext = jnp.concatenate([hist, xc], axis=-1)
+    out = polyphase_apply(xext, filters, win0 + hist_len, idx1, idx2, weight, mode,
+                          half=half, exact=True, compute_second=compute_second)
+    new_hist = jax.lax.dynamic_slice_in_dim(xext, used, hist_len, axis=-1)
+    return out, new_hist
+
+
+@functools.partial(jax.jit, static_argnames=("out_bits", "out_max", "ch"))
+def _quantize_masked(out, gen, *, out_bits, out_max, ch):
+    B = out.shape[0]
+    y = out.transpose(0, 2, 1).reshape(B, out_max * ch)
+    samples, clipped = q.float_to_int(y, out_bits)
+    valid = (jnp.arange(out_max * ch, dtype=jnp.int32) < gen * ch)
+    per_stream = jnp.sum((clipped & valid).astype(jnp.uint32), axis=-1)
+    return q.pack_pcm(samples, out_bits), per_stream
+
+
 @dataclasses.dataclass
 class ResamplerConfiguration:
     """Field-for-field mirror of the reference struct (include/resampler.h:22-32)."""
@@ -187,16 +223,42 @@ class Resampler:
         grid = phase_grid(
             self.phase, cfg.number_of_filters, self.bank_flags, self.sample_ratio,
             frames_to_process, output_frames_free)
+        grid_args = (jnp.asarray(grid.win0), jnp.asarray(grid.idx1), jnp.asarray(grid.idx2),
+                     jnp.asarray(grid.weight), jnp.asarray(grid.mode.astype(np.int32)))
 
-        fn = self._get_chunk_fn(frames_to_process, output_frames_free)
-        packed, clipped, self.history, new_bq = fn(
-            data, factor, self.history,
-            tuple(self._biquad_state) if (self.pre_filter or self.post_filter) else (),
-            jnp.asarray(grid.win0), jnp.asarray(grid.idx1), jnp.asarray(grid.idx2),
-            jnp.asarray(grid.weight), jnp.asarray(grid.mode.astype(np.int32)),
-            jnp.int32(grid.input_used), jnp.int32(grid.output_generated))
-        if self.pre_filter or self.post_filter:
-            self._biquad_state = list(new_bq)
+        if self.exact:
+            # parity mode: each stage is its own jit — cross-stage fusion on
+            # XLA:CPU re-rounds f32 math (FMA contraction) and breaks
+            # bit-exactness; the fused single-dispatch path is fast mode.
+            xc = _unpack_gain(data, factor, in_bits=self.input_bits,
+                              frames=frames_to_process, ch=ch)
+            if self.pre_filter:
+                for stage in range(2):
+                    xc, self._biquad_state[stage] = bq.biquad_apply(
+                        xc, self._coeffs_dev, self._biquad_state[stage], exact=True)
+            out, self.history = _poly_exact(
+                xc, self.history, self.filters, *grid_args, jnp.int32(grid.input_used),
+                hist_len=self.hist_len, half=cfg.number_of_taps // 2,
+                compute_second=bool(self.bank_flags & sinc.SUBSAMPLE_INTERPOLATE))
+            # gen is host-known here, so mirror the reference exactly:
+            # post-filter and quantize only the generated samples
+            out = out[..., : grid.output_generated]
+            if self.post_filter:
+                for stage in range(2):
+                    out, self._biquad_state[stage] = bq.biquad_apply(
+                        out, self._coeffs_dev, self._biquad_state[stage], exact=True)
+            packed, clipped = _quantize_masked(
+                out, jnp.int32(grid.output_generated), out_bits=self.output_bits,
+                out_max=grid.output_generated, ch=ch)
+        else:
+            fn = self._get_chunk_fn(frames_to_process, output_frames_free)
+            packed, clipped, self.history, new_bq = fn(
+                data, factor, self.history,
+                tuple(self._biquad_state) if (self.pre_filter or self.post_filter) else (),
+                *grid_args,
+                jnp.int32(grid.input_used), jnp.int32(grid.output_generated))
+            if self.pre_filter or self.post_filter:
+                self._biquad_state = list(new_bq)
 
         bps_out = q.bytes_per_sample(self.output_bits)
         out = packed[:, : grid.output_generated * ch * bps_out]
@@ -280,7 +342,7 @@ class Resampler:
                     i, hist, bqs = carry
                     win0, idx1, idx2, weight, mode, gen = xs
                     chunk = jax.lax.dynamic_slice_in_dim(data, i * chunk_bytes, chunk_bytes, axis=1)
-                    x = q.int_to_float(q.unpack_pcm(chunk, in_bits), factor)
+                    x = _stage(q.int_to_float(q.unpack_pcm(chunk, in_bits), factor), exact)
                     xc = x.reshape(B, frames, ch).transpose(0, 2, 1)
 
                     new_bq = list(bqs)
@@ -288,11 +350,13 @@ class Resampler:
                         for stage in range(2):
                             xc, new_bq[stage] = bq.biquad_apply(
                                 xc, coeffs, bqs[stage], exact=exact, fir_len=fir_len)
+                            xc = _stage(xc, exact)
 
                     xext = jnp.concatenate([hist, xc], axis=-1)
                     out = polyphase_apply(
                         xext, filters, win0 + hist_len, idx1, idx2, weight, mode,
                         half=half, exact=exact, compute_second=compute_second)
+                    out = _stage(out, exact)
                     new_hist = xext[..., -hist_len:]  # all inputs consumed
 
                     if post:
@@ -300,6 +364,7 @@ class Resampler:
                             out, new_bq[stage] = bq.biquad_apply(
                                 out, coeffs, bqs[stage], exact=exact, fir_len=fir_len,
                                 valid_len=gen)
+                            out = _stage(out, exact)
 
                     y = out.transpose(0, 2, 1).reshape(B, out_max * ch)
                     samples, clip = q.float_to_int(y, out_bits)
@@ -347,7 +412,7 @@ class Resampler:
             @jax.jit
             def fn(data, factor, hist, bq_states, win0, idx1, idx2, weight, mode, used, gen):
                 B = data.shape[0]
-                x = q.int_to_float(q.unpack_pcm(data, in_bits), factor)
+                x = _stage(q.int_to_float(q.unpack_pcm(data, in_bits), factor), exact)
                 xc = x.reshape(B, frames, ch).transpose(0, 2, 1)  # [B, ch, frames]
 
                 new_bq = list(bq_states)
@@ -355,11 +420,13 @@ class Resampler:
                     for stage in range(2):
                         xc, new_bq[stage] = bq.biquad_apply(
                             xc, coeffs, bq_states[stage], exact=exact, fir_len=fir_len)
+                        xc = _stage(xc, exact)
 
                 xext = jnp.concatenate([hist, xc], axis=-1)
                 out = polyphase_apply(
                     xext, filters, win0 + hist_len, idx1, idx2, weight, mode,
                     half=half, exact=exact, compute_second=compute_second)  # [B, ch, out_max]
+                out = _stage(out, exact)
                 new_hist = jax.lax.dynamic_slice_in_dim(xext, used, hist_len, axis=-1)
 
                 if post:
@@ -367,6 +434,7 @@ class Resampler:
                         out, new_bq[stage] = bq.biquad_apply(
                             out, coeffs, bq_states[stage], exact=exact, fir_len=fir_len,
                             valid_len=gen)
+                        out = _stage(out, exact)
 
                 y = out.transpose(0, 2, 1).reshape(B, out_max * ch)
                 samples, clipped = q.float_to_int(y, out_bits)

@@ -21,7 +21,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .scan import iir2_scan, iir2_sequential
+from .scan import exact_mul, iir2_scan, iir2_sequential
 
 __all__ = [
     "biquad_lowpass",
@@ -155,14 +155,15 @@ def biquad_apply(
             def step(carry, xi_t):
                 xi, t = xi_t
                 i1, i2, o1, o2 = carry
-                y = (xi * a0) + (i1 * a1) - (b1 * o1)
+                y = exact_mul(xi, a0) + exact_mul(i1, a1) - exact_mul(b1, o1)
                 new = keep(valid_len is None or t < valid_len, (xi, i1, y, o1), carry)
                 return new, y
         else:
             def step(carry, xi_t):
                 xi, t = xi_t
                 i1, i2, o1, o2 = carry
-                y = (xi * a0) + (i1 * a1) + (i2 * a2) - (b1 * o1) - (b2 * o2)
+                y = (exact_mul(xi, a0) + exact_mul(i1, a1) + exact_mul(i2, a2)
+                     - exact_mul(b1, o1) - exact_mul(b2, o2))
                 new = keep(valid_len is None or t < valid_len, (xi, i1, y, o1), carry)
                 return new, y
 

@@ -23,7 +23,7 @@ import functools
 import jax
 import jax.numpy as jnp
 
-from .scan import iir2_scan
+from .scan import exact_mul, iir2_scan
 
 __all__ = ["dotprod_f32", "biquad_f32", "add_s16", "mulc_s16"]
 
@@ -82,8 +82,8 @@ def biquad_f32(x: jax.Array, coef: jax.Array, w: jax.Array, *, exact: bool = Tru
 
         def step(carry, xi):
             w0, w1 = carry
-            d0 = xi - a1 * w0 - a2 * w1
-            y = b0 * d0 + b1 * w0 + b2 * w1
+            d0 = xi - exact_mul(a1, w0) - exact_mul(a2, w1)
+            y = exact_mul(b0, d0) + exact_mul(b1, w0) + exact_mul(b2, w1)
             return (d0, w0), y
 
         (w0f, w1f), yt = jax.lax.scan(step, (w0, w1), xt)

@@ -1,0 +1,261 @@
+"""Batched MP3 subband synthesis: FDCT32 + vbuf FIFO + PQMF polyphase.
+
+TPU-native equivalent of the reference subband stage (reference:
+src/decode/mp3_decoder.cpp :7732-8019 FDCT32, :798-810 ClipToShort,
+:812-1084 Polyphase{Mono,Stereo}, :1086-1120 Subband).
+
+The reference runs 18 serial iterations per granule, each doing a 32-point
+DCT per channel into a double-sized vbuf FIFO followed by a 64-bit-MAC
+polyphase filter.  Here the granule is a ``lax.scan`` over those 18 steps
+with the vbuf as carried state; within a step everything is batched across
+lanes.  The FIFO's pointer gymnastics reduce to static index tables per step
+(the vindex sequence is deterministic), and because the polyphase accumulates
+in int64 — exact integer arithmetic — the MAC order is free, so the filter
+becomes a flat gather + int64 contraction, bit-identical to the serial MACs.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..runtime.tables import mp3_tables
+from .mp3dsp import mulshift32
+
+__all__ = ["subband_granule", "build_subband_schedule"]
+
+VB = 1088  # VBUF_LENGTH
+DEF_NFRACBITS = 25 - 2 - 2 - 15  # = 6 (reference :791-795)
+CSHIFT = 12
+RND = 1 << (DEF_NFRACBITS - 1 + (32 - CSHIFT))  # rndVal (reference :873)
+
+
+def _i32(x):
+    return x.astype(jnp.int32)
+
+
+def _clip2n(y, n):
+    sign = y >> 31
+    lim = _i32((jnp.int32(1) << n) - 1)
+    return jnp.where(sign != (y >> n), sign ^ lim, y)
+
+
+def _fdct32(x, gb, T):
+    """Reference FDCT32 (:7776-7855) first+second pass, vectorized.
+
+    x: int32 [..., 32]; gb: int32 [...].  Returns (buf list of 32, es [...]).
+    """
+    dct = T["dcttab"]
+    cos4_0 = jnp.int32(0x5A82799A)
+    es = jnp.maximum(6 - gb, 0)
+    buf = [x[..., i] >> es for i in range(32)]
+
+    # first pass: D32FP(i, s0, s1, s2) for i=0..7
+    shifts = [(1, 5, 1), (1, 3, 1), (1, 3, 1), (1, 2, 1), (1, 2, 1), (1, 1, 2), (1, 1, 2), (1, 1, 4)]
+    c = 0
+    for i in range(8):
+        s0, s1, s2 = shifts[i]
+        a0, a3 = buf[i], buf[31 - i]
+        a1, a2 = buf[15 - i], buf[16 + i]
+        b0 = a0 + a3
+        b3 = _i32(mulshift32(dct[c], a0 - a3) << s0)
+        c += 1
+        b1 = a1 + a2
+        b2 = _i32(mulshift32(dct[c], a1 - a2) << s1)
+        c += 1
+        buf[i] = b0 + b1
+        buf[15 - i] = _i32(mulshift32(dct[c], b0 - b1) << s2)
+        buf[16 + i] = b2 + b3
+        buf[31 - i] = _i32(mulshift32(dct[c], b3 - b2) << s2)
+        c += 1
+
+    # second pass: 4 groups of 8
+    for g in range(4):
+        o = 8 * g
+        cc = 24 + 6 * g
+        a0, a7, a3, a4 = buf[o + 0], buf[o + 7], buf[o + 3], buf[o + 4]
+        b0 = a0 + a7
+        b7 = _i32(mulshift32(dct[cc + 0], a0 - a7) << 1)
+        b3 = a3 + a4
+        b4 = _i32(mulshift32(dct[cc + 1], a3 - a4) << 3)
+        a0 = b0 + b3
+        a3 = _i32(mulshift32(dct[cc + 2], b0 - b3) << 1)
+        a4 = b4 + b7
+        a7 = _i32(mulshift32(dct[cc + 2], b7 - b4) << 1)
+
+        a1, a6, a2, a5 = buf[o + 1], buf[o + 6], buf[o + 2], buf[o + 5]
+        b1 = a1 + a6
+        b6 = _i32(mulshift32(dct[cc + 3], a1 - a6) << 1)
+        b2 = a2 + a5
+        b5 = _i32(mulshift32(dct[cc + 4], a2 - a5) << 1)
+        a1 = b1 + b2
+        a2 = _i32(mulshift32(dct[cc + 5], b1 - b2) << 2)
+        a5 = b5 + b6
+        a6 = _i32(mulshift32(dct[cc + 5], b6 - b5) << 2)
+
+        b0 = a0 + a1
+        b1 = _i32(mulshift32(cos4_0, a0 - a1) << 1)
+        b2 = a2 + a3
+        b3 = _i32(mulshift32(cos4_0, a3 - a2) << 1)
+        buf[o + 0] = b0
+        buf[o + 1] = b1
+        buf[o + 2] = b2 + b3
+        buf[o + 3] = b3
+
+        b4 = a4 + a5
+        b5 = _i32(mulshift32(cos4_0, a4 - a5) << 1)
+        b6 = a6 + a7
+        b7 = _i32(mulshift32(cos4_0, a7 - a6) << 1)
+        b6 = b6 + b7
+        buf[o + 4] = b4 + b6
+        buf[o + 5] = b5 + b7
+        buf[o + 6] = b5 + b6
+        buf[o + 7] = b7
+
+    return buf, es
+
+
+# write-value recipes from the output shuffle (:7856-7979): value index lists
+# into buf (post-passes).  rows = "samples 16..31" block, qrows = "16..1".
+_ROWS = [(1,), (17, 25, 29), (9, 13), (21, 25, 29), (5,), (21, 29, 27), (13, 11), (19, 29, 27),
+         (3,), (19, 27, 31), (11, 15), (23, 27, 31), (7,), (23, 31), (15,), (31,)]
+_QROWS = [(1,), (17, 30, 25), (14, 9), (22, 30, 25), (6,), (22, 26, 30), (10, 14), (18, 26, 30),
+          (2,), (18, 28, 26), (12, 10), (20, 28, 26), (4,), (20, 24, 28), (8, 12), (16, 24, 28)]
+
+
+def build_subband_schedule(vindex0: int, nch: int):
+    """Static per-step index tables for one granule (18 steps).
+
+    Returns dict of numpy arrays:
+      fdct_idx [18, nch, 66]  — vbuf write positions (33 values x 2 copies)
+      poly_idx [18, 32, 16]   — vbuf read positions for channel 0
+      vindex_seq, vindex_out
+    """
+    T = mp3_tables()
+    poly = T["polyCoef"]
+    fdct_idx = np.zeros((18, nch, 66), np.int64)
+    poly_idx = np.zeros((18, 32, 16), np.int64)
+    v = vindex0
+    for b in range(18):
+        odd = b & 1
+        base0 = 64 * 16 + ((v - odd) & 7) + (0 if odd else VB)
+        base1 = v + (VB if odd else 0)
+        base2 = 16 + ((v - odd) & 7) + (0 if odd else VB)
+        pos = []
+        pos.append(base0)                     # sample 0 slot
+        for r in range(16):
+            pos.append(base1 + 64 * r)        # rows block
+        for q in range(16):
+            pos.append(base2 + 64 * q)        # qrows block
+        pos = np.asarray(pos, np.int64)
+        for ch in range(nch):
+            p = pos + 32 * ch
+            fdct_idx[b, ch, :33] = p
+            fdct_idx[b, ch, 33:] = p + 8
+
+        # polyphase reads at THIS step's vindex (Subband calls Polyphase
+        # with vbuf + vindex + VB*(b&1) before updating vindex, :1102-1106)
+        pbase = v + (VB if odd else 0)
+        # n = 0 (row 0)
+        for xx in range(8):
+            poly_idx[b, 0, 2 * xx] = pbase + xx
+            poly_idx[b, 0, 2 * xx + 1] = pbase + 23 - xx
+        # n = 16 (row 16): 8 taps, pad the rest pointing at tap 0 with coef 0
+        for xx in range(8):
+            poly_idx[b, 16, 2 * xx] = pbase + 64 * 16 + xx
+            poly_idx[b, 16, 2 * xx + 1] = pbase + 64 * 16 + xx  # coef 0
+        # rows r = 1..15 -> samples r and 32 - r
+        for r in range(1, 16):
+            for xx in range(8):
+                lo = pbase + 64 * r + xx
+                hi = pbase + 64 * r + 23 - xx
+                poly_idx[b, r, 2 * xx] = lo
+                poly_idx[b, r, 2 * xx + 1] = hi
+                poly_idx[b, 32 - r, 2 * xx] = lo
+                poly_idx[b, 32 - r, 2 * xx + 1] = hi
+        v = (v - odd) & 7
+    # polyphase coefficient matrix [32, 16] (static, shared across steps)
+    coef = np.zeros((32, 16), np.int64)
+    for xx in range(8):
+        coef[0, 2 * xx] = poly[2 * xx]
+        coef[0, 2 * xx + 1] = -np.int64(poly[2 * xx + 1])
+        coef[16, 2 * xx] = poly[256 + xx]
+        coef[16, 2 * xx + 1] = 0
+    for r in range(1, 16):
+        for xx in range(8):
+            c1 = np.int64(poly[16 * r + 2 * xx])
+            c2 = np.int64(poly[16 * r + 2 * xx + 1])
+            coef[r, 2 * xx] = c1
+            coef[r, 2 * xx + 1] = -c2
+            coef[32 - r, 2 * xx] = c2
+            coef[32 - r, 2 * xx + 1] = c1
+    return dict(fdct_idx=fdct_idx, poly_idx=poly_idx, coef=coef, vindex_out=v)
+
+
+@functools.partial(jax.jit, static_argnames=("nch",))
+def subband_granule(outbuf, gb, vbuf, fdct_idx, poly_idx, coef, *, nch):
+    """Subband transform for one granule, batched over lanes.
+
+    Args:
+      outbuf: int32 ``[L, C, 18, 32]`` IMDCT output.
+      gb: int32 ``[L, C]`` guard bits.
+      vbuf: int32 ``[L, 2176]`` carried FIFO (both channels + parities).
+      fdct_idx/poly_idx/coef: schedule from :func:`build_subband_schedule`.
+
+    Returns (pcm int16 ``[L, 18*32*nch]`` interleaved, new vbuf).
+    """
+    T = {k: jnp.asarray(v) for k, v in mp3_tables().items()}
+    outbuf = outbuf.astype(jnp.int32)
+    gb = gb.astype(jnp.int32)
+    vbuf = vbuf.astype(jnp.int32)
+    L = outbuf.shape[0]
+
+    xs = (jnp.asarray(fdct_idx), jnp.asarray(poly_idx),
+          jnp.moveaxis(outbuf, 2, 0))  # [18, L, C, 32]
+
+    def step(vbuf, xs_b):
+        fidx, pidx, xb = xs_b
+        # FDCT32 per channel
+        for ch in range(nch):
+            buf, es = _fdct32(xb[:, ch, :], gb[:, ch], T)
+            vals = []
+            vals.append(buf[0])
+            for r in range(16):
+                t = buf[_ROWS[r][0]]
+                for k in _ROWS[r][1:]:
+                    t = t + buf[k]
+                vals.append(t)
+            for q in range(16):
+                t = buf[_QROWS[q][0]]
+                for k in _QROWS[q][1:]:
+                    t = t + buf[k]
+                vals.append(t)
+            v = jnp.stack(vals, axis=-1)  # [L, 33]
+            # es epilogue (:7981-8005): clip + shift the stored values
+            esb = es[..., None]
+            v = jnp.where(esb > 0, _i32(_clip2n(v, 31 - esb) << esb), v)
+            v2 = jnp.concatenate([v, v], axis=-1)  # [L, 66] (d[0] and d[8])
+            vbuf = vbuf.at[:, fidx[ch]].set(v2)
+
+        # polyphase: gather [L, 32, 16] and contract in int64
+        pcm_ch = []
+        for ch in range(nch):
+            g = vbuf[:, pidx + 32 * ch].astype(jnp.int64)  # [L, 32, 16]
+            acc = jnp.sum(g * coef[None, :, :], axis=-1) + jnp.int64(RND)
+            s32 = (acc >> (32 - CSHIFT)).astype(jnp.int32)
+            x = s32 >> DEF_NFRACBITS
+            sign = x >> 31
+            x = jnp.where(sign != (x >> 15), sign ^ ((1 << 15) - 1), x)
+            pcm_ch.append(x.astype(jnp.int16))  # [L, 32]
+        if nch == 2:
+            pcm = jnp.stack([pcm_ch[0], pcm_ch[1]], axis=-1).reshape(L, 64)
+        else:
+            pcm = pcm_ch[0]
+        return vbuf, pcm
+
+    vbuf, pcm_steps = jax.lax.scan(step, vbuf, xs)  # pcm_steps [18, L, 32*nch]
+    pcm = jnp.moveaxis(pcm_steps, 0, 1).reshape(L, -1)
+    return pcm, vbuf

@@ -25,6 +25,8 @@ import functools
 import jax
 import jax.numpy as jnp
 
+from .scan import exact_mul as _exact_mul
+
 __all__ = ["polyphase_apply"]
 
 
@@ -71,15 +73,20 @@ def polyphase_apply(
         def step(carry, k):
             acc1, acc2 = carry
             xg = jnp.take(xext, win0x + k, axis=-1)  # [..., T]
-            acc1 = acc1 + xg * jnp.take(f1, k, axis=-1)
+            acc1 = acc1 + _exact_mul(xg, jnp.take(f1, k, axis=-1))
             if compute_second:
-                acc2 = acc2 + xg * jnp.take(f2, k, axis=-1)
+                acc2 = acc2 + _exact_mul(xg, jnp.take(f2, k, axis=-1))
             return (acc1, acc2), None
 
         zero = jnp.zeros(xext.shape[:-1] + (win0x.shape[0],), jnp.float32)
         (acc1, acc2), _ = jax.lax.scan(step, (zero, zero), jnp.arange(taps))
         if compute_second:
-            lerp = acc2 * w + acc1 * (jnp.float32(1.0) - w)
+            # NOTE: XLA:CPU contracts this mul-add into an FMA no matter how
+            # it is expressed (convert pairs get canonicalized away), so on
+            # CPU hosts the interpolated output can differ from the C
+            # reference by 1 ulp. XLA:TPU performs no contraction and is
+            # bit-exact (verified on hardware); tests encode this policy.
+            lerp = _exact_mul(acc2, w) + _exact_mul(acc1, jnp.float32(1.0) - w)
         else:
             lerp = acc1
         out = jnp.where(mode == 0, direct, jnp.where(mode == 1, acc1, lerp))

@@ -31,6 +31,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from .scan import exact_mul
+
 __all__ = [
     "bytes_per_sample",
     "gain_factor",
@@ -147,7 +149,10 @@ def float_to_int(x: jax.Array, bits: int) -> tuple[jax.Array, jax.Array]:
     low_clip = ~high_clip
     left_shift = (32 - bits) % 8
 
-    y = jnp.floor(x * scalar + jnp.float32(0.5))
+    # exact_mul: keep the multiply separately rounded (XLA:CPU would
+    # otherwise contract x*scalar + 0.5 into an FMA; the reference
+    # rounds the product first, src/quantization_utils.cpp:61)
+    y = jnp.floor(exact_mul(x, scalar) + jnp.float32(0.5))
     if bits < 32:
         # The reference casts the f32 result straight to int32
         # (src/quantization_utils.cpp:61); on x86 an out-of-range or NaN

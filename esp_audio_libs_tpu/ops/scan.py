@@ -20,7 +20,22 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-__all__ = ["iir2_scan", "iir2_sequential"]
+__all__ = ["iir2_scan", "iir2_sequential", "exact_mul"]
+
+
+def exact_mul(a, b):
+    """f32 multiply with a guaranteed separate IEEE rounding step.
+
+    XLA:CPU's LLVM backend contracts f32 mul+add chains into FMAs (even
+    across optimization barriers), breaking bit-parity with the reference
+    (compiled -ffp-contract=off) and with XLA:TPU.  A f64 product of two f32
+    values is exact (24+24 < 53 mantissa bits), so truncating back to f32 IS
+    the IEEE f32 product, and the f64 mul cannot fuse with a f32 add.  Plain
+    multiply when x64 is disabled (TPU production path: no contraction).
+    """
+    if jax.dtypes.canonicalize_dtype(jnp.float64) == jnp.float64:
+        return (a.astype(jnp.float64) * b.astype(jnp.float64)).astype(jnp.float32)
+    return a * b
 
 
 def iir2_sequential(f: jax.Array, p1: jax.Array, p2: jax.Array, y1: jax.Array, y2: jax.Array):

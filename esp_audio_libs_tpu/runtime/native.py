@@ -68,6 +68,18 @@ def host_lib() -> C.CDLL:
     lib.eal_flac_parse_frame.argtypes = [
         C.c_void_p, u8p, C.c_size_t, i32p, C.c_size_t,
         i32p, i32p, i32p, i32p, i32p, i32p, i32p, i32p, i32p]
+
+    # ---- MP3 front-end ----
+    lib.eal_mp3_create.restype = C.c_void_p
+    lib.eal_mp3_destroy.argtypes = [C.c_void_p]
+    lib.eal_mp3_find_sync_word.restype = C.c_int
+    lib.eal_mp3_find_sync_word.argtypes = [u8p, C.c_int]
+    lib.eal_mp3_parse_frame.restype = C.c_int
+    lib.eal_mp3_parse_frame.argtypes = [
+        C.c_void_p, u8p, C.c_int, C.c_int,
+        i32p, i32p, i32p, i32p, i32p, i32p, i32p, i32p]
+    lib.eal_mp3_frame_info.restype = C.c_int
+    lib.eal_mp3_frame_info.argtypes = [C.c_void_p, u8p, i32p]
     return lib
 
 

@@ -192,6 +192,124 @@ int ref_mp3_decode(void *h, const uint8_t *inbuf, int bytes_left, int16_t *outbu
   *consumed = (int) (p - inbuf);
   return err;
 }
+// ---- MP3 stage taps: drive individual reference pipeline stages with
+// caller-provided state, for differential unit tests of the device kernels.
+using namespace esp_audio_libs::helix_decoder;
+
+static void fill_frame_header(MP3DecInfo *di, const int32_t *frame) {
+  FrameHeader *fh = (FrameHeader *) di->FrameHeaderPS;
+  fh->ver = (MPEGVersion) frame[0];
+  fh->srIdx = frame[1];
+  fh->sMode = (StereoMode) frame[2];
+  fh->modeExt = frame[3];
+  fh->sfBand = &sfBandTable[fh->ver][fh->srIdx];
+  di->nChans = (fh->sMode == Mono ? 1 : 2);
+  di->version = fh->ver;
+  di->layer = 3;
+}
+
+static void fill_sideinfo_sub(SideInfoSub *s, const int32_t *p) {
+  s->part23Length = p[0]; s->nBigvals = p[1]; s->globalGain = p[2]; s->sfCompress = p[3];
+  s->winSwitchFlag = p[4]; s->blockType = p[5]; s->mixedBlock = p[6];
+  s->tableSelect[0] = p[7]; s->tableSelect[1] = p[8]; s->tableSelect[2] = p[9];
+  s->subBlockGain[0] = p[10]; s->subBlockGain[1] = p[11]; s->subBlockGain[2] = p[12];
+  s->region0Count = p[13]; s->region1Count = p[14]; s->preFlag = p[15];
+  s->sfactScale = p[16]; s->count1TableSelect = p[17];
+}
+
+static void fill_sf(ScaleFactorInfoSub *d, const int32_t *sf) {
+  for (int i = 0; i < 23; i++) d->l[i] = (char) sf[i];
+  for (int b = 0; b < 13; b++)
+    for (int w = 0; w < 3; w++) d->s[b][w] = (char) sf[23 + b * 3 + w];
+}
+
+// inputs per channel: huff[2][576], nzb[2], params[2][24] (front-end layout),
+// sf[2][62], frame[4]={ver,srIdx,sMode,modeExt}, sfjs[9]={intensity,slen[4],nr[4]}
+// outputs: out[2][576], out_nzb[2], out_gb[2], cbi_out[2][6]
+int ref_mp3_stage_dequant(void *h, const int32_t *huff, const int32_t *nzb, const int32_t *params,
+                          const int32_t *sf, const int32_t *frame, const int32_t *sfjs_in, int32_t *out,
+                          int32_t *out_nzb, int32_t *out_gb, int32_t *cbi_out) {
+  MP3DecInfo *di = (MP3DecInfo *) h;
+  fill_frame_header(di, frame);
+  SideInfo *si = (SideInfo *) di->SideInfoPS;
+  ScaleFactorInfo *sfi = (ScaleFactorInfo *) di->ScaleFactorInfoPS;
+  HuffmanInfo *hi = (HuffmanInfo *) di->HuffmanInfoPS;
+  for (int ch = 0; ch < di->nChans; ch++) {
+    fill_sideinfo_sub(&si->sis[0][ch], params + ch * 24);
+    fill_sf(&sfi->sfis[0][ch], sf + ch * 62);
+    memcpy(hi->huffDecBuf[ch], huff + ch * 576, 576 * sizeof(int32_t));
+    hi->nonZeroBound[ch] = nzb[ch];
+  }
+  sfi->sfjs.intensityScale = sfjs_in[0];
+  for (int i = 0; i < 4; i++) {
+    sfi->sfjs.slen[i] = sfjs_in[1 + i];
+    sfi->sfjs.nr[i] = sfjs_in[5 + i];
+  }
+  int rc = Dequantize(di, 0);
+  DequantInfo *dq = (DequantInfo *) di->DequantInfoPS;
+  for (int ch = 0; ch < di->nChans; ch++) {
+    memcpy(out + ch * 576, hi->huffDecBuf[ch], 576 * sizeof(int32_t));
+    out_nzb[ch] = hi->nonZeroBound[ch];
+    out_gb[ch] = hi->gb[ch];
+    cbi_out[ch * 6 + 0] = dq->cbi[ch].cbType;
+    cbi_out[ch * 6 + 1] = dq->cbi[ch].cbEndL;
+    cbi_out[ch * 6 + 2] = dq->cbi[ch].cbEndS[0];
+    cbi_out[ch * 6 + 3] = dq->cbi[ch].cbEndS[1];
+    cbi_out[ch * 6 + 4] = dq->cbi[ch].cbEndS[2];
+    cbi_out[ch * 6 + 5] = dq->cbi[ch].cbEndSMax;
+  }
+  return rc;
+}
+
+// IMDCT one granule, one channel.  state in/out: overBuf[288], prevType,
+// prevWinSwitch, numPrevIMDCT, gb; input huff (post-dequant) + nzb.
+int ref_mp3_stage_imdct(void *h, int ch_mode_ignored, const int32_t *huff, int32_t nzb, int32_t gb,
+                        const int32_t *params, const int32_t *frame, int32_t *over, int32_t *prev_type,
+                        int32_t *prev_win_switch, int32_t *num_prev, int32_t *out, int32_t *out_nzb,
+                        int32_t *out_gb) {
+  MP3DecInfo *di = (MP3DecInfo *) h;
+  fill_frame_header(di, frame);
+  SideInfo *si = (SideInfo *) di->SideInfoPS;
+  HuffmanInfo *hi = (HuffmanInfo *) di->HuffmanInfoPS;
+  IMDCTInfo *mi = (IMDCTInfo *) di->IMDCTInfoPS;
+  fill_sideinfo_sub(&si->sis[0][0], params);
+  memcpy(hi->huffDecBuf[0], huff, 576 * sizeof(int32_t));
+  hi->nonZeroBound[0] = nzb;
+  hi->gb[0] = gb;
+  memcpy(mi->overBuf[0], over, 288 * sizeof(int32_t));
+  mi->prevType[0] = *prev_type;
+  mi->prevWinSwitch[0] = *prev_win_switch;
+  mi->numPrevIMDCT[0] = *num_prev;
+  int rc = IMDCT(di, 0, 0);
+  memcpy(out, mi->outBuf[0], 18 * 32 * sizeof(int32_t));
+  memcpy(over, mi->overBuf[0], 288 * sizeof(int32_t));
+  *prev_type = mi->prevType[0];
+  *prev_win_switch = mi->prevWinSwitch[0];
+  *num_prev = mi->numPrevIMDCT[0];
+  *out_nzb = hi->nonZeroBound[0];
+  *out_gb = mi->gb[0];
+  return rc;
+}
+
+// Subband synthesis for one granule (both channels).  state in/out:
+// vbuf[2*1088], vindex.  input outBuf [2][18][32] + gb[2].
+int ref_mp3_stage_subband(void *h, int nchans, const int32_t *outbuf, const int32_t *gb, int32_t *vbuf,
+                          int32_t *vindex, int16_t *pcm) {
+  MP3DecInfo *di = (MP3DecInfo *) h;
+  di->nChans = nchans;
+  IMDCTInfo *mi = (IMDCTInfo *) di->IMDCTInfoPS;
+  SubbandInfo *sbi = (SubbandInfo *) di->SubbandInfoPS;
+  memcpy(mi->outBuf, outbuf, 2 * 18 * 32 * sizeof(int32_t));
+  mi->gb[0] = gb[0];
+  mi->gb[1] = gb[1];
+  memcpy(sbi->vbuf, vbuf, 2 * VBUF_LENGTH * sizeof(int32_t));
+  sbi->vindex = *vindex;
+  int rc = Subband(di, pcm);
+  memcpy(vbuf, sbi->vbuf, 2 * VBUF_LENGTH * sizeof(int32_t));
+  *vindex = sbi->vindex;
+  return rc;
+}
+
 void ref_mp3_get_last_frame_info(void *h, int *info7) {
   helix_decoder::MP3FrameInfo fi;
   helix_decoder::MP3GetLastFrameInfo((helix_decoder::HMP3Decoder) h, &fi);

@@ -708,12 +708,19 @@ int eal_mp3_find_sync_word(const uint8_t *buf, int n) { return find_sync_word(bu
 //   sfjs      [8] int32: slen[4], nr[4]
 //   consumed  bytes consumed from inbuf
 //   clear_out 1 if the caller should zero this frame's PCM (bad frame)
+// err_gr: on a mid-frame error (scalefactors/Huffman), the index of the
+// granule where parsing failed.  The reference decodes granule-by-granule
+// (synthesis for granule g-1 has already updated overlap/vbuf state when
+// granule g errors, reference :8807-8854), so the caller must synthesize
+// granules < err_gr before zero-filling the frame.
 int eal_mp3_parse_frame(void *hctx, const uint8_t *inbuf, int bytesLeft, int useSize, int32_t *huff, int32_t *params,
-                        int32_t *sf, int32_t *frame, int32_t *sfjs, int32_t *consumed, int32_t *clear_out) {
+                        int32_t *sf, int32_t *frame, int32_t *sfjs, int32_t *consumed, int32_t *clear_out,
+                        int32_t *err_gr) {
   Mp3Frontend *fe = (Mp3Frontend *) hctx;
   const uint8_t *in0 = inbuf;
   *consumed = 0;
   *clear_out = 0;
+  *err_gr = 0;
 
   int fhBytes = fe->unpack_frame_header(inbuf);
   if (fhBytes < 0) return ERR_INVALID_FRAMEHEADER;
@@ -777,6 +784,13 @@ int eal_mp3_parse_frame(void *hctx, const uint8_t *inbuf, int bytesLeft, int use
     }
   }
 
+  // fill frame info before the granule loop: a mid-frame error still needs
+  // it for the partial-granule synthesis (see err_gr)
+  frame[0] = fe->ver; frame[1] = fe->layer; frame[2] = fe->sMode; frame[3] = fe->modeExt;
+  frame[4] = fe->srIdx; frame[5] = fe->nChans; frame[6] = fe->nGrans; frame[7] = fe->nGranSamps;
+  frame[8] = fe->samprate; frame[9] = fe->bitrate; frame[10] = fe->nSlots; frame[11] = fe->mainDataBegin;
+  frame[13] = fe->crc; frame[14] = fe->paddingBit;
+
   int bitOffset = 0;
   int mainBits = fe->mainDataBytes * 8;
 
@@ -784,6 +798,13 @@ int eal_mp3_parse_frame(void *hctx, const uint8_t *inbuf, int bytesLeft, int use
     for (int ch = 0; ch < fe->nChans; ch++) {
       int prevBitOffset = bitOffset;
       int offset = fe->unpack_scale_factors(mainPtr, &bitOffset, mainBits, gr, ch);
+      // keep joint-stereo scalefactor info current for partial-granule
+      // synthesis after a mid-frame error
+      frame[12] = fe->sfjs_intensity;
+      for (int i = 0; i < 4; i++) {
+        sfjs[i] = fe->sfjs_slen[i];
+        sfjs[4 + i] = fe->sfjs_nr[i];
+      }
       int sfBlockBits = 8 * offset - prevBitOffset + bitOffset;
       int huffBlockBits = fe->sis[gr][ch].part23Length - sfBlockBits;
       mainPtr += offset;
@@ -791,6 +812,7 @@ int eal_mp3_parse_frame(void *hctx, const uint8_t *inbuf, int bytesLeft, int use
       if (offset < 0 || mainBits < huffBlockBits) {
         *clear_out = 1;
         *consumed = (int) (inbuf - in0);
+        *err_gr = gr;
         return ERR_INVALID_SCALEFACT;
       }
 
@@ -801,6 +823,7 @@ int eal_mp3_parse_frame(void *hctx, const uint8_t *inbuf, int bytesLeft, int use
       if (offset < 0) {
         *clear_out = 1;
         *consumed = (int) (inbuf - in0);
+        *err_gr = gr;
         return ERR_INVALID_HUFFCODES;
       }
       mainPtr += offset;
@@ -822,16 +845,14 @@ int eal_mp3_parse_frame(void *hctx, const uint8_t *inbuf, int bytesLeft, int use
     }
   }
 
-  frame[0] = fe->ver; frame[1] = fe->layer; frame[2] = fe->sMode; frame[3] = fe->modeExt;
-  frame[4] = fe->srIdx; frame[5] = fe->nChans; frame[6] = fe->nGrans; frame[7] = fe->nGranSamps;
-  frame[8] = fe->samprate; frame[9] = fe->bitrate; frame[10] = fe->nSlots; frame[11] = fe->mainDataBegin;
-  frame[12] = fe->sfjs_intensity; frame[13] = fe->crc; frame[14] = fe->paddingBit;
+  frame[12] = fe->sfjs_intensity;
   for (int i = 0; i < 4; i++) {
     sfjs[i] = fe->sfjs_slen[i];
     sfjs[4 + i] = fe->sfjs_nr[i];
   }
 
   *consumed = (int) (inbuf - in0);
+  *err_gr = fe->nGrans;
   return ERR_NONE;
 }
 

@@ -7,10 +7,18 @@ as the driver's dryrun does. Must run before jax is imported anywhere.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# The environment pins JAX_PLATFORMS=axon (tunneled TPU) via sitecustomize;
+# tests must run on a local virtual CPU mesh, so override forcefully —
+# env vars alone are not enough (the plugin re-registers itself).
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)  # FLAC/MP3 int64 fixed-point paths
 
 import subprocess
 from pathlib import Path

@@ -105,6 +105,13 @@ class Oracle:
         L.ref_mp3_get_last_frame_info.argtypes = [C.c_void_p, i32p]
         L.ref_mp3_get_next_frame_info.restype = C.c_int
         L.ref_mp3_get_next_frame_info.argtypes = [C.c_void_p, i32p, u8p]
+        L.ref_mp3_stage_dequant.restype = C.c_int
+        L.ref_mp3_stage_dequant.argtypes = [C.c_void_p] + [i32p] * 10
+        L.ref_mp3_stage_imdct.restype = C.c_int
+        L.ref_mp3_stage_imdct.argtypes = [C.c_void_p, C.c_int, i32p, C.c_int32, C.c_int32,
+                                          i32p, i32p, i32p, i32p, i32p, i32p, i32p, i32p, i32p]
+        L.ref_mp3_stage_subband.restype = C.c_int
+        L.ref_mp3_stage_subband.argtypes = [C.c_void_p, C.c_int, i32p, i32p, i32p, i32p, i16p]
 
     # ------------------------------------------------------------ quantization
     def quantized_to_float(self, data: np.ndarray, bits: int, gain_db: float = 0.0) -> np.ndarray:
