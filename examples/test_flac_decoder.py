@@ -1,0 +1,209 @@
+#!/usr/bin/env python3
+"""FLAC conformance-suite runner.
+
+TPU-native equivalent of the reference's conformance harness (reference:
+host_examples/flac_to_wav/test_flac_decoder.py, TESTING.md): runs the decoder
+over a corpus of FLAC files in three categories (subset / uncommon / faulty),
+verifies each with two oracles, and writes text + JSON reports
+(test_results/test_report.{txt,json}).
+
+Oracles:
+  1. primary   — MD5 of decoded PCM vs the STREAMINFO signature (the same
+                 cryptographic self-check the reference CLI performs)
+  2. secondary — byte-compare against the reference C decoder compiled as a
+                 host library (this image has no ffmpeg; the reference's
+                 secondary oracle was ffmpeg)
+
+Corpus: point --corpus at a directory laid out like
+ietf-wg-cellar/flac-test-files (subset/, uncommon/, faulty/). Without a
+corpus the runner generates one with tools/flacgen.py covering every
+subframe type, stereo mode, bit depth and several corrupt streams.
+"""
+
+from __future__ import annotations
+
+import argparse
+import ctypes as C
+import json
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+sys.path.insert(0, str(REPO / "tools"))
+
+import jax  # noqa: E402
+
+jax.config.update("jax_enable_x64", True)
+import numpy as np  # noqa: E402
+
+from esp_audio_libs_tpu.models.flac import FLACDecoder  # noqa: E402
+from esp_audio_libs_tpu.utils.errors import FLACDecoderResult  # noqa: E402
+
+
+def generate_corpus(root: Path):
+    """Synthesize a corpus with tools/flacgen.py (no network in this image)."""
+    from flacgen import SubframePlan, make_flac
+
+    (root / "subset").mkdir(parents=True, exist_ok=True)
+    (root / "uncommon").mkdir(parents=True, exist_ok=True)
+    (root / "faulty").mkdir(parents=True, exist_ok=True)
+
+    subset = [
+        dict(rng_seed=1, depth=16, channels=2, block_size=4096, n_frames=4,
+             stereo_modes=["ms", "ls", "rs", None],
+             plans=[[SubframePlan("lpc", order=8), SubframePlan("lpc", order=8)]] * 4),
+        dict(rng_seed=2, depth=16, channels=1, block_size=1152, n_frames=3,
+             plans=[[SubframePlan("fixed", order=o)] for o in (2, 3, 4)]),
+        dict(rng_seed=3, depth=24, channels=2, block_size=2048, n_frames=3,
+             plans=[[SubframePlan("lpc", order=12, partition_order=2),
+                     SubframePlan("lpc", order=6)]] * 3),
+        dict(rng_seed=4, depth=8, channels=1, block_size=256, n_frames=2,
+             plans=[[SubframePlan("verbatim")], [SubframePlan("constant")]]),
+        dict(rng_seed=5, depth=16, channels=2, block_size=576, n_frames=3,
+             plans=[[SubframePlan("lpc", order=2, escape=True), SubframePlan("fixed", order=1)]] * 3),
+        dict(rng_seed=6, depth=16, channels=1, block_size=192, n_frames=4,
+             plans=[[SubframePlan("lpc", order=32)]] * 4),
+    ]
+    uncommon = [
+        dict(rng_seed=11, depth=32, channels=2, block_size=512, n_frames=2,
+             plans=[[SubframePlan("lpc", order=4), SubframePlan("verbatim")]] * 2),
+        dict(rng_seed=12, depth=20, channels=2, block_size=1000, n_frames=2,
+             uncommon_bs_code=True, stereo_modes=["ms", None],
+             plans=[[SubframePlan("lpc", order=8), SubframePlan("fixed", order=2)]] * 2),
+        dict(rng_seed=13, depth=12, channels=1, block_size=250, n_frames=2,
+             uncommon_bs_code=True,
+             plans=[[SubframePlan("fixed", order=0)], [SubframePlan("lpc", order=7)]]),
+        dict(rng_seed=14, depth=16, channels=1, block_size=256, n_frames=2,
+             plans=[[SubframePlan("lpc", order=5, wasted=3)], [SubframePlan("verbatim", wasted=2)]]),
+    ]
+    from flacgen import make_flac as mk
+    for i, cfg in enumerate(subset):
+        blob, _ = mk(**cfg)
+        (root / "subset" / f"subset_{i:02d}.flac").write_bytes(blob)
+    for i, cfg in enumerate(uncommon):
+        blob, _ = mk(**cfg)
+        (root / "uncommon" / f"uncommon_{i:02d}.flac").write_bytes(blob)
+    # faulty: corrupted variants
+    blob, _ = mk(**subset[0])
+    bad1 = b"fLaX" + blob[4:]
+    (root / "faulty" / "bad_magic.flac").write_bytes(bad1)
+    bad2 = bytearray(blob)
+    bad2[-3] ^= 0xFF  # corrupt last frame CRC region
+    (root / "faulty" / "crc_mismatch.flac").write_bytes(bytes(bad2))
+    bad3 = blob[: len(blob) // 2]  # truncated
+    (root / "faulty" / "truncated.flac").write_bytes(bad3)
+
+
+def reference_decode(oracle_lib, blob: bytes):
+    """Decode with the reference C library; returns (ok, pcm bytes or None)."""
+    d = oracle_lib.ref_flac_create()
+    try:
+        buf = np.frombuffer(blob, np.uint8)
+        rc = oracle_lib.ref_flac_read_header(
+            d, buf.ctypes.data_as(C.POINTER(C.c_uint8)), buf.size)
+        if rc != 0:
+            return False, None
+        pos = oracle_lib.ref_flac_bytes_index(d)
+        out = np.zeros(oracle_lib.ref_flac_output_buffer_size_bytes(d) + 64, np.uint8)
+        pcm = bytearray()
+        while pos < len(blob):
+            ns = C.c_uint32(0)
+            chunk = buf[pos:]
+            rc = oracle_lib.ref_flac_decode_frame(
+                d, chunk.ctypes.data_as(C.POINTER(C.c_uint8)), chunk.size,
+                out.ctypes.data_as(C.POINTER(C.c_uint8)), C.byref(ns))
+            if rc != 0:
+                return False, bytes(pcm)
+            bps = oracle_lib.ref_flac_output_bytes_per_sample(d)
+            pcm += out[: ns.value * bps].tobytes()
+            pos += oracle_lib.ref_flac_bytes_index(d)
+        return True, bytes(pcm)
+    finally:
+        oracle_lib.ref_flac_destroy(d)
+
+
+def test_single_file(path: Path, oracle_lib, expect_fail: bool):
+    """Run both oracles on one file (mirrors the reference runner's
+    test_single_file, host_examples/.../test_flac_decoder.py:152-259)."""
+    blob = path.read_bytes()
+    t0 = time.perf_counter()
+    result = {"file": path.name, "md5": None, "reference_match": None,
+              "status": "fail", "seconds": 0.0}
+
+    dec = FLACDecoder()
+    ok = dec.read_header(blob) == FLACDecoderResult.SUCCESS
+    pcm = b""
+    decode_ok = False
+    if ok:
+        pcm, r = dec.decode_stream(blob[dec.get_bytes_index():])
+        decode_ok = all(x == FLACDecoderResult.SUCCESS for x in r["frame_results"])
+        result["md5"] = bool(r["md5_ok"]) if r["md5_ok"] is not None else None
+
+    ref_ok, ref_pcm = (None, None)
+    if oracle_lib is not None:
+        ref_ok, ref_pcm = reference_decode(oracle_lib, blob)
+        result["reference_match"] = (decode_ok == ref_ok) and (not decode_ok or pcm == ref_pcm)
+
+    if expect_fail:
+        # faulty corpus: pass when BOTH decoders reject (reference runner
+        # semantics, test_flac_decoder.py:241-247)
+        result["status"] = "pass" if (not decode_ok and (ref_ok in (None, False))) else "fail"
+    else:
+        checks = [decode_ok]
+        if result["md5"] is not None:
+            checks.append(result["md5"])
+        if result["reference_match"] is not None:
+            checks.append(result["reference_match"])
+        result["status"] = "pass" if all(checks) else "fail"
+    result["seconds"] = round(time.perf_counter() - t0, 3)
+    return result
+
+
+def main():
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--corpus", type=Path, default=REPO / "build" / "flac_corpus")
+    ap.add_argument("--out", type=Path, default=REPO / "build" / "test_results")
+    ap.add_argument("--no-reference", action="store_true")
+    args = ap.parse_args()
+
+    if not args.corpus.exists():
+        print(f"generating corpus at {args.corpus}")
+        generate_corpus(args.corpus)
+
+    oracle_lib = None
+    if not args.no_reference:
+        from tests.oracle import load
+        oracle_lib = load().lib
+
+    categories = ["subset", "uncommon", "faulty"]
+    report = {"categories": {}, "summary": {}}
+    total = passed = 0
+    lines = ["FLAC conformance report (esp-audio-libs-tpu)", "=" * 46]
+    for cat in categories:
+        d = args.corpus / cat
+        if not d.exists():
+            continue
+        results = []
+        for f in sorted(d.glob("*.flac")):
+            r = test_single_file(f, oracle_lib, expect_fail=(cat == "faulty"))
+            results.append(r)
+            total += 1
+            passed += r["status"] == "pass"
+            lines.append(f"[{cat}] {r['file']}: {r['status'].upper()} "
+                         f"(md5={r['md5']}, ref={r['reference_match']}, {r['seconds']}s)")
+        report["categories"][cat] = results
+    report["summary"] = {"total": total, "passed": passed, "failed": total - passed}
+    lines.insert(2, f"{passed}/{total} passed")
+
+    args.out.mkdir(parents=True, exist_ok=True)
+    (args.out / "test_report.txt").write_text("\n".join(lines) + "\n")
+    (args.out / "test_report.json").write_text(json.dumps(report, indent=2))
+    print("\n".join(lines))
+    print(f"\nreports: {args.out}/test_report.{{txt,json}}")
+    return 0 if passed == total else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
