@@ -1,0 +1,185 @@
+"""Batched multi-stream decoders: the framework's data-parallel serving layer.
+
+The reference is one-decoder-instance-per-stream and leaves parallelism to
+the caller (SURVEY.md §2 parallelism table; all state lives in the decoder
+structs, include/mp3_decoder.h:303-336, include/flac_decoder.h).  On TPU the
+batch IS the first-class axis: these classes keep one native bitstream
+front-end per stream on the host, then fold every stream's numeric work into
+the lane dimension of the shared device kernels, so one device dispatch
+decodes a whole fleet of streams.
+
+Streams are grouped per step by the static shapes a kernel instance needs
+(FLAC: block size x depth x channels; MP3: version x samplerate x channels x
+FIFO parity) — the shape-bucketed-routing analog of expert parallelism
+noted in SURVEY.md §2.  Within a bucket everything is one batched call.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..utils.errors import FLACDecoderResult, MP3Error
+from .flac import FLACDecoder, _frame_kernel
+from .mp3 import MP3Decoder
+from . import mp3_pipeline
+
+__all__ = ["BatchedFLACDecoder", "BatchedMP3Decoder"]
+
+import jax.numpy as jnp
+
+
+class BatchedFLACDecoder:
+    """Decode many independent FLAC streams with shared batched kernels.
+
+    Each stream has its own host front-end (sync/header/Rice parsing is
+    bitstream-serial); frames from ALL streams are bucketed by
+    (block_size, depth, channels, 32-bit mode) and each bucket runs as ONE
+    device call through the same ``_frame_kernel`` the single-stream
+    ``FLACDecoder.decode_stream`` uses — identical math, so outputs are
+    bit-identical to decoding each stream alone.
+    """
+
+    def __init__(self, n_streams: int):
+        self.decoders = [FLACDecoder() for _ in range(n_streams)]
+
+    def read_headers(self, blobs):
+        """Parse headers for all streams; returns list of FLACDecoderResult."""
+        return [d.read_header(b) for d, b in zip(self.decoders, blobs)]
+
+    def decode_streams(self, buffers, verify_md5: bool = True):
+        """Decode all streams' frame sections (bytes after the header).
+
+        Args:
+          buffers: per-stream bytes (pass None to skip a stream).
+        Returns: list of per-stream (pcm_bytes, results-dict) like
+          ``FLACDecoder.decode_stream``.
+        """
+        n = len(self.decoders)
+        assert len(buffers) == n
+        # 1) host front-end: parse every frame of every stream
+        parsed = [[] for _ in range(n)]   # per stream: list of frame tuples
+        codes = [[] for _ in range(n)]
+        for s, (dec, buffer) in enumerate(zip(self.decoders, buffers)):
+            if buffer is None:
+                continue
+            buf = np.frombuffer(buffer, np.uint8) if isinstance(buffer, (bytes, bytearray)) else buffer
+            pos = 0
+            while pos < buf.size:
+                (res, data, order, shift, wasted, use64, coeffs,
+                 bs, ca, depth) = dec._parse_frame(buf[pos:])
+                consumed = dec.get_bytes_index()
+                codes[s].append(res)
+                if res != FLACDecoderResult.SUCCESS:
+                    break
+                parsed[s].append((data[:, :bs], order, shift, wasted, coeffs, bs, ca, depth))
+                pos += consumed
+
+        # 2) bucket across ALL streams by the kernel's static shape params
+        buckets = {}
+        for s in range(n):
+            nch, m32 = self.decoders[s].num_channels, self.decoders[s]._output_32bit
+            for i, f in enumerate(parsed[s]):
+                buckets.setdefault((f[5], f[7], nch, m32), []).append((s, i))
+
+        out_chunks = [[None] * len(parsed[s]) for s in range(n)]
+        for (bs, depth, nch, m32), idxs in buckets.items():
+            fr = [parsed[s][i] for s, i in idxs]
+            packed = _frame_kernel(
+                jnp.asarray(np.stack([f[0] for f in fr])),
+                jnp.asarray(np.stack([f[4] for f in fr])),
+                jnp.asarray(np.stack([f[1] for f in fr])),
+                jnp.asarray(np.stack([f[2] for f in fr])),
+                jnp.asarray(np.stack([f[3] for f in fr])),
+                jnp.asarray(np.asarray([f[6] for f in fr], np.int32)),
+                depth=depth, nch=nch, mode32=m32)
+            packed_np = np.asarray(packed)
+            for k, (s, i) in enumerate(idxs):
+                out_chunks[s][i] = packed_np[k]
+
+        # 3) reassemble per stream (+ the same MD5 self-check)
+        results = []
+        for s, dec in enumerate(self.decoders):
+            if buffers[s] is None:
+                results.append((b"", None))
+                continue
+            pcm = b"".join(c.tobytes() for c in out_chunks[s] if c is not None)
+            md5_ok = None
+            if verify_md5 and not dec._output_32bit:
+                sig = dec.md5_signature
+                if any(sig):
+                    md5_ok = dec._md5_of_output(out_chunks[s], parsed[s]) == sig
+            total = sum(f[5] for f in parsed[s]) * dec.num_channels
+            results.append((pcm, {"frame_results": codes[s], "num_samples": total,
+                                  "md5_ok": md5_ok, "num_frames": len(parsed[s])}))
+        return results
+
+
+class BatchedMP3Decoder:
+    """Decode many independent MP3 streams in lockstep.
+
+    Each stream keeps its own Helix-equivalent front-end (sync, side info,
+    Huffman, bit reservoir are serial per stream); granule synthesis then
+    runs through ``decode_granules_batch`` with streams folded into device
+    lanes.  Streams are grouped per step by (version, samplerate index,
+    channels, FIFO parity, granules-to-run) so each group is one batched
+    dispatch; outputs are bit-identical to per-stream decoding.
+    """
+
+    def __init__(self, n_streams: int):
+        self.decoders = [MP3Decoder() for _ in range(n_streams)]
+        self.last_frame_reference_defined = [True] * n_streams
+
+    def decode(self, buffers, use_size=False):
+        """One frame per stream: returns list of (err, pcm|None, consumed).
+
+        Pass None for a stream to skip it this step (its state is kept).
+        Semantics per stream match ``MP3Decoder.decode`` exactly, including
+        MP3ClearBadFrame zero-fill and partial-granule state updates on
+        mid-frame errors (reference mp3_decoder.cpp:8677-8685, 8807-8854).
+        """
+        n = len(self.decoders)
+        assert len(buffers) == n
+        results = [None] * n
+        work = {}   # group key -> list of (stream, parse tuple, ngr_run)
+        for s, (dec, buf) in enumerate(zip(self.decoders, buffers)):
+            if buf is None:
+                continue
+            p = dec.parse_frame(buf, use_size)
+            err, huff, params, sf, frame, sfjs, consumed, clear, err_gr = p
+            ngr, nch, ngs = int(frame[6]), int(frame[5]), int(frame[7])
+            self.last_frame_reference_defined[s] = True
+            if err != MP3Error.NONE:
+                results[s] = (err, np.zeros(ngr * ngs * nch, np.int16) if clear else None,
+                              consumed)
+                ngr_run = err_gr if err_gr > 0 else 0
+            else:
+                ngr_run = ngr
+            if ngr_run > 0:
+                key = (int(frame[0]), int(frame[4]), nch, dec._vindex, ngr_run)
+                work.setdefault(key, []).append((s, p, ngr_run))
+
+        for (ver, sr_idx, nch, vindex, ngr_run), items in work.items():
+            streams = [s for s, _, _ in items]
+            huff = np.stack([p[1] for _, p, _ in items])
+            params = np.stack([p[2] for _, p, _ in items])
+            sf = np.stack([p[3] for _, p, _ in items])
+            frame = np.stack([p[4] for _, p, _ in items])
+            sfjs = np.stack([p[5] for _, p, _ in items])
+            states = []
+            for s in streams:
+                d = self.decoders[s]
+                states.append((d._over, d._prev_type, d._prev_win_switch,
+                               d._num_prev, d._vbuf))
+            pcm, new_states, rdef = mp3_pipeline.decode_granules_batch(
+                huff, params, sf, frame, sfjs, states, vindex, ngr_run)
+            new_vindex = mp3_pipeline._advance_vindex(vindex, ngr_run)
+            for k, (s, p, _) in enumerate(items):
+                d = self.decoders[s]
+                (d._over, d._prev_type, d._prev_win_switch, d._num_prev,
+                 d._vbuf) = new_states[k]
+                d._vindex = new_vindex
+                self.last_frame_reference_defined[s] = bool(rdef[k])
+                if results[s] is None:   # success path: emit PCM
+                    err, _h, _pp, _sf, fr, _sj, consumed, _c, _e = p
+                    results[s] = (MP3Error.NONE, pcm[k].reshape(-1), consumed)
+        return results

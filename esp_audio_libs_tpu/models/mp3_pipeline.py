@@ -1,10 +1,10 @@
 """MP3 device pipeline: chains dequant -> IMDCT -> subband per granule.
 
-Single-stream decode path used by ``MP3Decoder.decode`` (the Helix
-``MP3Decode`` equivalent, reference src/decode/mp3_decoder.cpp:8807-8854):
-the two channels of a granule ride as device lanes, all stages bit-exact
-int32/int64.  Batch decoding across many streams uses the same kernels with
-streams as additional lanes.
+Decode path used by ``MP3Decoder.decode`` (the Helix ``MP3Decode``
+equivalent, reference src/decode/mp3_decoder.cpp:8807-8854) and by
+``BatchedMP3Decoder`` for many streams at once: streams x channels ride as
+device lanes, all stages bit-exact int32/int64.  The single-stream API is a
+B=1 wrapper over the batched kernel path.
 """
 
 from __future__ import annotations
@@ -16,11 +16,11 @@ from ..ops import mp3dsp, mp3imdct, mp3subband
 from ..runtime.tables import mp3_tables
 from .mp3 import granule_params
 
-__all__ = ["decode_granules"]
+__all__ = ["decode_granules", "decode_granules_batch"]
 
 
 def decode_granules(huff, params, sf, frame, sfjs, state, n_granules=None):
-    """Decode all granules of one parsed frame.
+    """Decode all granules of one parsed frame (single stream).
 
     Args:
       huff: int32 [2, 2, 576]; params: [2, 2, 24]; sf: [2, 2, 62];
@@ -28,70 +28,115 @@ def decode_granules(huff, params, sf, frame, sfjs, state, n_granules=None):
       state: (over [2,288], prev_type [2], prev_win_switch [2], num_prev [2],
               vbuf [2176], vindex int)
 
-    Returns (pcm int16 [nGrans*576*nChans], new state tuple).
+    Returns (pcm int16 [nGrans*576*nChans], new state tuple, reference_defined).
     """
     over, prev_type, prev_win_switch, num_prev, vbuf, vindex = state
-    ngr, nch = int(frame[6]), int(frame[5])
+    ngr = int(frame[6])
     if n_granules is not None:
         ngr = min(ngr, n_granules)
-    ver, sr_idx = int(frame[0]), int(frame[4])
+    pcm, states, rdef = decode_granules_batch(
+        huff[None], params[None], sf[None], frame[None], sfjs[None],
+        [(over, prev_type, prev_win_switch, num_prev, vbuf)], vindex, ngr)
+    over, prev_type, prev_win_switch, num_prev, vbuf = states[0]
+    nch = int(frame[5])
+    new_vindex = _advance_vindex(vindex, ngr)
+    return (pcm[0].reshape(-1)[: ngr * 576 * nch],
+            (over, prev_type, prev_win_switch, num_prev, vbuf, new_vindex),
+            bool(rdef[0]))
+
+
+def _advance_vindex(vindex: int, ngr: int) -> int:
+    """vindex after ngr granules (it toggles parity once per granule and
+    steps deterministically — recompute via the schedule builder)."""
+    for _ in range(ngr):
+        vindex = mp3subband.build_subband_schedule(vindex, 1)["vindex_out"]
+    return vindex
+
+
+def decode_granules_batch(huff, params, sf, frame, sfjs, states, vindex, ngr):
+    """Decode ``ngr`` granules for ``B`` format-uniform streams in lockstep.
+
+    All streams must share (version, samplerate index, nChans, vindex) —
+    the batching precondition `BatchedMP3Decoder` establishes by grouping.
+    Streams fold into the device lane axis of every kernel
+    (ops/mp3dsp.py:121, ops/mp3imdct.py:334, ops/mp3subband.py:199).
+
+    Args:
+      huff: int32 [B, 2, 2, 576]; params [B, 2, 2, 24]; sf [B, 2, 2, 62];
+      frame [B, 16]; sfjs [B, 8].
+      states: list of B per-stream tuples (over [2,288], prev_type [2],
+        prev_win_switch [2], num_prev [2], vbuf [2176]).
+      vindex: shared subband FIFO index; ngr: granules to synthesize.
+
+    Returns (pcm int16 [B, ngr*576*nch], new per-stream state tuples,
+    reference_defined bool [B]).
+    """
+    B = huff.shape[0]
+    nch = int(frame[0, 5])
+    ver, sr_idx = int(frame[0, 0]), int(frame[0, 4])
     T = mp3_tables()
     cutoff = int(T["sfBandLong"][ver][sr_idx][8 if ver == 0 else 6] // 18)
 
-    over = over.copy()
-    prev_type = prev_type.copy()
-    prev_win_switch = prev_win_switch.copy()
-    num_prev = num_prev.copy()
-    vbuf_j = jnp.asarray(vbuf[None])
+    over = np.stack([s[0] for s in states]).copy()            # [B, 2, 288]
+    prev_type = np.stack([s[1] for s in states]).copy()       # [B, 2]
+    prev_win_switch = np.stack([s[2] for s in states]).copy()
+    num_prev = np.stack([s[3] for s in states]).copy()
+    vbuf_j = jnp.asarray(np.stack([s[4] for s in states]))    # [B, 2176]
 
     pcm_parts = []
-    reference_defined = True
+    reference_defined = np.ones(B, bool)
     for gr in range(ngr):
-        nzb_in = params[gr, :nch, 18].astype(np.int32)
-        hp_np = granule_params(params[gr, :nch], sf[gr, :nch], frame, sfjs, nzb_in)
-        hp = {k: jnp.asarray(np.asarray(v)[None, ...]) for k, v in hp_np.items()}
+        nzb_in = params[:, gr, :nch, 18].astype(np.int32)     # [B, nch]
+        hp_list = [granule_params(params[b, gr, :nch], sf[b, gr, :nch],
+                                  frame[b], sfjs[b], nzb_in[b]) for b in range(B)]
+        hp = {k: jnp.asarray(np.stack([h[k] for h in hp_list])) for k in hp_list[0]}
         dq = mp3dsp.dequantize_granule(
-            jnp.asarray(huff[gr, :nch][None]), jnp.asarray(nzb_in[None]), hp, nch=nch)
+            jnp.asarray(huff[:, gr, :nch]), jnp.asarray(nzb_in), hp, nch=nch)
 
-        # channels ride as lanes through the IMDCT
-        x = dq["x"][0]                    # [nch, 576]
+        # streams x channels ride as lanes through the IMDCT
+        x = dq["x"].reshape(B * nch, 576)
         # gb == 31 means the guard-bit mask was zero: the reference computes
         # CLZ(0) there (undefined in C), and the garbage gb feeds shift
         # amounts that rescale both the new samples AND the carried overlap
         # state (IMDCT36 xPrev >>= es, reference :2190-2200) — so its output
         # is nondeterministic unless everything involved is zero. Ours uses
-        # the defined lzcnt value; flag frames where the reference's
+        # the defined lzcnt value; flag streams where the reference's
         # behavior is undefined so differential tests can skip them.
-        gb_arr = np.asarray(dq["gb"]).reshape(-1)[:nch]
-        x_np = np.asarray(x)
-        for ch in range(nch):
-            if gb_arr[ch] == 31 and (np.any(x_np[ch]) or np.any(over[ch])):
-                reference_defined = False
-        nzb = dq["nzb"].reshape(-1)[:nch]
-        gb = dq["gb"].reshape(-1)[:nch]
-        block_type = jnp.asarray(params[gr, :nch, 5])
-        mixed = jnp.asarray(params[gr, :nch, 6])
+        gb_arr = np.asarray(dq["gb"]).reshape(B, -1)[:, :nch]
+        x_np = np.asarray(dq["x"])                            # [B, nch, 576]
+        for b in range(B):
+            for ch in range(nch):
+                if gb_arr[b, ch] == 31 and (np.any(x_np[b, ch]) or np.any(over[b, ch])):
+                    reference_defined[b] = False
+        nzb = dq["nzb"].reshape(B, -1)[:, :nch].reshape(-1)
+        gb = dq["gb"].reshape(B, -1)[:, :nch].reshape(-1)
+        block_type = jnp.asarray(params[:, gr, :nch, 5].reshape(-1))
+        mixed = jnp.asarray(params[:, gr, :nch, 6].reshape(-1))
         out, new_over, _, gb_out, n_out, cws = mp3imdct.imdct_granule(
-            x, jnp.asarray(over[:nch].reshape(nch, 32, 9)),
+            x, jnp.asarray(over[:, :nch].reshape(B * nch, 32, 9)),
             nzb, gb, block_type, mixed,
-            jnp.asarray(prev_type[:nch]), jnp.asarray(prev_win_switch[:nch]),
-            jnp.full((nch,), cutoff, np.int32), jnp.asarray(num_prev[:nch]))
+            jnp.asarray(prev_type[:, :nch].reshape(-1)),
+            jnp.asarray(prev_win_switch[:, :nch].reshape(-1)),
+            jnp.full((B * nch,), cutoff, np.int32),
+            jnp.asarray(num_prev[:, :nch].reshape(-1)))
 
-        over[:nch] = np.asarray(new_over).reshape(nch, 288)
-        prev_type[:nch] = params[gr, :nch, 5]
-        prev_win_switch[:nch] = np.asarray(cws)
-        num_prev[:nch] = np.asarray(n_out)
+        over[:, :nch] = np.asarray(new_over).reshape(B, nch, 288)
+        prev_type[:, :nch] = params[:, gr, :nch, 5]
+        prev_win_switch[:, :nch] = np.asarray(cws).reshape(B, nch)
+        num_prev[:, :nch] = np.asarray(n_out).reshape(B, nch)
 
         sched = mp3subband.build_subband_schedule(vindex, nch)
         pcm, vbuf_j = mp3subband.subband_granule(
-            out[None], gb_out[None], vbuf_j,
+            out.reshape(B, nch, 18, 32), gb_out.reshape(B, nch), vbuf_j,
             sched["fdct_idx"], sched["poly_idx"], sched["coef"], nch=nch)
         vindex = sched["vindex_out"]
-        pcm_parts.append(np.asarray(pcm)[0])
+        pcm_parts.append(np.asarray(pcm))                     # [B, 576*nch]
 
     if pcm_parts:
-        pcm_all = np.concatenate(pcm_parts).astype(np.int16)
+        pcm_all = np.concatenate(pcm_parts, axis=1).astype(np.int16)
     else:
-        pcm_all = np.zeros(0, np.int16)
-    return pcm_all, (over, prev_type, prev_win_switch, num_prev,
-                     np.asarray(vbuf_j)[0], vindex), reference_defined
+        pcm_all = np.zeros((B, 0), np.int16)
+    vbuf_np = np.asarray(vbuf_j)
+    new_states = [(over[b], prev_type[b], prev_win_switch[b], num_prev[b], vbuf_np[b])
+                  for b in range(B)]
+    return pcm_all, new_states, reference_defined

@@ -1,0 +1,137 @@
+"""Batched multi-stream decoders must be bit-identical to per-stream decode.
+
+The batching layer (models/batch.py) only regroups work — frames from many
+streams fold into the lane axis of the same kernels the single-stream paths
+use — so every output byte must match decoding each stream alone.  This is
+the data-parallel serving layer the reference doesn't have (SURVEY.md §2
+parallelism table: reference is one-instance-per-stream, caller-parallel).
+"""
+
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools"))
+
+from esp_audio_libs_tpu.models.batch import BatchedFLACDecoder, BatchedMP3Decoder
+from esp_audio_libs_tpu.models.flac import FLACDecoder
+from esp_audio_libs_tpu.models.mp3 import MP3Decoder
+from esp_audio_libs_tpu.utils.errors import FLACDecoderResult
+
+
+def _flac_corpus():
+    from flacgen import SubframePlan, make_flac
+
+    cfgs = [
+        dict(rng_seed=21, depth=16, channels=2, block_size=1024, n_frames=3,
+             stereo_modes=["ms", "ls", None],
+             plans=[[SubframePlan("lpc", order=8), SubframePlan("fixed", order=2)]] * 3),
+        dict(rng_seed=22, depth=16, channels=2, block_size=1024, n_frames=3,
+             plans=[[SubframePlan("lpc", order=4), SubframePlan("lpc", order=12)]] * 3),
+        dict(rng_seed=23, depth=24, channels=1, block_size=512, n_frames=2,
+             plans=[[SubframePlan("lpc", order=6)], [SubframePlan("verbatim")]]),
+        dict(rng_seed=24, depth=8, channels=2, block_size=1024, n_frames=2,
+             plans=[[SubframePlan("constant"), SubframePlan("fixed", order=1)]] * 2),
+    ]
+    return [make_flac(**c)[0] for c in cfgs]
+
+
+def test_batched_flac_matches_single():
+    blobs = _flac_corpus()
+    bat = BatchedFLACDecoder(len(blobs))
+    hdrs = bat.read_headers(blobs)
+    assert all(h == FLACDecoderResult.SUCCESS for h in hdrs)
+    results = bat.decode_streams(
+        [b[d.get_bytes_index():] for b, d in zip(blobs, bat.decoders)])
+
+    for blob, (pcm, info) in zip(blobs, results):
+        ref = FLACDecoder()
+        assert ref.read_header(blob) == FLACDecoderResult.SUCCESS
+        ref_pcm, ref_info = ref.decode_stream(blob[ref.get_bytes_index():])
+        assert pcm == ref_pcm
+        assert info["md5_ok"] is True
+        assert info["num_samples"] == ref_info["num_samples"]
+        assert info["frame_results"] == ref_info["frame_results"]
+
+
+def test_batched_flac_skip_stream():
+    blobs = _flac_corpus()[:2]
+    bat = BatchedFLACDecoder(2)
+    bat.read_headers(blobs)
+    results = bat.decode_streams([blobs[0][bat.decoders[0].get_bytes_index():], None])
+    assert results[1] == (b"", None)
+    assert len(results[0][0]) > 0 and results[0][1]["md5_ok"] is True
+
+
+def _mp3_header(ver_bits=3, bitrate_idx=9, sr_idx=0, mode=0, mode_ext=0):
+    b1 = 0xE0 | (ver_bits << 3) | (1 << 1) | 1
+    b2 = (bitrate_idx << 4) | (sr_idx << 2)
+    b3 = (mode << 6) | (mode_ext << 4)
+    return bytes([0xFF, b1, b2, b3])
+
+
+def _mp3_stream(cfg, seed, n_frames=3):
+    from esp_audio_libs_tpu.runtime.tables import mp3_tables
+
+    T = mp3_tables()
+    ver = {3: 0, 2: 1, 0: 2}[cfg["ver_bits"]]
+    total = int(T["slotTab"][ver][cfg["sr_idx"]][cfg["bitrate_idx"]])
+    hdr = _mp3_header(**cfg)
+    rng = np.random.default_rng(seed)
+    stream = b""
+    for _ in range(n_frames):
+        body = bytearray(rng.integers(0, 256, total - 4, dtype=np.uint8).tobytes())
+        body[0] = 0                      # mainDataBegin = 0 (self-contained)
+        if cfg["ver_bits"] == 3:
+            body[1] &= 0x7F
+        stream += hdr + bytes(body)
+    return stream, n_frames
+
+
+MP3_CFGS = [
+    dict(ver_bits=3, bitrate_idx=9, sr_idx=0, mode=3),                # mono
+    dict(ver_bits=3, bitrate_idx=11, sr_idx=0, mode=0),               # stereo
+    dict(ver_bits=3, bitrate_idx=11, sr_idx=1, mode=1, mode_ext=2),   # joint ms
+    dict(ver_bits=2, bitrate_idx=8, sr_idx=0, mode=0),                # MPEG2
+]
+
+
+@pytest.mark.parametrize("homogeneous", [True, False])
+def test_batched_mp3_matches_single(homogeneous):
+    cfgs = [MP3_CFGS[1]] * 4 if homogeneous else MP3_CFGS
+    streams = [_mp3_stream(c, seed=40 + i) for i, c in enumerate(cfgs)]
+    n = len(streams)
+
+    bat = BatchedMP3Decoder(n)
+    singles = [MP3Decoder() for _ in range(n)]
+    pos = [0] * n
+    for step in range(3):
+        bufs = [s[0][p:] for (s, p) in zip(streams, pos)]
+        got = bat.decode(bufs)
+        for i in range(n):
+            err_s, pcm_s, con_s = singles[i].decode(bufs[i])
+            err_b, pcm_b, con_b = got[i]
+            assert err_b == err_s and con_b == con_s, f"stream {i} step {step}"
+            if pcm_s is None:
+                assert pcm_b is None
+            else:
+                np.testing.assert_array_equal(np.asarray(pcm_b), pcm_s,
+                                              err_msg=f"stream {i} step {step}")
+            assert (bat.last_frame_reference_defined[i]
+                    == singles[i].last_frame_reference_defined)
+            pos[i] += con_s
+
+
+def test_batched_mp3_skip_stream():
+    from esp_audio_libs_tpu.runtime.tables import mp3_tables
+
+    cfg = MP3_CFGS[0]
+    total = int(mp3_tables()["slotTab"][0][cfg["sr_idx"]][cfg["bitrate_idx"]])
+    stream = _mp3_header(**cfg) + bytes(total - 4)   # silence frame
+    bat = BatchedMP3Decoder(2)
+    got = bat.decode([stream, None])
+    assert got[1] is None
+    assert got[0][0] == 0 and got[0][1] is not None
+    assert not np.any(np.asarray(got[0][1]))
