@@ -34,7 +34,8 @@ import numpy as np
 from ..ops import biquad as bq
 from ..ops import quantization as q
 from ..ops import sinc
-from ..ops.polyphase import polyphase_apply
+from ..ops.polyphase import (banded_K, banded_weights_device, polyphase_apply,
+                             polyphase_banded)
 from ..runtime.phase_grid import (
     HISTORY_MARGIN,
     PhaseState,
@@ -177,9 +178,26 @@ class Resampler:
 
             sinc.validate_params(taps, config.number_of_filters)
             self.bank_flags = bank_flags
-            self.filters = jnp.asarray(
-                design_filterbank_native(taps, config.number_of_filters, float(bank_lowpass), bank_flags))
+            filters_np = design_filterbank_native(
+                taps, config.number_of_filters, float(bank_lowpass), bank_flags)
+            self.filters = jnp.asarray(filters_np)
             self.hist_len = taps + HISTORY_MARGIN
+            self._fold_offset = 0
+            if not self.exact:
+                # Fast mode: compose the pre-filter biquad cascade into the
+                # filterbank (LTI), so the polyphase matmul does the
+                # lowpassing for free and the biquad stages vanish. The
+                # raw-input history must then reach back by the extra IR
+                # length. Banded weights build ON DEVICE per chunk from the
+                # folded bank (host may be one contended core; f32 phase
+                # orbits never repeat, so host caches cannot converge).
+                self._fast_filters_np = np.asarray(filters_np, np.float32)
+                self._fast_direct = None
+                if self.pre_filter and self._fir_len is not None:
+                    (self._fast_filters_np, self._fast_direct,
+                     self._fold_offset) = bq.fold_biquad_into_filterbank(
+                        filters_np, self.lowpass_coeffs, self._fir_len, half=taps // 2)
+                self.hist_len = taps + HISTORY_MARGIN + self._fold_offset
             self.phase = PhaseState.initial(taps)
             self.phase.advance(taps / 2.0)
             self.history = jnp.zeros((self.batch, self.channels, self.hist_len), jnp.float32)
@@ -251,13 +269,13 @@ class Resampler:
                 out, jnp.int32(grid.output_generated), out_bits=self.output_bits,
                 out_max=grid.output_generated, ch=ch)
         else:
-            fn = self._get_chunk_fn(frames_to_process, output_frames_free)
+            fn = self._get_fast_fn(frames_to_process, output_frames_free)
             packed, clipped, self.history, new_bq = fn(
                 data, factor, self.history,
-                tuple(self._biquad_state) if (self.pre_filter or self.post_filter) else (),
-                *grid_args,
+                tuple(self._biquad_state) if self.post_filter else (),
+                *self._pad_grid(grid, output_frames_free),
                 jnp.int32(grid.input_used), jnp.int32(grid.output_generated))
-            if self.pre_filter or self.post_filter:
+            if self.post_filter:
                 self._biquad_state = list(new_bq)
 
         bps_out = q.bytes_per_sample(self.output_bits)
@@ -268,6 +286,74 @@ class Resampler:
             predicted_frames_used=frames_to_process,
             clipped_samples=np.asarray(clipped),
         )
+
+    # -------------------------------------------------- fast-path weights
+    def _pad_grid(self, grid, out_len: int, tile: int = 128):
+        """Ship-ready grid arrays, padded to a tile multiple (tiny: ~60KB).
+
+        All heavy weight construction happens ON DEVICE
+        (ops/polyphase.banded_weights_device): this host can be a single
+        contended core, and phase grids never repeat (f32 orbit), so any
+        per-call host build or cache would dominate the steady state.
+        """
+        T = -(-out_len // tile) * tile
+        win0x = np.zeros(T, np.int32)
+        win0x[:out_len] = grid.win0[:out_len] + (self.hist_len - self._fold_offset)
+        win0x[out_len:] = win0x[out_len - 1] if out_len else 0
+        pad = lambda a: np.pad(a[:out_len], (0, T - out_len))
+        return (jnp.asarray(win0x), jnp.asarray(pad(grid.idx1)),
+                jnp.asarray(pad(grid.idx2)), jnp.asarray(pad(grid.weight)),
+                jnp.asarray(pad(grid.mode.astype(np.int32))))
+
+    def _fast_consts(self):
+        taps_p = self._fast_filters_np.shape[1]
+        direct = self._fast_direct
+        if direct is None:
+            direct = np.zeros(taps_p, np.float32)
+            direct[self.config.number_of_taps // 2 - 1] = 1.0
+        return (jnp.asarray(self._fast_filters_np), jnp.asarray(direct),
+                taps_p, banded_K(float(self.sample_ratio), taps_p))
+
+    def _get_fast_fn(self, frames: int, out_max: int):
+        key = ("fast", frames, out_max)
+        if key not in self._chunk_fns:
+            ch = self.channels
+            in_bits, out_bits = self.input_bits, self.output_bits
+            post = self.post_filter
+            hist_len = self.hist_len
+            coeffs = self._coeffs_dev if post else None
+            fir_len = self._fir_len
+            filt_dev, direct_dev, taps_p, K = self._fast_consts()
+            L = max(hist_len + frames, K)
+
+            @jax.jit
+            def fn(data, factor, hist, bq_states, win0x, idx1, idx2, weight,
+                   mode, used, gen):
+                B = data.shape[0]
+                x = q.int_to_float(q.unpack_pcm(data, in_bits), factor)
+                xc = x.reshape(B, frames, ch).transpose(0, 2, 1)
+                xext = jnp.concatenate([hist, xc], axis=-1)
+                new_hist = jax.lax.dynamic_slice_in_dim(xext, used, hist_len, axis=-1)
+                if L > hist_len + frames:
+                    xext = jnp.pad(xext, [(0, 0), (0, 0), (0, L - hist_len - frames)])
+                Wt, starts = banded_weights_device(
+                    filt_dev, direct_dev, win0x, idx1, idx2, weight, mode, gen,
+                    K=K, taps_p=taps_p, L=L)
+                out = polyphase_banded(xext, Wt, starts, T=out_max)
+                new_bq = list(bq_states)
+                if post:
+                    for stage in range(2):
+                        out, new_bq[stage] = bq.biquad_apply(
+                            out, coeffs, bq_states[stage], exact=False,
+                            fir_len=fir_len, valid_len=gen)
+                y = out.transpose(0, 2, 1).reshape(B, out_max * ch)
+                samples, clipped = q.float_to_int(y, out_bits)
+                valid = (jnp.arange(out_max * ch, dtype=jnp.int32) < gen * ch)
+                per_stream = jnp.sum((clipped & valid).astype(jnp.uint32), axis=-1)
+                return q.pack_pcm(samples, out_bits), per_stream, new_hist, tuple(new_bq)
+
+            self._chunk_fns[key] = fn
+        return self._chunk_fns[key]
 
     # ------------------------------------------------------------ streaming
     def resample_stream(self, input_bytes, chunk_frames: int, num_chunks: int,
@@ -302,12 +388,27 @@ class Resampler:
             assert g.input_used == chunk_frames, (g.input_used, chunk_frames)
             grids.append(g)
 
-        stack = lambda field: jnp.asarray(np.stack([getattr(g, field) for g in grids]))
         gens = [g.output_generated for g in grids]
         bps_in = q.bytes_per_sample(self.input_bits)
         factor = q.gain_factor(self.input_bits, gain_db)
         data = jnp.asarray(input_bytes)[:, : num_chunks * chunk_frames * ch * bps_in]
 
+        if not self.exact:
+            # fast path: only the compact grid arrays ship (~60KB/chunk);
+            # weights build ON DEVICE per chunk and the scan is pure
+            # slice+MXU work (no scatter, no biquad stages — folded in).
+            padded = [self._pad_grid(g, out_max) for g in grids]
+            stacks = tuple(jnp.stack([p[k] for p in padded]) for k in range(5))
+            fn = self._get_fast_stream_fn(chunk_frames, out_max, num_chunks)
+            packed, clipped, self.history, new_bq = fn(
+                data, factor, self.history,
+                tuple(self._biquad_state) if self.post_filter else (),
+                *stacks, jnp.asarray(np.asarray(gens, np.int32)))
+            if self.post_filter:
+                self._biquad_state = list(new_bq)
+            return packed, gens, clipped
+
+        stack = lambda field: jnp.asarray(np.stack([getattr(g, field) for g in grids]))
         fn = self._get_stream_fn(chunk_frames, out_max, num_chunks)
         packed, clipped, self.history, new_bq = fn(
             data, factor, self.history,
@@ -318,6 +419,60 @@ class Resampler:
         if self.pre_filter or self.post_filter:
             self._biquad_state = list(new_bq)
         return packed, gens, clipped
+
+    def _get_fast_stream_fn(self, frames: int, out_max: int, num_chunks: int):
+        key = ("faststream", frames, out_max, num_chunks)
+        if key not in self._chunk_fns:
+            ch = self.channels
+            in_bits, out_bits = self.input_bits, self.output_bits
+            post = self.post_filter
+            hist_len = self.hist_len
+            coeffs = self._coeffs_dev if post else None
+            fir_len = self._fir_len
+            bps_in = q.bytes_per_sample(in_bits)
+            filt_dev, direct_dev, taps_p, K = self._fast_consts()
+            L = max(hist_len + frames, K)
+
+            @jax.jit
+            def fn(data, factor, hist, bq_states, win0xs, idx1s, idx2s,
+                   weights, modes, gens):
+                B = data.shape[0]
+                chunk_bytes = frames * ch * bps_in
+
+                def body(carry, xs):
+                    i, hist, bqs = carry
+                    win0x, idx1, idx2, weight, mode, gen = xs
+                    chunk = jax.lax.dynamic_slice_in_dim(
+                        data, i * chunk_bytes, chunk_bytes, axis=1)
+                    x = q.int_to_float(q.unpack_pcm(chunk, in_bits), factor)
+                    xc = x.reshape(B, frames, ch).transpose(0, 2, 1)
+                    xext = jnp.concatenate([hist, xc], axis=-1)
+                    new_hist = xext[..., -hist_len:]  # all inputs consumed
+                    if L > hist_len + frames:
+                        xext = jnp.pad(xext, [(0, 0), (0, 0), (0, L - hist_len - frames)])
+                    Wt, st = banded_weights_device(
+                        filt_dev, direct_dev, win0x, idx1, idx2, weight, mode,
+                        gen, K=K, taps_p=taps_p, L=L)
+                    out = polyphase_banded(xext, Wt, st, T=out_max)
+                    new_bq = list(bqs)
+                    if post:
+                        for stage in range(2):
+                            out, new_bq[stage] = bq.biquad_apply(
+                                out, coeffs, bqs[stage], exact=False,
+                                fir_len=fir_len, valid_len=gen)
+                    y = out.transpose(0, 2, 1).reshape(B, out_max * ch)
+                    samples, clip = q.float_to_int(y, out_bits)
+                    valid = (jnp.arange(out_max * ch, dtype=jnp.int32) < gen * ch)
+                    per_stream = jnp.sum((clip & valid).astype(jnp.uint32), axis=-1)
+                    return (i + 1, new_hist, tuple(new_bq)), (q.pack_pcm(samples, out_bits), per_stream)
+
+                init = (jnp.int32(0), hist, bq_states)
+                (_, new_hist, new_bq), (packed, clipped) = jax.lax.scan(
+                    body, init, (win0xs, idx1s, idx2s, weights, modes, gens))
+                return packed, clipped, new_hist, new_bq
+
+            self._chunk_fns[key] = fn
+        return self._chunk_fns[key]
 
     def _get_stream_fn(self, frames: int, out_max: int, num_chunks: int):
         key = ("stream", frames, out_max, num_chunks)

@@ -29,6 +29,8 @@ __all__ = [
     "biquad_init",
     "biquad_apply",
     "BiquadState",
+    "biquad_impulse",
+    "fold_biquad_into_filterbank",
 ]
 
 
@@ -97,6 +99,56 @@ def fir_len_for(coeffs: np.ndarray, tol: float = 1e-9, cap: int = 2048) -> int |
     k = int(np.ceil(np.log(tol) / np.log(r))) if r > tol else 64
     k = ((max(k, 64) + 127) // 128) * 128
     return k if k <= cap else None
+
+
+def biquad_impulse(coeffs, K: int) -> np.ndarray:
+    """f64 impulse response of the DF-I biquad, truncated at K taps.
+
+    Coefficients are first rounded to f32 (the reference stores them as
+    float, include/art_biquad.h) then the recurrence runs in f64 — more
+    accurate than the reference's f32 per-sample math, which is fine for the
+    tolerance-mode fast path this feeds.
+    """
+    a0, a1, a2, b1, b2 = (float(np.float32(c)) for c in np.asarray(coeffs).reshape(-1)[:5])
+    h = np.zeros(K, np.float64)
+    x1 = x2 = y1 = y2 = 0.0
+    xin = 1.0
+    for i in range(K):
+        y = a0 * xin + a1 * x1 + a2 * x2 - b1 * y1 - b2 * y2
+        h[i] = y
+        x2, x1, xin = x1, xin, 0.0
+        y2, y1 = y1, y
+    return h
+
+
+def fold_biquad_into_filterbank(filters_np, coeffs, fir_len: int, *, half: int,
+                                stages: int = 2):
+    """Compose a pre-filter biquad cascade with the sinc filterbank (LTI).
+
+    The wrapper's pre-lowpass (2x the same biquad, resampler.cpp:126-133) and
+    the windowed-sinc filter are both LTI, so their cascade is one longer FIR
+    per filterbank row: convolving the truncated biquad impulse response into
+    every row lets the fast path skip the biquad stages entirely — the
+    polyphase matmul does the filtering for free (its FLOPs don't grow: the
+    banded tiles just get a wider band).
+
+    out[t] = sum_j h[j] x[n-j] feeding sum_k f[k] x'[win0+k] collapses to
+    sum_m g[m] x[win0 - (Lh-1) + m] with g = convolve(f, reversed(h)).
+
+    Returns (folded f32 ``[F+1, taps + Lh - 1]``, direct_row f32 — the mode-0
+    "copy" output must itself be lowpassed — and the window-start offset
+    Lh - 1 to subtract from win0 / add to the history length).
+    """
+    h1 = biquad_impulse(coeffs, fir_len)
+    h = h1
+    for _ in range(stages - 1):
+        h = np.convolve(h, h1)
+    Lh = len(h)
+    rows = np.asarray(filters_np, np.float64)
+    folded = np.stack([np.convolve(r, h[::-1]) for r in rows]).astype(np.float32)
+    direct = np.zeros(folded.shape[1], np.float32)
+    direct[half - 1: half - 1 + Lh] = h[::-1].astype(np.float32)
+    return folded, direct, Lh - 1
 
 
 @functools.partial(jax.jit, static_argnames=("exact", "first_order", "fir_len"))

@@ -90,6 +90,11 @@ def unpack_pcm(data: jax.Array, bits: int) -> jax.Array:
     *lead, total = data.shape
     if total % nbytes:
         raise ValueError(f"trailing dim {total} not divisible by {nbytes} bytes/sample")
+    if nbytes == 2:
+        # LE int16 is exactly a bit reinterpretation: one bitcast instead of
+        # per-byte shifts (identical values, ~memcpy speed on TPU)
+        return jax.lax.bitcast_convert_type(
+            data.reshape(*lead, total // 2, 2), jnp.int16).astype(jnp.int32)
     b = data.reshape(*lead, total // nbytes, nbytes).astype(jnp.int32)
 
     def sext8(v):  # (int32_t)(signed char) cast
@@ -97,8 +102,6 @@ def unpack_pcm(data: jax.Array, bits: int) -> jax.Array:
 
     if nbytes == 1:
         return b[..., 0] - 128
-    if nbytes == 2:
-        return ((b[..., 0] + (b[..., 1] << 8)) << 16) >> 16
     if nbytes == 3:
         return b[..., 0] + (b[..., 1] << 8) + (sext8(b[..., 2]) << 16)
     # nbytes == 4: the reference sign-extends BOTH byte 2 and byte 3
@@ -120,6 +123,14 @@ def pack_pcm(samples: jax.Array, bits: int) -> jax.Array:
     produced by :func:`float_to_int`.
     """
     nbytes = bytes_per_sample(bits)
+    *lead_s, n_s = samples.shape
+    if nbytes == 2:
+        # truncate-to-int16 + bitcast emits the identical low two LE bytes
+        return jax.lax.bitcast_convert_type(
+            samples.astype(jnp.int16), jnp.uint8).reshape(*lead_s, n_s * 2)
+    if nbytes == 4:
+        return jax.lax.bitcast_convert_type(
+            samples.astype(jnp.int32), jnp.uint8).reshape(*lead_s, n_s * 4)
     parts = [((samples >> (8 * k)) & 0xFF).astype(jnp.uint8) for k in range(nbytes)]
     stacked = jnp.stack(parts, axis=-1)  # [..., n, B]
     *lead, n, _ = stacked.shape

@@ -1,0 +1,169 @@
+"""Block-banded fast polyphase: equivalence with the dense fast path.
+
+The banded path (ops/polyphase.py build_banded_weights + polyphase_banded)
+is a schedule compression of the scatter+matmul fast path: same f32 lerp
+folding, same HIGHEST-precision contraction per output column — outputs must
+match the dense formulation to f32 association-order tolerance and the exact
+path closely.
+"""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from esp_audio_libs_tpu.ops import biquad as bq
+from esp_audio_libs_tpu.ops import sinc
+from esp_audio_libs_tpu.ops.polyphase import (
+    banded_K, banded_weights_device, build_banded_weights, polyphase_apply,
+    polyphase_banded)
+from esp_audio_libs_tpu.runtime.native import design_filterbank_native
+from esp_audio_libs_tpu.runtime.phase_grid import PhaseState, phase_grid
+
+
+def _grid(taps, nf, ratio, frames, out_free, flags):
+    st = PhaseState.initial(taps)
+    st.advance(taps / 2.0)
+    return phase_grid(st, nf, flags, np.float32(ratio), frames, out_free)
+
+
+@pytest.mark.parametrize("ratio,frames", [(16000 / 44100, 700), (48000 / 44100, 400)])
+def test_banded_matches_dense_fast(ratio, frames):
+    taps, nf = 64, 32
+    flags = sinc.SUBSAMPLE_INTERPOLATE | sinc.INCLUDE_LOWPASS
+    bank = design_filterbank_native(taps, nf, float(np.float32(min(ratio, 1.0) * 0.9)), flags)
+    out_free = int(frames * ratio) + 8
+    g = _grid(taps, nf, ratio, frames, out_free, flags)
+
+    hist = taps + 8
+    rng = np.random.default_rng(3)
+    xext = rng.standard_normal((3, 2, hist + frames)).astype(np.float32)
+
+    dense = np.asarray(polyphase_apply(
+        jnp.asarray(xext), jnp.asarray(bank), jnp.asarray(g.win0 + hist),
+        jnp.asarray(g.idx1), jnp.asarray(g.idx2), jnp.asarray(g.weight),
+        jnp.asarray(g.mode.astype(np.int32)), half=taps // 2, exact=False))
+
+    Wt, starts = build_banded_weights(
+        np.asarray(bank, np.float32), g.win0.astype(np.int64) + hist,
+        g.idx1, g.idx2, g.weight, g.mode, half=taps // 2,
+        valid_len=g.output_generated, L=xext.shape[-1])
+    banded = np.asarray(polyphase_banded(
+        jnp.asarray(xext), jnp.asarray(Wt), jnp.asarray(starts), T=out_free))
+
+    gen = g.output_generated
+    np.testing.assert_allclose(banded[..., :gen], dense[..., :gen],
+                               rtol=2e-6, atol=2e-6)
+    assert not np.isnan(banded).any()
+    # padded slots beyond the generated count are zero rows, not garbage
+    np.testing.assert_array_equal(banded[..., gen:], 0.0)
+
+
+@pytest.mark.parametrize("ratio,frames", [(16000 / 44100, 700), (48000 / 44100, 400)])
+def test_device_builder_matches_host(ratio, frames):
+    """banded_weights_device (barrel-shifter, in-jit) == the host builder,
+    compared at the applied-output level (static K differs by padding)."""
+    taps, nf = 64, 32
+    flags = sinc.SUBSAMPLE_INTERPOLATE | sinc.INCLUDE_LOWPASS
+    bank = np.asarray(design_filterbank_native(
+        taps, nf, float(np.float32(min(ratio, 1.0) * 0.9)), flags), np.float32)
+    out_free = int(frames * ratio) + 8
+    g = _grid(taps, nf, ratio, frames, out_free, flags)
+    hist = taps + 8
+    L0 = hist + frames
+    rng = np.random.default_rng(7)
+    xext = rng.standard_normal((2, 2, L0)).astype(np.float32)
+
+    Wt_h, st_h = build_banded_weights(
+        bank, g.win0.astype(np.int64) + hist, g.idx1, g.idx2, g.weight, g.mode,
+        half=taps // 2, valid_len=g.output_generated, L=L0)
+    ref = np.asarray(polyphase_banded(
+        jnp.asarray(xext), jnp.asarray(Wt_h), jnp.asarray(st_h), T=out_free))
+
+    # device path: padded grid arrays, static K, xext padded to >= K
+    tile = 128
+    T = -(-out_free // tile) * tile
+    win0x = np.zeros(T, np.int32)
+    win0x[:out_free] = g.win0 + hist
+    win0x[out_free:] = win0x[out_free - 1]
+    pad = lambda a: np.pad(a[:out_free], (0, T - out_free))
+    K = banded_K(ratio, taps)
+    L = max(L0, K)
+    xp = np.pad(xext, [(0, 0), (0, 0), (0, L - L0)])
+    direct = np.zeros(taps, np.float32)
+    direct[taps // 2 - 1] = 1.0
+
+    @jax.jit
+    def run(xp, win0x, idx1, idx2, weight, mode, gen):
+        Wt, st = banded_weights_device(
+            jnp.asarray(bank), jnp.asarray(direct), win0x, idx1, idx2,
+            weight, mode, gen, K=K, taps_p=taps, L=L)
+        return polyphase_banded(xp, Wt, st, T=out_free)
+
+    got = np.asarray(run(jnp.asarray(xp), jnp.asarray(win0x),
+                         jnp.asarray(pad(g.idx1)), jnp.asarray(pad(g.idx2)),
+                         jnp.asarray(pad(g.weight)),
+                         jnp.asarray(pad(g.mode.astype(np.int32))),
+                         jnp.int32(g.output_generated)))
+    gen = g.output_generated
+    np.testing.assert_allclose(got[..., :gen], ref[..., :gen], rtol=2e-6, atol=2e-6)
+    np.testing.assert_array_equal(got[..., gen:], 0.0)
+
+
+def test_folded_biquad_matches_cascade():
+    """Biquad-folded filterbank == running the biquad cascade then resampling."""
+    taps, nf = 64, 32
+    ratio = 16000 / 44100
+    flags = sinc.SUBSAMPLE_INTERPOLATE | sinc.INCLUDE_LOWPASS
+    bank = design_filterbank_native(taps, nf, float(np.float32(ratio * 0.9)), flags)
+    coeffs = bq.biquad_init(bq.biquad_lowpass(float(np.float32(ratio * 0.45))), 1.0)
+    fir_len = bq.fir_len_for(coeffs)
+    folded, direct_row, off = bq.fold_biquad_into_filterbank(
+        bank, coeffs, fir_len, half=taps // 2)
+    assert folded.shape == (nf + 1, taps + 2 * fir_len - 2)
+
+    frames = 600
+    out_free = int(frames * ratio) + 8
+    g = _grid(taps, nf, ratio, frames, out_free, flags)
+    hist = taps + 8 + off
+    rng = np.random.default_rng(11)
+    xext = rng.standard_normal((2, 2, hist + frames)).astype(np.float32)
+
+    # reference: filter the whole padded signal with the biquad cascade
+    # (f64, zero initial state far in the past == zero-padded history here),
+    # then dense polyphase with the ORIGINAL bank
+    xf = xext.astype(np.float64)
+    a0, a1, a2, b1, b2 = (float(np.float32(c)) for c in coeffs)
+    for _ in range(2):
+        y = np.zeros_like(xf)
+        x1 = x2 = y1 = y2 = 0.0
+        for lane in range(xf.shape[0] * xf.shape[1]):
+            i, j = divmod(lane, xf.shape[1])
+            x1 = x2 = y1 = y2 = 0.0
+            for t in range(xf.shape[2]):
+                v = a0 * xf[i, j, t] + a1 * x1 + a2 * x2 - b1 * y1 - b2 * y2
+                x2, x1 = x1, xf[i, j, t]
+                y2, y1 = y1, v
+                y[i, j, t] = v
+        xf = y
+    ref = np.zeros((2, 2, g.output_generated))
+    for t in range(g.output_generated):
+        s = g.win0[t] + hist
+        f1 = np.asarray(bank)[g.idx1[t]].astype(np.float64)
+        f2 = np.asarray(bank)[g.idx2[t]].astype(np.float64)
+        w = float(g.weight[t])
+        if g.mode[t] == 0:
+            ref[..., t] = xf[..., s + taps // 2 - 1]
+        else:
+            row = f2 * w + f1 * (1 - w) if g.mode[t] == 2 else f1
+            ref[..., t] = (xf[..., s:s + taps] * row).sum(-1)
+
+    win0x = g.win0.astype(np.int64) + (hist - off)
+    Wt, starts = build_banded_weights(
+        folded, win0x, g.idx1, g.idx2, g.weight, g.mode, half=taps // 2,
+        direct_row=direct_row, valid_len=g.output_generated, L=xext.shape[-1])
+    got = np.asarray(polyphase_banded(
+        jnp.asarray(xext), jnp.asarray(Wt), jnp.asarray(starts), T=out_free))
+
+    np.testing.assert_allclose(got[..., :g.output_generated], ref,
+                               rtol=5e-5, atol=5e-5)
