@@ -230,6 +230,18 @@ class MP3Decoder:
                 sf.reshape(2, 2, 62), frame, sfjs, consumed.value, bool(clear.value),
                 err_gr.value)
 
+    def get_last_frame_info(self):
+        """MP3GetLastFrameInfo equivalent (reference :8613-8634): info from
+        the most recently parsed frame's stored state; all-zero fields before
+        any successful Layer-III header parse (like the reference)."""
+        info = np.zeros(7, np.int32)
+        self._lib.eal_mp3_last_frame_info(self._ctx, info.ctypes.data_as(_i32p))
+        return {
+            "bitrate": int(info[0]), "nChans": int(info[1]), "samprate": int(info[2]),
+            "bitsPerSample": int(info[3]), "outputSamps": int(info[4]),
+            "layer": int(info[5]), "version": int(info[6]),
+        }
+
     def get_next_frame_info(self, buf: bytes):
         b = np.frombuffer(buf, np.uint8)
         info = np.zeros(7, np.int32)

@@ -80,6 +80,8 @@ def host_lib() -> C.CDLL:
         i32p, i32p, i32p, i32p, i32p, i32p, i32p, i32p]
     lib.eal_mp3_frame_info.restype = C.c_int
     lib.eal_mp3_frame_info.argtypes = [C.c_void_p, u8p, i32p]
+    lib.eal_mp3_last_frame_info.restype = C.c_int
+    lib.eal_mp3_last_frame_info.argtypes = [C.c_void_p, i32p]
     return lib
 
 

@@ -856,7 +856,26 @@ int eal_mp3_parse_frame(void *hctx, const uint8_t *inbuf, int bytesLeft, int use
   return ERR_NONE;
 }
 
-// header-only queries (MP3GetNextFrameInfo / MP3GetLastFrameInfo analogs)
+// MP3GetLastFrameInfo analog (reference :8613-8634): report the decoder's
+// CURRENT stored header state (from the most recent parse), no re-parsing.
+// Zero-fills everything when layer != 3, exactly like the reference.
+int eal_mp3_last_frame_info(void *hctx, int32_t *info7) {
+  Mp3Frontend *fe = (Mp3Frontend *) hctx;
+  if (fe->layer != 3) {
+    for (int i = 0; i < 7; i++) info7[i] = 0;
+    return ERR_NONE;
+  }
+  info7[0] = fe->bitrate;
+  info7[1] = fe->nChans;
+  info7[2] = fe->samprate;
+  info7[3] = 16;
+  info7[4] = fe->nChans * eal_samplesPerFrameTab[fe->ver][fe->layer - 1];
+  info7[5] = fe->layer;
+  info7[6] = fe->ver;
+  return ERR_NONE;
+}
+
+// header-only queries (MP3GetNextFrameInfo analog)
 int eal_mp3_frame_info(void *hctx, const uint8_t *buf, int32_t *info7) {
   Mp3Frontend *fe = (Mp3Frontend *) hctx;
   if (fe->unpack_frame_header(buf) < 0 || fe->layer != 3) return ERR_INVALID_FRAMEHEADER;

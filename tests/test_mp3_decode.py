@@ -163,6 +163,35 @@ def test_invalid_header(oracle):
     assert got[0][0] == ref[0][0] == int(MP3Error.INVALID_FRAMEHEADER)
 
 
+def test_get_last_frame_info(oracle):
+    """MP3GetLastFrameInfo parity: zeros before any parse, stored header
+    state after decode (reference mp3_decoder.cpp:8613-8634)."""
+    dec = MP3Decoder()
+    h = oracle.lib.ref_mp3_init()
+    try:
+        ref_info = np.zeros(7, np.int32)
+        oracle.lib.ref_mp3_get_last_frame_info(h, ref_info.ctypes.data_as(C.POINTER(C.c_int32)))
+        got = dec.get_last_frame_info()
+        assert list(got.values()) == list(int(x) for x in ref_info)  # all zeros
+
+        cfg = dict(ver_bits=3, bitrate_idx=9, sr_idx=0, mode=3)
+        total, _ = frame_sizes(cfg["ver_bits"], cfg["bitrate_idx"], cfg["sr_idx"], cfg["mode"])
+        stream = make_header(**cfg) + bytes(total - 4)
+        buf = np.frombuffer(stream, np.uint8)
+        pcm = np.zeros(1152 * 2, np.int16)
+        consumed = C.c_int(0)
+        oracle.lib.ref_mp3_decode(h, buf.ctypes.data_as(C.POINTER(C.c_uint8)), buf.size,
+                                  pcm.ctypes.data_as(C.POINTER(C.c_int16)), 0, C.byref(consumed))
+        dec.decode(stream)
+        oracle.lib.ref_mp3_get_last_frame_info(h, ref_info.ctypes.data_as(C.POINTER(C.c_int32)))
+        got = dec.get_last_frame_info()
+        assert got["bitrate"] == ref_info[0] and got["nChans"] == ref_info[1]
+        assert got["samprate"] == ref_info[2] and got["outputSamps"] == ref_info[4]
+        assert got["layer"] == ref_info[5] and got["version"] == ref_info[6]
+    finally:
+        oracle.lib.ref_mp3_free(h)
+
+
 def test_find_sync_and_frame_info(oracle):
     hdr = make_header(ver_bits=3, bitrate_idx=9, sr_idx=0, mode=3)
     blob = b"\x12\x34" * 10 + hdr + bytes(100)
