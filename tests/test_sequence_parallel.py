@@ -1,0 +1,99 @@
+"""Sequence parallelism: time-sharded resample == single-device fast path.
+
+Runs on the virtual 8-device CPU mesh (conftest). The folded fast path is a
+pure FIR, so the halo-exchange decomposition computes the same per-output
+dot products as the single-device banded kernel (up to f32 reduction-order
+rounding from the different in-slab band alignment).
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from esp_audio_libs_tpu.ops import biquad as bq
+from esp_audio_libs_tpu.ops import sinc
+from esp_audio_libs_tpu.ops.polyphase import (
+    banded_K, banded_weights_device, polyphase_banded)
+from esp_audio_libs_tpu.parallel.sequence import (
+    sequence_parallel_resample, time_mesh)
+from esp_audio_libs_tpu.runtime.native import design_filterbank_native
+from esp_audio_libs_tpu.runtime.phase_grid import PhaseState, phase_grid
+
+
+@pytest.mark.parametrize("fold", [False, True])
+def test_time_sharded_matches_single_device(fold):
+    taps, nf = 64, 32
+    ratio = 16000 / 44100
+    flags = sinc.SUBSAMPLE_INTERPOLATE | sinc.INCLUDE_LOWPASS
+    bank = np.asarray(design_filterbank_native(
+        taps, nf, float(np.float32(ratio * 0.9)), flags), np.float32)
+    if fold:
+        coeffs = bq.biquad_init(bq.biquad_lowpass(float(np.float32(ratio * 0.45))), 1.0)
+        filt, direct, off = bq.fold_biquad_into_filterbank(
+            bank, coeffs, bq.fir_len_for(coeffs), half=taps // 2)
+    else:
+        filt, off = bank, 0
+        direct = np.zeros(taps, np.float32)
+        direct[taps // 2 - 1] = 1.0
+    taps_p = filt.shape[1]
+    halo = taps_p + 8
+    K = banded_K(ratio, taps_p)
+
+    D = len(jax.devices())
+    assert D == 8
+    T_in = D * 2048
+    st = PhaseState.initial(taps)
+    st.advance(taps / 2.0)
+    out_free = int(T_in * ratio) + 8
+    grid = phase_grid(st, nf, flags, np.float32(ratio), T_in, out_free)
+    gen = grid.output_generated
+
+    rng = np.random.default_rng(17)
+    x = rng.standard_normal((2, 2, T_in)).astype(np.float32)
+
+    # adjust win0 for the fold offset the way models/resampler does: the
+    # folded window starts off samples earlier
+    class G:                       # shallow copy with shifted win0
+        win0 = grid.win0 - off
+        idx1, idx2, weight, mode = grid.idx1, grid.idx2, grid.weight, grid.mode
+        output_generated = gen
+
+    mesh = time_mesh()
+    y, counts = sequence_parallel_resample(
+        jnp.asarray(x), filt, direct, G, mesh, taps_p=taps_p, K=K, halo=halo)
+    y = np.asarray(y)
+    To = y.shape[-1] // D
+    got = np.concatenate(
+        [y[..., d * To: d * To + counts[d]] for d in range(D)], axis=-1)
+    assert got.shape[-1] == gen
+    # padded per-device slots are zero, not garbage
+    for d in range(D):
+        np.testing.assert_array_equal(y[..., d * To + counts[d]:(d + 1) * To], 0.0)
+
+    # single-device reference: same weights over the full (halo-padded) input
+    L = halo + T_in
+    T_pad = -(-gen // 128) * 128
+    win0x = np.zeros(T_pad, np.int32)
+    win0x[:gen] = G.win0[:gen] + halo
+    win0x[gen:] = win0x[gen - 1]
+    pad = lambda a: np.pad(a[:gen], (0, T_pad - gen))
+    xp = np.pad(x, [(0, 0), (0, 0), (halo, max(0, K - L))])[..., :max(L, K)]
+    xp = np.concatenate([np.zeros((2, 2, 0), np.float32), xp], axis=-1)
+
+    @jax.jit
+    def single(xp, win0x, i1, i2, w, m):
+        Wt, stt = banded_weights_device(
+            jnp.asarray(filt), jnp.asarray(direct), win0x, i1, i2, w, m,
+            jnp.int32(gen), K=K, taps_p=taps_p, L=xp.shape[-1])
+        return polyphase_banded(xp, Wt, stt, T=T_pad)
+
+    ref = np.asarray(single(
+        jnp.asarray(xp), jnp.asarray(win0x), jnp.asarray(pad(G.idx1)),
+        jnp.asarray(pad(G.idx2)), jnp.asarray(pad(G.weight)),
+        jnp.asarray(pad(G.mode.astype(np.int32)))))
+
+    # the band sits at different offsets inside the slab in the two
+    # formulations, so the dot's f32 reduction tree groups addends
+    # differently: equality holds to reduction-order tolerance, not bitwise
+    np.testing.assert_allclose(got, ref[..., :gen], rtol=2e-6, atol=2e-6)
