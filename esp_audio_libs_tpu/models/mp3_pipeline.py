@@ -14,7 +14,7 @@ import numpy as np
 
 from ..ops import mp3dsp, mp3imdct, mp3subband
 from ..runtime.tables import mp3_tables
-from .mp3 import granule_params
+from .mp3 import granule_params_batch
 
 __all__ = ["decode_granules", "decode_granules_batch"]
 
@@ -87,9 +87,10 @@ def decode_granules_batch(huff, params, sf, frame, sfjs, states, vindex, ngr):
     reference_defined = np.ones(B, bool)
     for gr in range(ngr):
         nzb_in = params[:, gr, :nch, 18].astype(np.int32)     # [B, nch]
-        hp_list = [granule_params(params[b, gr, :nch], sf[b, gr, :nch],
-                                  frame[b], sfjs[b], nzb_in[b]) for b in range(B)]
-        hp = {k: jnp.asarray(np.stack([h[k] for h in hp_list])) for k in hp_list[0]}
+        # ONE native call expands per-sample params for all B streams
+        hp_np = granule_params_batch(params[:, gr], sf[:, gr], frame, sfjs,
+                                     nzb_in, nch)
+        hp = {k: jnp.asarray(v) for k, v in hp_np.items()}
         dq = mp3dsp.dequantize_granule(
             jnp.asarray(huff[:, gr, :nch]), jnp.asarray(nzb_in), hp, nch=nch)
 
