@@ -128,6 +128,34 @@ class BatchedMP3Decoder:
     def __init__(self, n_streams: int):
         self.decoders = [MP3Decoder() for _ in range(n_streams)]
         self.last_frame_reference_defined = [True] * n_streams
+        # carried numeric state lives ON DEVICE, batch-stacked (the SoA
+        # batch-major layout of SURVEY.md §2 #17): a tunneled chip makes
+        # per-frame host round-trips of state the dominant cost otherwise.
+        N = n_streams
+        self._over = jnp.zeros((N, 2, 288), jnp.int32)
+        self._pt = jnp.zeros((N, 2), jnp.int32)
+        self._pws = jnp.zeros((N, 2), jnp.int32)
+        self._npv = jnp.zeros((N, 2), jnp.int32)
+        self._vbuf = jnp.zeros((N, 2176), jnp.int32)
+        self._vindex = [0] * N
+
+    def _gather_state(self, streams):
+        arrs = (self._over, self._pt, self._pws, self._npv, self._vbuf)
+        if len(streams) == len(self.decoders) and streams == list(range(len(streams))):
+            return arrs                      # whole-batch fast path: no gather
+        idx = jnp.asarray(np.asarray(streams, np.int32))
+        return tuple(jnp.take(a, idx, axis=0) for a in arrs)
+
+    def _scatter_state(self, streams, new_state):
+        if len(streams) == len(self.decoders) and streams == list(range(len(streams))):
+            self._over, self._pt, self._pws, self._npv, self._vbuf = new_state
+            return
+        idx = jnp.asarray(np.asarray(streams, np.int32))
+        self._over = self._over.at[idx].set(new_state[0])
+        self._pt = self._pt.at[idx].set(new_state[1])
+        self._pws = self._pws.at[idx].set(new_state[2])
+        self._npv = self._npv.at[idx].set(new_state[3])
+        self._vbuf = self._vbuf.at[idx].set(new_state[4])
 
     def decode(self, buffers, use_size=False):
         """One frame per stream: returns list of (err, pcm|None, consumed).
@@ -155,7 +183,7 @@ class BatchedMP3Decoder:
             else:
                 ngr_run = ngr
             if ngr_run > 0:
-                key = (int(frame[0]), int(frame[4]), nch, dec._vindex, ngr_run)
+                key = (int(frame[0]), int(frame[4]), nch, self._vindex[s], ngr_run)
                 work.setdefault(key, []).append((s, p, ngr_run))
 
         for (ver, sr_idx, nch, vindex, ngr_run), items in work.items():
@@ -165,21 +193,17 @@ class BatchedMP3Decoder:
             sf = np.stack([p[3] for _, p, _ in items])
             frame = np.stack([p[4] for _, p, _ in items])
             sfjs = np.stack([p[5] for _, p, _ in items])
-            states = []
-            for s in streams:
-                d = self.decoders[s]
-                states.append((d._over, d._prev_type, d._prev_win_switch,
-                               d._num_prev, d._vbuf))
-            pcm, new_states, rdef = mp3_pipeline.decode_granules_batch(
-                huff, params, sf, frame, sfjs, states, vindex, ngr_run)
+            pcm, new_state, ref_undef = mp3_pipeline.decode_granules_batch_dev(
+                huff, params, sf, frame, sfjs, self._gather_state(streams),
+                vindex, ngr_run)
+            self._scatter_state(streams, new_state)
             new_vindex = mp3_pipeline._advance_vindex(vindex, ngr_run)
+            # the ONLY per-group syncs: PCM + the reference-UB flags
+            pcm_np = np.asarray(pcm)
+            undef = np.asarray(ref_undef)
             for k, (s, p, _) in enumerate(items):
-                d = self.decoders[s]
-                (d._over, d._prev_type, d._prev_win_switch, d._num_prev,
-                 d._vbuf) = new_states[k]
-                d._vindex = new_vindex
-                self.last_frame_reference_defined[s] = bool(rdef[k])
+                self._vindex[s] = new_vindex
+                self.last_frame_reference_defined[s] = not bool(undef[k])
                 if results[s] is None:   # success path: emit PCM
-                    err, _h, _pp, _sf, fr, _sj, consumed, _c, _e = p
-                    results[s] = (MP3Error.NONE, pcm[k].reshape(-1), consumed)
+                    results[s] = (MP3Error.NONE, pcm_np[k].reshape(-1), p[6])
         return results

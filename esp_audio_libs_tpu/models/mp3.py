@@ -16,6 +16,7 @@ int32/int64 fixed-point.
 from __future__ import annotations
 
 import ctypes as C
+import functools
 
 import numpy as np
 
@@ -196,11 +197,14 @@ def granule_params_native(params: np.ndarray, sf: np.ndarray, frame: np.ndarray,
     return {k: (v[0] if getattr(v, "ndim", 0) > 0 else v) for k, v in hp.items()}
 
 
-def _gp_blob_to_dict(out: np.ndarray, nch: int) -> dict:
+def _gp_blob_to_dict(out, nch: int) -> dict:
     """Slice the packed eal_mp3_granule_params blob(s) into the hp dict.
 
-    out: int32 ``[..., _GP_SIZE]`` (any leading batch dims). All returned
-    arrays are VIEWS into the blob except the bool casts.
+    out: int32 ``[..., _GP_SIZE]`` (any leading batch dims), numpy OR jnp —
+    with a jnp blob the slices lower to device ops, so the batched decoder
+    ships ONE array per granule instead of 22 (transfer latency dominates
+    behind a tunneled chip). All returned arrays are views/slices into the
+    blob except the bool casts.
     """
     C2, N = 2, MAX_NSAMP
     lead = out.shape[:-1]
@@ -245,15 +249,12 @@ def _gp_blob_to_dict(out: np.ndarray, nch: int) -> dict:
     )
 
 
-def granule_params_batch(params: np.ndarray, sf: np.ndarray, frame: np.ndarray,
-                         sfjs: np.ndarray, nzb: np.ndarray, nch: int) -> dict:
-    """Expand per-sample parameters for B (stream, granule) sets in ONE
-    native call; returns the hp dict with a leading [B] axis (what
-    mp3_pipeline.decode_granules_batch feeds the device kernels).
-
-    Args: params ``[B, C, 24]``, sf ``[B, C, 62]``, frame ``[B, 16]``,
-    sfjs ``[B, 8]``, nzb ``[B, C]`` (C = nch entries used).
-    """
+def granule_params_blob(params: np.ndarray, sf: np.ndarray, frame: np.ndarray,
+                        sfjs: np.ndarray, nzb: np.ndarray, nch: int) -> np.ndarray:
+    """Raw packed parameter blob ``[B, _GP_SIZE]`` for B (stream, granule)
+    sets (one native call; see granule_params_batch). The returned array is
+    the persistent per-B buffer — ship it (device_put) before the next call
+    with the same B."""
     B = params.shape[0]
     C2 = 2
     p2 = np.zeros((B, C2, 24), np.int32)
@@ -264,11 +265,6 @@ def granule_params_batch(params: np.ndarray, sf: np.ndarray, frame: np.ndarray,
     n2[:, :nch] = nzb[:, :nch]
     fr = np.ascontiguousarray(frame, np.int32)
     js = np.ascontiguousarray(sfjs, np.int32)
-    # persistent output blob per B: faulting in ~44KB x B of fresh pages per
-    # granule dominates on a single-core TPU-VM host. NOTE: the returned
-    # int arrays are views into this buffer and are overwritten by the NEXT
-    # granule_params_batch call with the same B — consume (device_put) first,
-    # as mp3_pipeline does.
     out = _GP_BLOBS.get(B)
     if out is None:
         out = _GP_BLOBS[B] = np.empty((B, _GP_SIZE), np.int32)
@@ -276,7 +272,186 @@ def granule_params_batch(params: np.ndarray, sf: np.ndarray, frame: np.ndarray,
         B, p2.ctypes.data_as(_i32p), s2.ctypes.data_as(_i32p),
         fr.ctypes.data_as(_i32p), js.ctypes.data_as(_i32p),
         n2.ctypes.data_as(_i32p), out.ctypes.data_as(_i32p))
-    return _gp_blob_to_dict(out, nch)
+    return out
+
+
+def granule_params_batch(params: np.ndarray, sf: np.ndarray, frame: np.ndarray,
+                         sfjs: np.ndarray, nzb: np.ndarray, nch: int) -> dict:
+    """Expand per-sample parameters for B (stream, granule) sets in ONE
+    native call; returns the hp dict with a leading [B] axis (what
+    mp3_pipeline.decode_granules_batch feeds the device kernels).
+
+    Args: params ``[B, C, 24]``, sf ``[B, C, 62]``, frame ``[B, 16]``,
+    sfjs ``[B, 8]``, nzb ``[B, C]`` (C = nch entries used).
+
+    NOTE: the int arrays are views into a persistent per-B buffer (fresh
+    page faults dominate on a single-core TPU-VM host) and are overwritten
+    by the NEXT call with the same B — consume (device_put) first.
+    """
+    return _gp_blob_to_dict(
+        granule_params_blob(params, sf, frame, sfjs, nzb, nch), nch)
+
+
+# ---------------------------------------------------------------- compact path
+# Ship ~230 int32 of band-level parameters per (stream, granule) and expand
+# per-sample ON DEVICE from static per-format maps: the 44KB expanded blob
+# is pure transfer weight behind a low-bandwidth transport.
+
+_GPC_SIZE = 2 * 22 + 2 * 39 + 2 * 6 + 23 + 39 + 23 + 13 + 3   # 232
+_GPC_BLOBS: dict = {}
+
+
+def granule_params_compact_blob(params, sf, frame, sfjs, nzb, nch) -> np.ndarray:
+    """Raw compact parameter blob ``[B, _GPC_SIZE]`` (one native call; same
+    persistent-buffer caveat as granule_params_blob)."""
+    B = params.shape[0]
+    p2 = np.zeros((B, 2, 24), np.int32)
+    p2[:, :nch] = params[:, :nch]
+    s2 = np.zeros((B, 2, 62), np.int32)
+    s2[:, :nch] = sf[:, :nch]
+    n2 = np.zeros((B, 2), np.int32)
+    n2[:, :nch] = nzb[:, :nch]
+    fr = np.ascontiguousarray(frame, np.int32)
+    js = np.ascontiguousarray(sfjs, np.int32)
+    out = _GPC_BLOBS.get(B)
+    if out is None:
+        out = _GPC_BLOBS[B] = np.empty((B, _GPC_SIZE), np.int32)
+    host_lib().eal_mp3_granule_params_compact_batch(
+        B, p2.ctypes.data_as(_i32p), s2.ctypes.data_as(_i32p),
+        fr.ctypes.data_as(_i32p), js.ctypes.data_as(_i32p),
+        n2.ctypes.data_as(_i32p), out.ctypes.data_as(_i32p))
+    return out
+
+
+@functools.lru_cache(None)
+def format_maps(ver: int, sr_idx: int) -> dict:
+    """Static per-format per-sample maps (numpy, cached; device copies are
+    cached by the pipeline). These never depend on stream data:
+
+      long_band[576]   input-order long-section band per sample (sfb_l)
+      off_band/off_win/inv_off [2, 576]   short-section band / window /
+        reorder source, indexed by OFFSET from the (dynamic) short-section
+        base, one row per cbs in (0, 3) — the only short-start bands
+      band_out_l/band_out_s/win_out [576]  output-order structure
+      sfb_l[23] sfb_s[14]
+    """
+    T = mp3_tables()
+    sfb_l = T["sfBandLong"][ver][sr_idx].astype(np.int32)
+    sfb_s = T["sfBandShort"][ver][sr_idx].astype(np.int32)
+    N = MAX_NSAMP
+
+    long_band = np.zeros(N, np.int32)
+    for cb in range(22):
+        long_band[sfb_l[cb]: sfb_l[cb + 1]] = cb
+
+    off_band = np.zeros((2, N), np.int32)
+    off_win = np.zeros((2, N), np.int32)
+    inv_off = np.tile(np.arange(N, dtype=np.int32), (2, 1))
+    for ci, cbs in enumerate((0, 3)):
+        off = 0
+        for cb in range(cbs, 13):
+            n = int(sfb_s[cb + 1] - sfb_s[cb])
+            for w in range(3):
+                off_band[ci, off + n * w: off + n * (w + 1)] = cb
+                off_win[ci, off + n * w: off + n * (w + 1)] = w
+            j = np.arange(n)
+            for w in range(3):
+                inv_off[ci, off + 3 * j + w] = off + n * w + j
+            off += 3 * n
+
+    idx = np.arange(N)
+    band_out_l = np.full(N, -1, np.int32)
+    for cb in range(22):
+        band_out_l[sfb_l[cb]: sfb_l[cb + 1]] = cb
+    band_out_s = np.full(N, -1, np.int32)
+    win_out = np.zeros(N, np.int32)
+    for cb in range(13):
+        lo, hi = 3 * int(sfb_s[cb]), 3 * int(sfb_s[cb + 1])
+        band_out_s[lo:hi] = cb
+        win_out[lo:hi] = (idx[lo:hi] - lo) % 3
+    return dict(long_band=long_band, off_band=off_band, off_win=off_win,
+                inv_off=inv_off, band_out_l=band_out_l, band_out_s=band_out_s,
+                win_out=win_out, sfb_l=sfb_l, sfb_s=sfb_s)
+
+
+def expand_hp_device(compact, maps, nch: int) -> dict:
+    """Trace-time per-sample expansion of the compact blob: pure gathers and
+    masks against the static maps — must produce arrays identical to
+    _gp_blob_to_dict (pinned by tests/test_mp3_decode.py)."""
+    import jax.numpy as jnp
+
+    B = compact.shape[0]
+    N = MAX_NSAMP
+    o = 0
+
+    def take(*shape):
+        nonlocal o
+        n = int(np.prod(shape))
+        v = compact[:, o:o + n].reshape(B, *shape)
+        o += n
+        return v
+
+    gain_l = take(2, 22)[:, :nch]
+    gain_s = take(2, 39)[:, :nch]
+    pe_l = take(2)[:, :nch]
+    short_base = take(2)[:, :nch]
+    pe_s = take(2)[:, :nch]
+    cb_start_s = take(2)[:, :nch]
+    has_short = take(2)[:, :nch].astype(bool)
+    cb_type = take(2)[:, :nch]
+    sfl1 = take(23)
+    sfs1 = take(39)
+    il_long = take(23)
+    il_short = take(13)
+    scalars = take(3)
+
+    idx = jnp.arange(N, dtype=jnp.int32)
+    long_proc = idx[None, None, :] < pe_l[..., None]               # [B,C,N]
+    # short section: offset from the dynamic base; map row by cbs (0 or 3)
+    row = (cb_start_s == 3).astype(jnp.int32)                      # [B,C]
+    off = idx[None, None, :] - short_base[..., None]
+    off_c = jnp.clip(off, 0, N - 1)
+    sband = jnp.take_along_axis(maps["off_band"][row], off_c, axis=-1)
+    swin = jnp.take_along_axis(maps["off_win"][row], off_c, axis=-1)
+    sinv = jnp.take_along_axis(maps["inv_off"][row], off_c, axis=-1)
+    short_proc = (off >= 0) & (idx[None, None, :] < pe_s[..., None]) \
+        & has_short[..., None]
+
+    lband = maps["long_band"][None, None, :]
+    band_in = jnp.where(long_proc, lband,
+                        jnp.where(short_proc, sband, jnp.int32(-1)))
+    g_long = jnp.take_along_axis(gain_l, jnp.broadcast_to(lband, long_proc.shape),
+                                 axis=-1)
+    g_short = jnp.take_along_axis(gain_s, sband * 3 + swin, axis=-1)
+    gain = jnp.where(long_proc, g_long, jnp.where(short_proc, g_short, 0))
+    win_in = jnp.where(short_proc, swin, 0)
+    processed = long_proc | short_proc
+    invperm = jnp.where(short_proc, short_base[..., None] + sinv,
+                        idx[None, None, :])
+
+    bo_l = maps["band_out_l"]
+    bo_s = maps["band_out_s"]
+    wo = maps["win_out"]
+    valid_l = bo_l >= 0
+    valid_s = bo_s >= 0
+    sf_right_l = jnp.where(valid_l[None], sfl1[:, jnp.clip(bo_l, 0)], 0)
+    sf_right_s = jnp.where(valid_s[None],
+                           jnp.take(sfs1, jnp.clip(bo_s, 0) * 3 + wo, axis=-1), 0)
+    il_out_l = jnp.where(valid_l[None], il_long[:, jnp.clip(bo_l, 0)], 0)
+    il_out_s = jnp.where(valid_s[None],
+                         jnp.take(il_short, jnp.clip(bo_s, 0, 12), axis=-1), 0)
+
+    bc = lambda a: jnp.broadcast_to(a[None], (B,) + a.shape)
+    return dict(
+        gain=gain, band_in=band_in, win_in=win_in, is_long_in=long_proc,
+        processed=processed, invperm=invperm, cb_start_s=cb_start_s,
+        has_short=has_short, cb_type=cb_type, out_nzb_short=pe_s,
+        band_out_l=bc(bo_l), band_out_s=bc(bo_s), win_out=bc(wo),
+        sf_right_l=sf_right_l, sf_right_s=sf_right_s, il_out_l=il_out_l,
+        il_out_s=il_out_s, sfb_l=bc(maps["sfb_l"]), sfb_s=bc(maps["sfb_s"]),
+        mode_ext=scalars[:, 0], ver_is_mpeg1=scalars[:, 1].astype(bool),
+        intensity_scale=scalars[:, 2],
+    )
 
 
 class MP3Decoder:

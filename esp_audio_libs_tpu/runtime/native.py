@@ -86,6 +86,8 @@ def host_lib() -> C.CDLL:
     lib.eal_mp3_granule_params.argtypes = [i32p, i32p, i32p, i32p, i32p, i32p]
     lib.eal_mp3_granule_params_batch.restype = C.c_int
     lib.eal_mp3_granule_params_batch.argtypes = [C.c_int, i32p, i32p, i32p, i32p, i32p, i32p]
+    lib.eal_mp3_granule_params_compact_batch.restype = C.c_int
+    lib.eal_mp3_granule_params_compact_batch.argtypes = [C.c_int, i32p, i32p, i32p, i32p, i32p, i32p]
     return lib
 
 

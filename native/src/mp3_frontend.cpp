@@ -1020,6 +1020,137 @@ int eal_mp3_granule_params(const int32_t *params /*[2][24]*/, const int32_t *sf 
   return 0;
 }
 
+// COMPACT per-(stream, granule) parameters: band-level values + section
+// bounds only (~230 int32), for DEVICE-side per-sample expansion. The full
+// expanded blob (eal_mp3_granule_params) is 44KB/stream — shipping it
+// dominates batched decode behind a low-bandwidth transport; everything a
+// device gather can reconstruct from static per-format maps stays compact.
+//
+// Layout (int32):
+//   gain_l   [2][22]   per long band:  210 - gg' + sfactMult*(sf + pre)
+//   gain_s   [2][13][3] per short band/window
+//   pe_l     [2]       long-section processed end (sample idx)
+//   short_base[2]      sample idx where the short section starts (== pe_l
+//                      after the long loop; dynamic when nzb cut it short)
+//   pe_s     [2]       short-section processed end (== out_nzb_short)
+//   cb_start_s[2] has_short[2] cb_type[2]
+//   sfl1 [23] sfs1 [13][3] il_long [23] il_short [13]   (right-ch stereo)
+//   mode_ext, ver_is_mpeg1, intensity_scale
+// Total 2*22+2*39+2*6+23+39+23+13+3 = 232 words.
+int eal_mp3_granule_params_compact(const int32_t *params, const int32_t *sf,
+                                   const int32_t *frame, const int32_t *sfjs,
+                                   const int32_t *nzb, int32_t *out) {
+  const int IMDCT_SCALE = 2;
+  int ver = frame[0], mode_ext = frame[3], sr_idx = frame[4];
+  int nch = frame[5];
+  const int32_t *sfb_l = eal_sfBandLong[ver][sr_idx];
+  const int32_t *sfb_s = eal_sfBandShort[ver][sr_idx];
+
+  int32_t *gain_l = out;              // [2][22]
+  int32_t *gain_s = gain_l + 2 * 22;  // [2][39]
+  int32_t *pe_l = gain_s + 2 * 39;
+  int32_t *short_base = pe_l + 2;
+  int32_t *pe_s = short_base + 2;
+  int32_t *cb_start_s = pe_s + 2;
+  int32_t *has_short = cb_start_s + 2;
+  int32_t *cb_type = has_short + 2;
+  int32_t *sfl1 = cb_type + 2;        // [23]
+  int32_t *sfs1 = sfl1 + 23;          // [39]
+  int32_t *il_long = sfs1 + 39;       // [23]
+  int32_t *il_short = il_long + 23;   // [13]
+  int32_t *scalars = il_short + 13;   // [3]
+
+  for (int i = 0; i < 2 * 22; i++) gain_l[i] = 0;
+  for (int i = 0; i < 2 * 39; i++) gain_s[i] = 0;
+  for (int c = 0; c < 2; c++) {
+    pe_l[c] = short_base[c] = pe_s[c] = 0;
+    cb_start_s[c] = has_short[c] = cb_type[c] = 0;
+  }
+
+  for (int ch = 0; ch < nch; ch++) {
+    const int32_t *p = params + ch * 24;
+    int block_type = p[5], mixed = p[6];
+    int sfact_mult = 2 * (p[16] + 1);
+    int global_gain = p[2];
+    if (mode_ext >> 1) global_gain -= 2;
+    global_gain += IMDCT_SCALE;
+
+    int cb_end_l, cbs;
+    if (block_type == 2) {
+      if (mixed) { cb_end_l = (ver == 0) ? 8 : 6; cbs = 3; }
+      else       { cb_end_l = 0; cbs = 0; }
+    } else {
+      cb_end_l = 22; cbs = 13;
+    }
+    cb_start_s[ch] = cbs;
+    has_short[ch] = cbs < 12;
+    cb_type[ch] = (block_type != 2) ? 0 : (mixed ? 2 : 1);
+
+    const int32_t *sfl = sf + ch * 62;
+    const int32_t *sfs = sf + ch * 62 + 23;
+    int i = 0;
+    for (int cb = 0; cb < cb_end_l; cb++) {
+      int n = sfb_l[cb + 1] - sfb_l[cb];
+      gain_l[ch * 22 + cb] =
+          210 - global_gain + sfact_mult * (sfl[cb] + (p[15] ? eal_preTab[cb] : 0));
+      i += n;
+      if (i >= nzb[ch]) break;
+    }
+    pe_l[ch] = i;
+    short_base[ch] = i;
+    if (cbs < 12) {
+      for (int cb = cbs; cb < 13; cb++) {
+        int n = sfb_s[cb + 1] - sfb_s[cb];
+        for (int w = 0; w < 3; w++)
+          gain_s[ch * 39 + cb * 3 + w] =
+              210 - global_gain + 8 * p[10 + w] + sfact_mult * sfs[cb * 3 + w];
+        i += 3 * n;
+        if (i >= nzb[ch]) break;
+      }
+      pe_s[ch] = i;
+    }
+  }
+
+  for (int j = 0; j < 23; j++) sfl1[j] = 0;
+  for (int j = 0; j < 39; j++) sfs1[j] = 0;
+  for (int j = 0; j < 23; j++) il_long[j] = 0;
+  for (int j = 0; j < 13; j++) il_short[j] = 0;
+  if (nch == 2) {
+    for (int j = 0; j < 23; j++) sfl1[j] = sf[62 + j];
+    for (int j = 0; j < 39; j++) sfs1[j] = sf[62 + 23 + j];
+    int32_t il[23];
+    for (int j = 0; j < 23; j++) il[j] = 0;
+    int k = 0;
+    for (int r = 0; r < 4; r++) {
+      int32_t tmp = (1 << sfjs[r]) - 1;
+      for (int c = 0; c < sfjs[4 + r]; c++) {
+        if (k < 23) il[k] = tmp;
+        k++;
+      }
+    }
+    for (int j = 0; j < 23; j++) il_long[j] = il[j];
+    for (int j = 0; j < 13; j++) il_short[j] = il[j];
+    il_long[21] = il_long[22] = 1;
+    il_short[12] = 1;
+  }
+  scalars[0] = mode_ext;
+  scalars[1] = (ver == 0);
+  scalars[2] = frame[12];
+  return 0;
+}
+
+int eal_mp3_granule_params_compact_batch(int B, const int32_t *params,
+                                         const int32_t *sf, const int32_t *frame,
+                                         const int32_t *sfjs, const int32_t *nzb,
+                                         int32_t *out) {
+  const int GP = 2 * 22 + 2 * 39 + 2 * 6 + 23 + 39 + 23 + 13 + 3;
+  for (int b = 0; b < B; b++)
+    eal_mp3_granule_params_compact(params + b * 2 * 24, sf + b * 2 * 62,
+                                   frame + b * 16, sfjs + b * 8, nzb + b * 2,
+                                   out + b * GP);
+  return 0;
+}
+
 // Batched variant: expand B (stream, granule) parameter sets in one call —
 // the batched decoder makes one ctypes crossing per granule for the whole
 // stream group instead of B Python-side calls (the per-call wrapper cost,

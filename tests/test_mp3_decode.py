@@ -201,6 +201,51 @@ def test_granule_params_native_matches_python(oracle, cfg, seed):
     assert checked > 0  # at least one valid granule compared
 
 
+@pytest.mark.parametrize("cfg", CONFIGS[:6])
+@pytest.mark.parametrize("seed", [4, 11])
+def test_compact_device_expansion_matches_python(oracle, cfg, seed):
+    """The device-side per-sample expansion (compact blob + static maps,
+    production path) must reproduce the Python reference expansion exactly
+    for every hp array."""
+    import jax.numpy as jnp
+    from esp_audio_libs_tpu.models.mp3 import (
+        expand_hp_device, format_maps, granule_params,
+        granule_params_compact_blob)
+
+    rng = np.random.default_rng(seed * 13 + cfg["bitrate_idx"])
+    hdr = make_header(**cfg)
+    total, _ = frame_sizes(cfg["ver_bits"], cfg["bitrate_idx"], cfg["sr_idx"], cfg["mode"])
+    dec = MP3Decoder()
+    checked = 0
+    for f in range(8):
+        if f == 0:
+            body = bytearray(total - 4)
+        else:
+            body = bytearray(rng.integers(0, 256, total - 4, dtype=np.uint8).tobytes())
+            body[0] = 0
+            if cfg["ver_bits"] == 3:
+                body[1] &= 0x7F
+        err, huff, params, sf, frame, sfjs, *_ = dec.parse_frame(hdr + bytes(body))
+        if int(err) != 0:
+            continue
+        ngr, nch = int(frame[6]), int(frame[5])
+        ver, sr_idx = int(frame[0]), int(frame[4])
+        maps = {k: jnp.asarray(v) for k, v in format_maps(ver, sr_idx).items()}
+        for gr in range(ngr):
+            nzb = params[gr, :nch, 18].astype(np.int32)
+            py = granule_params(params[gr, :nch], sf[gr, :nch], frame, sfjs, nzb)
+            compact = granule_params_compact_blob(
+                params[gr][None], sf[gr][None], frame[None], sfjs[None],
+                nzb[None], nch)
+            dev = expand_hp_device(jnp.asarray(compact), maps, nch)
+            for k in py:
+                got = np.asarray(dev[k])[0]
+                np.testing.assert_array_equal(got, np.asarray(py[k]),
+                                              err_msg=f"{k} gr={gr} f={f}")
+            checked += 1
+    assert checked > 0
+
+
 def test_get_last_frame_info(oracle):
     """MP3GetLastFrameInfo parity: zeros before any parse, stored header
     state after decode (reference mp3_decoder.cpp:8613-8634)."""
