@@ -64,10 +64,25 @@ def _frame_kernel(data, coeffs, order, shift, wasted, chan_assign, *, depth, nch
     return stacked.reshape(*stacked.shape[:-2], -1)
 
 
+def _require_x64(what: str) -> None:
+    """The FLAC/MP3 numeric paths use int64 (64-bit LPC accumulators,
+    MULSHIFT32/polyphase MACs). Without jax_enable_x64 JAX silently
+    truncates int64 to int32 and decode output is WRONG — fail loudly."""
+    import jax
+
+    if not jax.config.jax_enable_x64:
+        raise RuntimeError(
+            f"{what} requires 64-bit integer math: enable it with "
+            "jax.config.update('jax_enable_x64', True) (before tracing) "
+            "or JAX_ENABLE_X64=1. Without it JAX silently truncates the "
+            "decoder's int64 accumulators and output is incorrect.")
+
+
 class FLACDecoder:
     """Drop-in equivalent of the reference decoder class, device-accelerated."""
 
     def __init__(self):
+        _require_x64("FLACDecoder")
         self._lib = host_lib()
         self._ctx = self._lib.eal_flac_create()
         self._output_32bit = False

@@ -462,6 +462,9 @@ class MP3Decoder:
     """
 
     def __init__(self):
+        from .flac import _require_x64
+
+        _require_x64("MP3Decoder")
         self._lib = host_lib()
         self._ctx = self._lib.eal_mp3_create()
         self._last_frame = None
