@@ -94,6 +94,31 @@ class FLACDecoder:
         except Exception:
             pass
 
+    # -------------------------------------------------------- checkpointing
+    def get_state(self) -> dict:
+        """Serializable snapshot of all carried decode state (SURVEY.md §5
+        checkpoint/resume): native front-end (STREAMINFO, metadata,
+        partial-header resume, CRC toggle) + Python-side flags. Restore into
+        any FLACDecoder with :meth:`set_state`; decoding then continues
+        identically to an uninterrupted run."""
+        n = self._lib.eal_flac_state_size(self._ctx)
+        buf = np.zeros(n, np.uint8)
+        rc = self._lib.eal_flac_state_save(
+            self._ctx, buf.ctypes.data_as(C.POINTER(C.c_uint8)), n)
+        if rc != 0:
+            raise RuntimeError("FLAC state save failed")
+        return {"native": buf.tobytes(), "output_32bit": self._output_32bit,
+                "header_ok": self._header_ok}
+
+    def set_state(self, state: dict) -> None:
+        data = np.frombuffer(state["native"], np.uint8)
+        rc = self._lib.eal_flac_state_load(
+            self._ctx, data.ctypes.data_as(C.POINTER(C.c_uint8)), data.size)
+        if rc != 0:
+            raise RuntimeError("FLAC state load failed (bad/incompatible blob)")
+        self._output_32bit = bool(state["output_32bit"])
+        self._header_ok = bool(state["header_ok"])
+
     # ------------------------------------------------------------- header
     def read_header(self, buffer: bytes) -> FLACDecoderResult:
         buf = np.frombuffer(buffer, np.uint8)

@@ -482,6 +482,38 @@ class MP3Decoder:
         except Exception:
             pass
 
+    # -------------------------------------------------------- checkpointing
+    def get_state(self) -> dict:
+        """Serializable snapshot of all carried decode state (SURVEY.md §5
+        checkpoint/resume): the native front-end image (including the bit
+        reservoir that carries cross-frame main data) + the device-side
+        overlap/FIFO tensors. Restore with :meth:`set_state`; decoding then
+        continues bit-identically to an uninterrupted run."""
+        n = self._lib.eal_mp3_state_size(self._ctx)
+        buf = np.zeros(n, np.uint8)
+        if self._lib.eal_mp3_state_save(
+                self._ctx, buf.ctypes.data_as(C.POINTER(C.c_uint8)), n) != 0:
+            raise RuntimeError("MP3 state save failed")
+        return {"native": buf.tobytes(),
+                "over": np.asarray(self._over).copy(),
+                "prev_type": np.asarray(self._prev_type).copy(),
+                "prev_win_switch": np.asarray(self._prev_win_switch).copy(),
+                "num_prev": np.asarray(self._num_prev).copy(),
+                "vbuf": np.asarray(self._vbuf).copy(),
+                "vindex": self._vindex}
+
+    def set_state(self, state: dict) -> None:
+        data = np.frombuffer(state["native"], np.uint8)
+        if self._lib.eal_mp3_state_load(
+                self._ctx, data.ctypes.data_as(C.POINTER(C.c_uint8)), data.size) != 0:
+            raise RuntimeError("MP3 state load failed (bad/incompatible blob)")
+        self._over = np.asarray(state["over"], np.int32)
+        self._prev_type = np.asarray(state["prev_type"], np.int32)
+        self._prev_win_switch = np.asarray(state["prev_win_switch"], np.int32)
+        self._num_prev = np.asarray(state["num_prev"], np.int32)
+        self._vbuf = np.asarray(state["vbuf"], np.int32)
+        self._vindex = int(state["vindex"])
+
     @staticmethod
     def find_sync_word(buf: bytes) -> int:
         b = np.frombuffer(buf, np.uint8)

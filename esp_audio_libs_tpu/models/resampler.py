@@ -205,6 +205,34 @@ class Resampler:
         self._initialized = True
         return True
 
+    # -------------------------------------------------------- checkpointing
+    def get_state(self) -> dict:
+        """Serializable snapshot of the carried stream state (SURVEY.md §5
+        checkpoint/resume): phase accumulator, per-stream history window,
+        biquad filter state. Restore into an identically-initialized
+        Resampler with :meth:`set_state`; output continues bit-identically
+        to an uninterrupted run."""
+        assert self._initialized
+        st = {}
+        if self.requires_resampling:
+            st["phase_offset"] = np.float32(self.phase.offset)
+            st["phase_input_index"] = int(self.phase.input_index)
+            st["history"] = np.asarray(self.history)
+        if self.pre_filter or self.post_filter:
+            st["biquad"] = [tuple(np.asarray(s) for s in stage)
+                            for stage in self._biquad_state]
+        return st
+
+    def set_state(self, st: dict) -> None:
+        assert self._initialized
+        if self.requires_resampling:
+            self.phase.offset = np.float32(st["phase_offset"])
+            self.phase.input_index = int(st["phase_input_index"])
+            self.history = jnp.asarray(np.asarray(st["history"], np.float32))
+        if self.pre_filter or self.post_filter:
+            self._biquad_state = [tuple(jnp.asarray(s) for s in stage)
+                                  for stage in st["biquad"]]
+
     # ------------------------------------------------------------------ core
     def resample(self, input_bytes, input_frames_available: int,
                  output_frames_free: int, gain_db: float = 0.0):

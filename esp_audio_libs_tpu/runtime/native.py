@@ -88,6 +88,13 @@ def host_lib() -> C.CDLL:
     lib.eal_mp3_granule_params_batch.argtypes = [C.c_int, i32p, i32p, i32p, i32p, i32p, i32p]
     lib.eal_mp3_granule_params_compact_batch.restype = C.c_int
     lib.eal_mp3_granule_params_compact_batch.argtypes = [C.c_int, i32p, i32p, i32p, i32p, i32p, i32p]
+    for codec in ("flac", "mp3"):
+        getattr(lib, f"eal_{codec}_state_size").restype = C.c_size_t
+        getattr(lib, f"eal_{codec}_state_size").argtypes = [C.c_void_p]
+        getattr(lib, f"eal_{codec}_state_save").restype = C.c_int
+        getattr(lib, f"eal_{codec}_state_save").argtypes = [C.c_void_p, u8p, C.c_size_t]
+        getattr(lib, f"eal_{codec}_state_load").restype = C.c_int
+        getattr(lib, f"eal_{codec}_state_load").argtypes = [C.c_void_p, u8p, C.c_size_t]
     return lib
 
 

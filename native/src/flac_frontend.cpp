@@ -633,4 +633,104 @@ int32_t eal_flac_parse_frame(void *d, const uint8_t *buf, size_t len, int32_t *d
                                            block_size, chan_assign, depth, crc_ok);
 }
 
+// ---------------------------------------------------------------- checkpoint
+// Serializable decoder state (SURVEY.md §5 checkpoint/resume: the reference
+// keeps streaming resume state in memory only; here it's exportable so a
+// serving layer can migrate streams across workers). The transient input
+// pointer is excluded — it is re-established on the next call.
+
+struct FlacStateHeader {
+  uint32_t magic;          // 'EALF'
+  uint32_t version;
+  uint32_t scalars[32];    // fixed-size scalar snapshot (see save)
+  uint64_t num_samples;
+  uint8_t md5[16];
+  uint32_t ph_len;
+  uint32_t n_meta;
+};
+
+static const uint32_t EAL_FLAC_STATE_MAGIC = 0x45414C46u;
+
+size_t eal_flac_state_size(void *d) {
+  FlacFrontend *f = (FlacFrontend *) d;
+  size_t n = sizeof(FlacStateHeader) + f->partial_header_data.size();
+  for (auto &m : f->metadata) n += 8 + m.second.size();
+  return n;
+}
+
+int eal_flac_state_save(void *d, uint8_t *out, size_t cap) {
+  FlacFrontend *f = (FlacFrontend *) d;
+  if (cap < eal_flac_state_size(d)) return -1;
+  FlacStateHeader h = {};
+  h.magic = EAL_FLAC_STATE_MAGIC;
+  h.version = 1;
+  uint32_t *s = h.scalars;
+  s[0] = f->min_block_size; s[1] = f->max_block_size;
+  s[2] = f->sample_rate; s[3] = f->num_channels; s[4] = f->sample_depth;
+  s[5] = f->partial_header_read; s[6] = f->partial_header_last;
+  s[7] = f->partial_header_type; s[8] = f->partial_header_length;
+  s[9] = f->partial_header_bytes_read;
+  for (int i = 0; i < 8; i++) s[10 + i] = f->max_sizes[i];
+  s[18] = f->enable_crc_check;
+  s[19] = (uint32_t) f->frame_start_index;
+  s[20] = f->curr_block_size; s[21] = f->curr_channel_assign;
+  s[22] = f->curr_sample_depth;
+  s[23] = (uint32_t) f->buffer_index;
+  h.num_samples = f->num_samples;
+  std::memcpy(h.md5, f->md5, 16);
+  h.ph_len = (uint32_t) f->partial_header_data.size();
+  h.n_meta = (uint32_t) f->metadata.size();
+  uint8_t *p = out;
+  std::memcpy(p, &h, sizeof h); p += sizeof h;
+  std::memcpy(p, f->partial_header_data.data(), h.ph_len); p += h.ph_len;
+  for (auto &m : f->metadata) {
+    uint32_t t = m.first, len = (uint32_t) m.second.size();
+    std::memcpy(p, &t, 4); p += 4;
+    std::memcpy(p, &len, 4); p += 4;
+    std::memcpy(p, m.second.data(), len); p += len;
+  }
+  return 0;
+}
+
+int eal_flac_state_load(void *d, const uint8_t *data, size_t len) {
+  FlacFrontend *f = (FlacFrontend *) d;
+  if (len < sizeof(FlacStateHeader)) return -1;
+  FlacStateHeader h;
+  std::memcpy(&h, data, sizeof h);
+  if (h.magic != EAL_FLAC_STATE_MAGIC || h.version != 1) return -1;
+  const uint32_t *s = h.scalars;
+  f->buffer = nullptr;          // transient; re-set by the next call
+  f->bytes_left = 0;
+  f->bit_buffer = 0;
+  f->bit_buffer_length = 0;
+  f->out_of_data = false;
+  f->min_block_size = s[0]; f->max_block_size = s[1];
+  f->sample_rate = s[2]; f->num_channels = s[3]; f->sample_depth = s[4];
+  f->partial_header_read = s[5]; f->partial_header_last = s[6];
+  f->partial_header_type = s[7]; f->partial_header_length = s[8];
+  f->partial_header_bytes_read = s[9];
+  for (int i = 0; i < 8; i++) f->max_sizes[i] = s[10 + i];
+  f->enable_crc_check = s[18];
+  f->frame_start_index = s[19];
+  f->curr_block_size = s[20]; f->curr_channel_assign = s[21];
+  f->curr_sample_depth = s[22];
+  f->buffer_index = s[23];
+  f->num_samples = h.num_samples;
+  std::memcpy(f->md5, h.md5, 16);
+  const uint8_t *p = data + sizeof h;
+  if (sizeof h + h.ph_len > len) return -1;
+  f->partial_header_data.assign(p, p + h.ph_len); p += h.ph_len;
+  f->metadata.clear();
+  for (uint32_t i = 0; i < h.n_meta; i++) {
+    uint32_t t, l;
+    if ((size_t) (p - data) + 8 > len) return -1;
+    std::memcpy(&t, p, 4); p += 4;
+    std::memcpy(&l, p, 4); p += 4;
+    if ((size_t) (p - data) + l > len) return -1;
+    f->metadata.emplace_back(t, std::vector<uint8_t>(p, p + l));
+    p += l;
+  }
+  return 0;
+}
+
 }  // extern "C"

@@ -1201,4 +1201,23 @@ int eal_mp3_frame_info(void *hctx, const uint8_t *buf, int32_t *info7) {
   return ERR_NONE;
 }
 
+// ---------------------------------------------------------------- checkpoint
+// Mp3Frontend is a POD aggregate (fixed arrays + ints, no owning pointers),
+// so the serializable state is a straight byte image (SURVEY.md §5
+// checkpoint/resume — the bit reservoir in mainBuf carries cross-frame data,
+// reference mp3_decoder.cpp:8782-8801, and survives the round trip).
+size_t eal_mp3_state_size(void *) { return sizeof(Mp3Frontend); }
+
+int eal_mp3_state_save(void *h, uint8_t *out, size_t cap) {
+  if (cap < sizeof(Mp3Frontend)) return -1;
+  std::memcpy(out, h, sizeof(Mp3Frontend));
+  return 0;
+}
+
+int eal_mp3_state_load(void *h, const uint8_t *data, size_t len) {
+  if (len != sizeof(Mp3Frontend)) return -1;
+  std::memcpy(h, data, sizeof(Mp3Frontend));
+  return 0;
+}
+
 }  // extern "C"
