@@ -38,6 +38,8 @@ __all__ = [
     "gain_factor",
     "unpack_pcm",
     "pack_pcm",
+    "unpack_pcm16_planar2",
+    "pack_pcm16_interleave2",
     "int_to_float",
     "float_to_int",
     "quantized_to_float",
@@ -135,6 +137,33 @@ def pack_pcm(samples: jax.Array, bits: int) -> jax.Array:
     stacked = jnp.stack(parts, axis=-1)  # [..., n, B]
     *lead, n, _ = stacked.shape
     return stacked.reshape(*lead, n * nbytes)
+
+
+def unpack_pcm16_planar2(data: jax.Array) -> jax.Array:
+    """uint8 ``[..., frames*4]`` interleaved stereo s16 -> int32
+    ``[..., 2, frames]`` WITHOUT a transpose: one LE frame (L0 L1 R0 R1) is
+    one int32 ``L | R<<16``, so de-interleaving is a bitcast plus two
+    arithmetic shifts — elementwise, layout-friendly. A [frames, 2] ->
+    [2, frames] transpose of f32 costs ~20x more on TPU (minor-dim-2
+    relayout). Values identical to unpack_pcm + reshape/transpose."""
+    *lead, total = data.shape
+    v = jax.lax.bitcast_convert_type(
+        data.reshape(*lead, total // 4, 4), jnp.int32)        # [..., frames]
+    left = (v << 16) >> 16
+    right = v >> 16
+    return jnp.stack([left, right], axis=-2)                  # [..., 2, frames]
+
+
+def pack_pcm16_interleave2(samples: jax.Array) -> jax.Array:
+    """int32 ``[..., 2, T]`` (16-bit storage convention) -> uint8
+    ``[..., T*4]`` interleaved stereo, transpose-free (inverse of
+    unpack_pcm16_planar2): combine into int32 ``L | R<<16`` and bitcast."""
+    left = samples[..., 0, :]
+    right = samples[..., 1, :]
+    v = (left & 0xFFFF) | (right << 16)
+    *lead, T = v.shape
+    return jax.lax.bitcast_convert_type(v.astype(jnp.int32),
+                                        jnp.uint8).reshape(*lead, T * 4)
 
 
 # -------------------------------------------------------------- int <-> float
