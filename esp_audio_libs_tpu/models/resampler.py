@@ -36,6 +36,7 @@ from ..ops import quantization as q
 from ..ops import sinc
 from ..ops.polyphase import (banded_K, banded_weights_device, polyphase_apply,
                              polyphase_banded)
+from ..ops.polyphase_pallas import pallas_supported, polyphase_banded_pallas
 from ..runtime.phase_grid import (
     HISTORY_MARGIN,
     PhaseState,
@@ -339,8 +340,10 @@ class Resampler:
         if direct is None:
             direct = np.zeros(taps_p, np.float32)
             direct[self.config.number_of_taps // 2 - 1] = 1.0
-        return (jnp.asarray(self._fast_filters_np), jnp.asarray(direct),
-                taps_p, banded_K(float(self.sample_ratio), taps_p))
+        use_pallas = pallas_supported()
+        return (jnp.asarray(self._fast_filters_np), jnp.asarray(direct), taps_p,
+                banded_K(float(self.sample_ratio), taps_p, aligned=use_pallas),
+                use_pallas)
 
     def _unpack_fast(self, data, factor, frames):
         """Packed bytes -> f32 [B, ch, frames]. Stereo s16 avoids the
@@ -376,8 +379,9 @@ class Resampler:
             hist_len = self.hist_len
             coeffs = self._coeffs_dev if post else None
             fir_len = self._fir_len
-            filt_dev, direct_dev, taps_p, K = self._fast_consts()
-            L = max(hist_len + frames, K)
+            filt_dev, direct_dev, taps_p, K, use_pallas = self._fast_consts()
+            L = -(-max(hist_len + frames, K) // 128) * 128  # lane-aligned for Mosaic DMA
+            poly = polyphase_banded_pallas if use_pallas else polyphase_banded
 
             @jax.jit
             def fn(data, factor, hist, bq_states, win0x, idx1, idx2, weight,
@@ -389,8 +393,8 @@ class Resampler:
                     xext = jnp.pad(xext, [(0, 0), (0, 0), (0, L - hist_len - frames)])
                 Wt, starts = banded_weights_device(
                     filt_dev, direct_dev, win0x, idx1, idx2, weight, mode, gen,
-                    K=K, taps_p=taps_p, L=L)
-                out = polyphase_banded(xext, Wt, starts, T=out_max)
+                    K=K, taps_p=taps_p, L=L, aligned=use_pallas)
+                out = poly(xext, Wt, starts, T=out_max)
                 new_bq = list(bq_states)
                 if post:
                     for stage in range(2):
@@ -493,8 +497,9 @@ class Resampler:
             coeffs = self._coeffs_dev if post else None
             fir_len = self._fir_len
             bps_in = q.bytes_per_sample(in_bits)
-            filt_dev, direct_dev, taps_p, K = self._fast_consts()
-            L = max(hist_len + frames, K)
+            filt_dev, direct_dev, taps_p, K, use_pallas = self._fast_consts()
+            L = -(-max(hist_len + frames, K) // 128) * 128  # lane-aligned for Mosaic DMA
+            poly = polyphase_banded_pallas if use_pallas else polyphase_banded
 
             @jax.jit
             def fn(data, factor, hist, bq_states, gi, gw, gens):
@@ -514,8 +519,8 @@ class Resampler:
                         xext = jnp.pad(xext, [(0, 0), (0, 0), (0, L - hist_len - frames)])
                     Wt, st = banded_weights_device(
                         filt_dev, direct_dev, win0x, idx1, idx2, weight, mode,
-                        gen, K=K, taps_p=taps_p, L=L)
-                    out = polyphase_banded(xext, Wt, st, T=out_max)
+                        gen, K=K, taps_p=taps_p, L=L, aligned=use_pallas)
+                    out = poly(xext, Wt, st, T=out_max)
                     new_bq = list(bqs)
                     if post:
                         for stage in range(2):

@@ -32,16 +32,24 @@ __all__ = ["polyphase_apply", "build_banded_weights", "polyphase_banded",
            "banded_weights_device", "banded_K"]
 
 
-def banded_K(ratio: float, taps_p: int, tile: int = 128) -> int:
+def banded_K(ratio: float, taps_p: int, tile: int = 128, *,
+             aligned: bool = False) -> int:
     """Static slab width: a tile of ``tile`` outputs spans at most
     ``(tile-1)/ratio`` window starts plus the (possibly biquad-folded) tap
-    count; rounded up to the lane width."""
+    count; rounded up to the lane width. ``aligned`` adds one lane-width of
+    slack because tile starts are then rounded DOWN to 128 (the Pallas
+    kernel's Mosaic DMAs require lane-aligned slice offsets); the XLA path
+    skips the slack — its dynamic_slice takes any offset and the extra K is
+    pure slab traffic."""
     span = int(np.ceil((tile - 1) / float(ratio))) + taps_p + 8
+    if aligned:
+        span += 128
     return ((span + 127) // 128) * 128
 
 
 def banded_weights_device(filters, direct_row, win0x, idx1, idx2, weight, mode,
-                          gen, *, K: int, taps_p: int, L: int, tile: int = 128):
+                          gen, *, K: int, taps_p: int, L: int, tile: int = 128,
+                          aligned: bool = False):
     """Build the block-banded weight tiles ON DEVICE (inside jit).
 
     The host of a TPU VM can be slow/contended (this box: one CPU shared
@@ -62,9 +70,15 @@ def banded_weights_device(filters, direct_row, win0x, idx1, idx2, weight, mode,
         mode-0 row. win0x/idx1/idx2/weight/mode: ``[T]`` grid arrays
         (T padded to a multiple of tile; entries at t >= gen are ignored).
       gen: traced valid-output count. K/taps_p/L: static (see banded_K; L is
-        xext's time length, for start clamping).
+        xext's time length, for start clamping). With ``aligned`` (the
+        Pallas-kernel contract), K must come from banded_K(aligned=True),
+        tile starts are rounded down to 128 (Mosaic DMA slice offsets must
+        be lane-aligned) and L MUST be a multiple of 128 — an unaligned L
+        would let end-of-buffer clamping push band offsets past K.
     Returns: (Wt ``[nt, K, tile]``, starts int32 ``[nt]``).
     """
+    if aligned and L % 128:
+        raise ValueError(f"xext length {L} must be a multiple of 128 (pad it)")
     T = win0x.shape[0]
     nt = T // tile
     valid = jnp.arange(T, dtype=jnp.int32) < gen
@@ -76,7 +90,10 @@ def banded_weights_device(filters, direct_row, win0x, idx1, idx2, weight, mode,
     feff = jnp.where((mode == 0)[:, None], direct_row[None, :], feff)
     feff = jnp.where(valid[:, None], feff, jnp.float32(0.0))  # zero padded slots
 
-    starts = jnp.minimum(win0x.reshape(nt, tile)[:, 0], L - K).astype(jnp.int32)
+    starts = win0x.reshape(nt, tile)[:, 0]
+    if aligned:
+        starts = (starts // 128) * 128
+    starts = jnp.minimum(starts, L - K).astype(jnp.int32)
     offs = win0x.reshape(nt, tile) - starts[:, None]          # [nt, tile]
     offs = jnp.clip(offs, 0, K - taps_p).astype(jnp.int32)
 

@@ -68,8 +68,12 @@ def sequence_parallel_resample(x, filters_np, direct_row, grid, mesh: Mesh, *,
     assert T_in % D == 0, (T_in, D)
     assert halo >= taps_p, (halo, taps_p)
     T_loc = T_in // D
-    L_loc = T_loc + 2 * halo
+    # right halo absorbs the padding that lane-aligns L_loc (the weight
+    # builder requires L % 128 == 0 for aligned tile starts)
+    halo_r = halo + (-(T_loc + 2 * halo)) % 128
+    L_loc = T_loc + halo + halo_r
     assert L_loc >= K, (L_loc, K)
+    assert T_loc >= halo_r, (T_loc, halo_r)
 
     gen = int(grid.output_generated)
     win0 = grid.win0[:gen].astype(np.int64)
@@ -111,7 +115,7 @@ def sequence_parallel_resample(x, filters_np, direct_row, grid, mesh: Mesh, *,
         out_specs=P(None, None, TIME_AXIS, None))
     def kernel(x_loc, win0x, idx1, idx2, weight, mode, gen_loc):
         lh = jax.lax.ppermute(x_loc[..., -halo:], TIME_AXIS, right_perm)
-        rh = jax.lax.ppermute(x_loc[..., :halo], TIME_AXIS, left_perm)
+        rh = jax.lax.ppermute(x_loc[..., :halo_r], TIME_AXIS, left_perm)
         xext = jnp.concatenate([lh, x_loc, rh], axis=-1)   # [B, ch, L_loc]
         Wt, starts = banded_weights_device(
             filt, direct, win0x[0].astype(jnp.int32), idx1[0], idx2[0],

@@ -88,7 +88,7 @@ def test_device_builder_matches_host(ratio, frames):
     win0x[out_free:] = win0x[out_free - 1]
     pad = lambda a: np.pad(a[:out_free], (0, T - out_free))
     K = banded_K(ratio, taps)
-    L = max(L0, K)
+    L = -(-max(L0, K) // 128) * 128
     xp = np.pad(xext, [(0, 0), (0, 0), (0, L - L0)])
     direct = np.zeros(taps, np.float32)
     direct[taps // 2 - 1] = 1.0
@@ -108,6 +108,35 @@ def test_device_builder_matches_host(ratio, frames):
     gen = g.output_generated
     np.testing.assert_allclose(got[..., :gen], ref[..., :gen], rtol=2e-6, atol=2e-6)
     np.testing.assert_array_equal(got[..., gen:], 0.0)
+
+
+def test_pallas_kernel_matches_xla_interpret():
+    """The Pallas slab-DMA kernel (interpret mode on CPU) must match the XLA
+    banded path to f32 reduction-order tolerance."""
+    from esp_audio_libs_tpu.ops.polyphase_pallas import polyphase_banded_pallas
+
+    rng = np.random.default_rng(5)
+    B, ch, L, nt, K, tile = 4, 2, 2100, 6, 512, 128
+    xext = jnp.asarray(rng.standard_normal((B, ch, L)).astype(np.float32))
+    Wt_np = np.zeros((nt, K, tile), np.float32)
+    for i in range(nt):
+        for j in range(tile):
+            o = rng.integers(0, K - 300)
+            Wt_np[i, o:o + 300, j] = rng.standard_normal(300).astype(np.float32)
+    starts = jnp.asarray(np.minimum(np.arange(nt) * 310, L - K).astype(np.int32))
+    T = nt * tile - 50
+    ref = np.asarray(polyphase_banded(xext, jnp.asarray(Wt_np), starts, T=T))
+    got = np.asarray(polyphase_banded_pallas(
+        xext, jnp.asarray(Wt_np), starts, T=T, interpret=True))
+    np.testing.assert_allclose(got, ref, rtol=2e-6, atol=4e-5)
+
+
+def test_pallas_supported_probe_is_safe():
+    """pallas_supported() must return a bool without raising on any backend
+    (it swallows Mosaic/transport compile failures and falls back)."""
+    from esp_audio_libs_tpu.ops.polyphase_pallas import pallas_supported
+
+    assert pallas_supported() in (True, False)
 
 
 def test_folded_biquad_matches_cascade():

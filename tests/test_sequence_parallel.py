@@ -72,14 +72,13 @@ def test_time_sharded_matches_single_device(fold):
         np.testing.assert_array_equal(y[..., d * To + counts[d]:(d + 1) * To], 0.0)
 
     # single-device reference: same weights over the full (halo-padded) input
-    L = halo + T_in
+    L = -(-max(halo + T_in, K) // 128) * 128   # lane-aligned like production
     T_pad = -(-gen // 128) * 128
     win0x = np.zeros(T_pad, np.int32)
     win0x[:gen] = G.win0[:gen] + halo
     win0x[gen:] = win0x[gen - 1]
     pad = lambda a: np.pad(a[:gen], (0, T_pad - gen))
-    xp = np.pad(x, [(0, 0), (0, 0), (halo, max(0, K - L))])[..., :max(L, K)]
-    xp = np.concatenate([np.zeros((2, 2, 0), np.float32), xp], axis=-1)
+    xp = np.pad(x, [(0, 0), (0, 0), (halo, L - halo - T_in)])
 
     @jax.jit
     def single(xp, win0x, i1, i2, w, m):
