@@ -91,7 +91,9 @@ def bench_reference(frames_per_chunk=4096, n_chunks=8, taps=64, filters=32):
 def main():
     ours = bench_ours()
     try:
-        ref = bench_reference()
+        # best-of-3: the single-core C measurement is noisy on a 1-CPU host
+        # that also runs the device transport threads
+        ref = max(bench_reference() for _ in range(3))
     except Exception:
         ref = None
     vs = (ours / ref) if ref else None

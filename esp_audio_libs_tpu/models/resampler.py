@@ -615,52 +615,3 @@ class Resampler:
             self._chunk_fns[key] = fn
         return self._chunk_fns[key]
 
-    def _get_chunk_fn(self, frames: int, out_max: int):
-        key = (frames, out_max)
-        if key not in self._chunk_fns:
-            ch = self.channels
-            in_bits, out_bits = self.input_bits, self.output_bits
-            exact = self.exact
-            pre, post = self.pre_filter, self.post_filter
-            hist_len, half = self.hist_len, self.config.number_of_taps // 2
-            compute_second = bool(self.bank_flags & sinc.SUBSAMPLE_INTERPOLATE)
-            filters = self.filters
-            coeffs = self._coeffs_dev if (pre or post) else None
-            fir_len = self._fir_len
-
-            @jax.jit
-            def fn(data, factor, hist, bq_states, win0, idx1, idx2, weight, mode, used, gen):
-                B = data.shape[0]
-                x = _stage(q.int_to_float(q.unpack_pcm(data, in_bits), factor), exact)
-                xc = x.reshape(B, frames, ch).transpose(0, 2, 1)  # [B, ch, frames]
-
-                new_bq = list(bq_states)
-                if pre:
-                    for stage in range(2):
-                        xc, new_bq[stage] = bq.biquad_apply(
-                            xc, coeffs, bq_states[stage], exact=exact, fir_len=fir_len)
-                        xc = _stage(xc, exact)
-
-                xext = jnp.concatenate([hist, xc], axis=-1)
-                out = polyphase_apply(
-                    xext, filters, win0 + hist_len, idx1, idx2, weight, mode,
-                    half=half, exact=exact, compute_second=compute_second)  # [B, ch, out_max]
-                out = _stage(out, exact)
-                new_hist = jax.lax.dynamic_slice_in_dim(xext, used, hist_len, axis=-1)
-
-                if post:
-                    for stage in range(2):
-                        out, new_bq[stage] = bq.biquad_apply(
-                            out, coeffs, bq_states[stage], exact=exact, fir_len=fir_len,
-                            valid_len=gen)
-                        out = _stage(out, exact)
-
-                y = out.transpose(0, 2, 1).reshape(B, out_max * ch)
-                samples, clipped = q.float_to_int(y, out_bits)
-                valid = (jnp.arange(out_max * ch, dtype=jnp.int32) < gen * ch)
-                per_stream = jnp.sum((clipped & valid).astype(jnp.uint32), axis=-1)
-                packed = q.pack_pcm(samples, out_bits)
-                return packed, per_stream, new_hist, tuple(new_bq)
-
-            self._chunk_fns[key] = fn
-        return self._chunk_fns[key]
