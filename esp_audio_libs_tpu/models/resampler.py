@@ -199,6 +199,31 @@ class Resampler:
                      self._fold_offset) = bq.fold_biquad_into_filterbank(
                         filters_np, self.lowpass_coeffs, self._fir_len, half=taps // 2)
                 self.hist_len = taps + HISTORY_MARGIN + self._fold_offset
+                if self.post_filter:
+                    # post-lowpass (upsampling) as a banded conv at OUTPUT
+                    # rate: both biquad stages collapse into one truncated IR
+                    # applied through the same slab/MXU engine as the
+                    # polyphase. Stride-1 windows make the weight tile
+                    # IDENTICAL for every 128-output block, so it is one
+                    # static [K2, 128] matrix built here once; starts are
+                    # 128*i (naturally lane-aligned for the Pallas kernel).
+                    post_ir = bq.fir_len_for(self.lowpass_coeffs, cap=8192)
+                    if post_ir is None:
+                        raise NotImplementedError(
+                            "post-filter poles too close to the unit circle "
+                            "for the truncated-IR fast path; use exact=True")
+                    h1 = bq.biquad_impulse(self.lowpass_coeffs, post_ir)
+                    h2 = np.convolve(h1, h1)
+                    row = h2[::-1].astype(np.float32)
+                    Lh = row.shape[0]
+                    self._post_Hlen = Lh - 1
+                    self._post_K = banded_K(1.0, Lh)
+                    W2 = np.zeros((self._post_K, 128), np.float32)
+                    for j in range(128):
+                        W2[j:j + Lh, j] = row
+                    self._post_W2 = jnp.asarray(W2)
+                    self._post_hist = jnp.zeros(
+                        (self.batch, self.channels, self._post_Hlen), jnp.float32)
             self.phase = PhaseState.initial(taps)
             self.phase.advance(taps / 2.0)
             self.history = jnp.zeros((self.batch, self.channels, self.hist_len), jnp.float32)
@@ -222,6 +247,8 @@ class Resampler:
         if self.pre_filter or self.post_filter:
             st["biquad"] = [tuple(np.asarray(s) for s in stage)
                             for stage in self._biquad_state]
+        if getattr(self, "_post_hist", None) is not None:
+            st["post_hist"] = np.asarray(self._post_hist)
         return st
 
     def set_state(self, st: dict) -> None:
@@ -233,6 +260,8 @@ class Resampler:
         if self.pre_filter or self.post_filter:
             self._biquad_state = [tuple(jnp.asarray(s) for s in stage)
                                   for stage in st["biquad"]]
+        if "post_hist" in st:
+            self._post_hist = jnp.asarray(np.asarray(st["post_hist"], np.float32))
 
     # ------------------------------------------------------------------ core
     def resample(self, input_bytes, input_frames_available: int,
@@ -299,13 +328,13 @@ class Resampler:
                 out_max=grid.output_generated, ch=ch)
         else:
             fn = self._get_fast_fn(frames_to_process, output_frames_free)
-            packed, clipped, self.history, new_bq = fn(
+            packed, clipped, self.history, new_oh = fn(
                 data, factor, self.history,
-                tuple(self._biquad_state) if self.post_filter else (),
+                self._post_hist if self.post_filter else jnp.zeros((0,), jnp.float32),
                 *self._pad_grid(grid, output_frames_free),
                 jnp.int32(grid.input_used), jnp.int32(grid.output_generated))
             if self.post_filter:
-                self._biquad_state = list(new_bq)
+                self._post_hist = new_oh
 
         bps_out = q.bytes_per_sample(self.output_bits)
         out = packed[:, : grid.output_generated * ch * bps_out]
@@ -372,19 +401,35 @@ class Resampler:
         per_stream = jnp.sum((clipped & valid).astype(jnp.uint32), axis=-1)
         return q.pack_pcm(samples, out_bits), per_stream
 
+    def _conv_post(self, out, oh, gen, out_max: int, use_pallas: bool):
+        """Post-lowpass (upsampling) as a banded conv over the output stream:
+        ``y[t] = sum_j h2[j] out[t-j]`` with ``oh`` carrying the previous
+        chunk's valid tail (the IIR state approximation is the same
+        truncated-IR one the conv-biquad path used, but it rides the same
+        slab/MXU engine as the polyphase — the per-chunk conv-biquad stages
+        were ~8x the rest of the upsampling pipeline). Returns (y, new_oh)."""
+        Hlen, K2 = self._post_Hlen, self._post_K
+        nt2 = -(-out_max // 128)
+        L2 = -(-(Hlen + out_max + K2) // 128) * 128
+        xe = jnp.concatenate([oh, out], axis=-1)
+        new_oh = jax.lax.dynamic_slice_in_dim(xe, gen, Hlen, axis=-1)
+        xe = jnp.pad(xe, [(0, 0), (0, 0), (0, L2 - Hlen - out_max)])
+        starts2 = jnp.arange(nt2, dtype=jnp.int32) * 128
+        Wt2 = jnp.broadcast_to(self._post_W2[None], (nt2, K2, 128))
+        poly = polyphase_banded_pallas if use_pallas else polyphase_banded
+        return poly(xe, Wt2, starts2, T=out_max), new_oh
+
     def _get_fast_fn(self, frames: int, out_max: int):
         key = ("fast", frames, out_max)
         if key not in self._chunk_fns:
             post = self.post_filter
             hist_len = self.hist_len
-            coeffs = self._coeffs_dev if post else None
-            fir_len = self._fir_len
             filt_dev, direct_dev, taps_p, K, use_pallas = self._fast_consts()
             L = -(-max(hist_len + frames, K) // 128) * 128  # lane-aligned for Mosaic DMA
             poly = polyphase_banded_pallas if use_pallas else polyphase_banded
 
             @jax.jit
-            def fn(data, factor, hist, bq_states, win0x, idx1, idx2, weight,
+            def fn(data, factor, hist, oh, win0x, idx1, idx2, weight,
                    mode, used, gen):
                 xc = self._unpack_fast(data, factor, frames)
                 xext = jnp.concatenate([hist, xc], axis=-1)
@@ -395,14 +440,10 @@ class Resampler:
                     filt_dev, direct_dev, win0x, idx1, idx2, weight, mode, gen,
                     K=K, taps_p=taps_p, L=L, aligned=use_pallas)
                 out = poly(xext, Wt, starts, T=out_max)
-                new_bq = list(bq_states)
                 if post:
-                    for stage in range(2):
-                        out, new_bq[stage] = bq.biquad_apply(
-                            out, coeffs, bq_states[stage], exact=False,
-                            fir_len=fir_len, valid_len=gen)
+                    out, oh = self._conv_post(out, oh, gen, out_max, use_pallas)
                 packed, per_stream = self._quantize_fast(out, gen, out_max)
-                return packed, per_stream, new_hist, tuple(new_bq)
+                return packed, per_stream, new_hist, oh
 
             self._chunk_fns[key] = fn
         return self._chunk_fns[key]
@@ -466,13 +507,13 @@ class Resampler:
                 gi[c, 3, :n] = g.mode[:n]
                 gw[c, :n] = g.weight[:n]
             fn = self._get_fast_stream_fn(chunk_frames, out_max, num_chunks)
-            packed, clipped, self.history, new_bq = fn(
+            packed, clipped, self.history, new_oh = fn(
                 data, factor, self.history,
-                tuple(self._biquad_state) if self.post_filter else (),
+                self._post_hist if self.post_filter else jnp.zeros((0,), jnp.float32),
                 jnp.asarray(gi), jnp.asarray(gw),
                 jnp.asarray(np.asarray(gens, np.int32)))
             if self.post_filter:
-                self._biquad_state = list(new_bq)
+                self._post_hist = new_oh
             return packed, gens, clipped
 
         stack = lambda field: jnp.asarray(np.stack([getattr(g, field) for g in grids]))
@@ -491,23 +532,21 @@ class Resampler:
         key = ("faststream", frames, out_max, num_chunks)
         if key not in self._chunk_fns:
             ch = self.channels
-            in_bits, out_bits = self.input_bits, self.output_bits
+            in_bits = self.input_bits
             post = self.post_filter
             hist_len = self.hist_len
-            coeffs = self._coeffs_dev if post else None
-            fir_len = self._fir_len
             bps_in = q.bytes_per_sample(in_bits)
             filt_dev, direct_dev, taps_p, K, use_pallas = self._fast_consts()
             L = -(-max(hist_len + frames, K) // 128) * 128  # lane-aligned for Mosaic DMA
             poly = polyphase_banded_pallas if use_pallas else polyphase_banded
 
             @jax.jit
-            def fn(data, factor, hist, bq_states, gi, gw, gens):
+            def fn(data, factor, hist, oh, gi, gw, gens):
                 B = data.shape[0]
                 chunk_bytes = frames * ch * bps_in
 
                 def body(carry, xs):
-                    i, hist, bqs = carry
+                    i, hist, oh = carry
                     gi_c, weight, gen = xs
                     win0x, idx1, idx2, mode = (gi_c[0], gi_c[1], gi_c[2], gi_c[3])
                     chunk = jax.lax.dynamic_slice_in_dim(
@@ -521,19 +560,15 @@ class Resampler:
                         filt_dev, direct_dev, win0x, idx1, idx2, weight, mode,
                         gen, K=K, taps_p=taps_p, L=L, aligned=use_pallas)
                     out = poly(xext, Wt, st, T=out_max)
-                    new_bq = list(bqs)
                     if post:
-                        for stage in range(2):
-                            out, new_bq[stage] = bq.biquad_apply(
-                                out, coeffs, bqs[stage], exact=False,
-                                fir_len=fir_len, valid_len=gen)
+                        out, oh = self._conv_post(out, oh, gen, out_max, use_pallas)
                     packed_c, per_stream = self._quantize_fast(out, gen, out_max)
-                    return (i + 1, new_hist, tuple(new_bq)), (packed_c, per_stream)
+                    return (i + 1, new_hist, oh), (packed_c, per_stream)
 
-                init = (jnp.int32(0), hist, bq_states)
-                (_, new_hist, new_bq), (packed, clipped) = jax.lax.scan(
+                init = (jnp.int32(0), hist, oh)
+                (_, new_hist, new_oh), (packed, clipped) = jax.lax.scan(
                     body, init, (gi, gw, gens))
-                return packed, clipped, new_hist, new_bq
+                return packed, clipped, new_hist, new_oh
 
             self._chunk_fns[key] = fn
         return self._chunk_fns[key]

@@ -154,6 +154,35 @@ def test_fast_mode_close(oracle):
     assert np.abs(e - f).max() <= 1
 
 
+def test_fast_mode_close_upsample(oracle):
+    """Upsampling engages the post-filter: in fast mode it runs as a banded
+    conv at output rate (truncated-IR, like the pre-filter fold) — must stay
+    within 1 LSB of the exact path, with matching state across chunks."""
+    cfg = ResamplerConfiguration(16000.0, 44100.0, 16, 16, 2, True, True, 64, 64)
+    rng = np.random.default_rng(6)
+    chunk = 400
+    raw = rng.integers(0, 256, (2, 3 * chunk * cfg.channels * 2), dtype=np.uint8)
+
+    exact = Resampler(batch=2, exact=True)
+    exact.initialize(cfg)
+    fast = Resampler(batch=2, exact=False)
+    fast.initialize(cfg)
+    assert fast.post_filter
+
+    pos = 0
+    for _ in range(3):
+        data = raw[:, pos * 4:(pos + chunk) * 4]
+        out_e, res_e = exact.resample(data, chunk, 1300, 0.0)
+        out_f, res_f = fast.resample(data, chunk, 1300, 0.0)
+        assert (res_e.frames_used, res_e.frames_generated) == \
+            (res_f.frames_used, res_f.frames_generated)
+        e = np.asarray(out_e).view(np.int16).astype(np.int32)
+        f = np.asarray(out_f).view(np.int16).astype(np.int32)
+        assert np.abs(e - f).max() <= 1
+        assert np.array_equal(res_e.clipped_samples, res_f.clipped_samples)
+        pos += res_e.frames_used
+
+
 def test_resample_stream_matches_sequential(oracle):
     """The device-scan streaming path equals per-chunk resample() bit-exactly."""
     cfg = CONFIGS[0]
