@@ -1,0 +1,193 @@
+#!/usr/bin/env python3
+"""Benchmark harness covering ALL of BASELINE.json's benchmark configs.
+
+The driver's contract benchmark is ``bench.py`` (one JSON line, the
+headline 44.1k->16k resample). This script reports the full config list —
+one JSON line per config — plus the north-star aggregate (decode+resample
+realtime-stream equivalents per chip):
+
+  1. flac_to_wav e2e: 44.1kHz/16-bit stereo FLAC -> PCM (batched streams)
+  2. WAV header parse + quantized<->float convert + de/interleave
+  3. ART resample 44.1k->16k stereo (the headline; same as bench.py)
+  4. biquad IIR cascade over batched PCM streams
+  5. Helix MP3 decode (dequant+IMDCT+subband batched across streams)
+
+Each line: {"metric", "value", "unit", "realtime_streams"} where
+realtime_streams = how many concurrent 44.1kHz streams this throughput
+sustains in real time.
+"""
+
+import json
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parent / "tools"))
+
+RT = 44100.0
+
+
+def report(metric, samples_per_s, unit="Msamples/s/chip", ch=2):
+    print(json.dumps({
+        "metric": metric,
+        "value": round(samples_per_s / 1e6, 2),
+        "unit": unit,
+        "realtime_streams": int(samples_per_s / (RT * ch)),
+    }))
+
+
+def bench_flac_e2e(B=256, n_frames=16, block=4096):
+    """Config 1: batched FLAC decode to PCM, 16-bit stereo 44.1k."""
+    import jax
+    jax.config.update("jax_enable_x64", True)
+    from flacgen import SubframePlan, make_flac
+    from esp_audio_libs_tpu.models.batch import BatchedFLACDecoder
+
+    blob, _ = make_flac(rng_seed=1, depth=16, channels=2, block_size=block,
+                        n_frames=n_frames,
+                        plans=[[SubframePlan("lpc", order=8),
+                                SubframePlan("lpc", order=8)]] * n_frames)
+    blobs = [blob] * B
+    bat = BatchedFLACDecoder(B)
+    bat.read_headers(blobs)
+    bodies = [b[d.get_bytes_index():] for b, d in zip(blobs, bat.decoders)]
+    bat.decode_streams(bodies, verify_md5=False)   # warm compile
+    t0 = time.perf_counter()
+    results = bat.decode_streams(bodies, verify_md5=False)
+    dt = time.perf_counter() - t0
+    samples = sum(r[1]["num_samples"] for r in results)
+    report("flac_decode_e2e_16b_stereo", samples / dt)
+
+
+def bench_wav_quant(B=2048, frames=65536):
+    """Config 2: WAV header parse + packed s16 <-> float + de/interleave."""
+    import struct
+    import jax
+    import jax.numpy as jnp
+    from esp_audio_libs_tpu.models.wav import WAVDecoder
+    from esp_audio_libs_tpu.ops import quantization as q
+
+    # header parse rate (host state machine; per-stream)
+    payload = np.zeros(64, np.uint8)
+    fmt = struct.pack("<HHIIHH", 1, 2, 44100, 44100 * 4, 4, 16)
+    wav = (b"RIFF" + struct.pack("<I", 36 + 64) + b"WAVE"
+           + b"fmt " + struct.pack("<I", 16) + fmt
+           + b"data" + struct.pack("<I", 64) + payload.tobytes())
+    t0 = time.perf_counter()
+    n = 20000
+    for _ in range(n):
+        d = WAVDecoder()
+        d.decode_header(wav)
+    hdr_rate = n / (time.perf_counter() - t0)
+
+    rng = np.random.default_rng(0)
+    data = jax.device_put(rng.integers(0, 256, (B, frames * 4), dtype=np.uint8))
+
+    @jax.jit
+    def roundtrip(data):
+        x = q.int_to_float(q.unpack_pcm16_planar2(data), np.float32(1 / 32768.0))
+        s, clip = q.float_to_int(x, 16)
+        return q.pack_pcm16_interleave2(s), jnp.sum(clip)
+
+    out = roundtrip(data)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    reps = 10
+    for _ in range(reps):
+        out = roundtrip(data)
+    jax.block_until_ready(out)
+    dt = (time.perf_counter() - t0) / reps
+    report("quantize_roundtrip_s16_stereo", B * frames * 2 / dt)
+    print(json.dumps({"metric": "wav_header_parse", "value": round(hdr_rate),
+                      "unit": "headers/s (host)"}))
+
+
+def bench_resample(B=2048, frames=8192, n_chunks=8):
+    """Config 3: the headline (same path as bench.py)."""
+    import jax
+    from esp_audio_libs_tpu.models.resampler import Resampler, ResamplerConfiguration
+
+    cfg = ResamplerConfiguration(44100.0, 16000.0, 16, 16, 2, True, True, 64, 32)
+    r = Resampler(batch=B, exact=False)
+    r.initialize(cfg)
+    rng = np.random.default_rng(0)
+    data = jax.device_put(rng.integers(0, 256, (B, n_chunks * frames * 4), dtype=np.uint8))
+    packed, gens, clipped = r.resample_stream(data, frames, n_chunks)
+    jax.block_until_ready(packed)
+    t0 = time.perf_counter()
+    reps = 3
+    for _ in range(reps):
+        packed, gens, clipped = r.resample_stream(data, frames, n_chunks)
+    jax.block_until_ready(packed)
+    dt = (time.perf_counter() - t0) / reps
+    report("resample_44k1_to_16k_stereo_s16", B * frames * n_chunks * 2 / dt)
+
+
+def bench_biquad(B=2048, T=65536):
+    """Config 4: 2x lowpass biquad cascade over batched streams (fast conv
+    path; the exact scan path is the parity mode, not the serving mode)."""
+    import jax
+    import jax.numpy as jnp
+    from esp_audio_libs_tpu.ops import biquad as bq
+
+    coeffs = bq.biquad_init(bq.biquad_lowpass(0.18), 1.0)
+    fir_len = bq.fir_len_for(coeffs)
+    x = jax.device_put(np.random.default_rng(0).standard_normal((B, 2, T)).astype(np.float32))
+    state = [bq.BiquadState.zeros((B, 2)) for _ in range(2)]
+
+    @jax.jit
+    def cascade(x, s0, s1):
+        y, ns0 = bq.biquad_apply(x, jnp.asarray(coeffs), s0, exact=False, fir_len=fir_len)
+        y, ns1 = bq.biquad_apply(y, jnp.asarray(coeffs), s1, exact=False, fir_len=fir_len)
+        return y, ns0, ns1
+
+    out = cascade(x, state[0], state[1])
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    reps = 5
+    for _ in range(reps):
+        out = cascade(x, state[0], state[1])
+    jax.block_until_ready(out)
+    dt = (time.perf_counter() - t0) / reps
+    report("biquad_cascade_2x_stereo", B * 2 * T / dt)
+
+
+def bench_mp3(B=256, n_frames=8):
+    """Config 5: Helix MP3 decode batched across streams (silence frames:
+    every stage incl. IMDCT + subband runs; transport-bound on this host)."""
+    import jax
+    jax.config.update("jax_enable_x64", True)
+    from esp_audio_libs_tpu.models.batch import BatchedMP3Decoder
+    from esp_audio_libs_tpu.runtime.tables import mp3_tables
+
+    T = mp3_tables()
+    total = int(T["slotTab"][0][0][11])
+    frame = bytes([0xFF, 0xE0 | (3 << 3) | 2 | 1, 11 << 4, 0]) + bytes(total - 4)
+    stream = frame * (n_frames + 2)
+    bat = BatchedMP3Decoder(B)
+    pos = [0] * B
+    for _ in range(2):   # warm both vbuf parities
+        got = bat.decode([stream[p:] for p in pos])
+        pos = [p + g[2] for p, g in zip(pos, got)]
+    t0 = time.perf_counter()
+    samples = 0
+    for _ in range(n_frames):
+        got = bat.decode([stream[p:] for p in pos])
+        pos = [p + g[2] for p, g in zip(pos, got)]
+        samples += sum(len(g[1]) for g in got)
+    dt = time.perf_counter() - t0
+    report("mp3_decode_batched_stereo", samples / dt)
+
+
+def main():
+    bench_resample()
+    bench_wav_quant()
+    bench_biquad()
+    bench_flac_e2e()
+    bench_mp3()
+
+
+if __name__ == "__main__":
+    main()

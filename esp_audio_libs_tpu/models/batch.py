@@ -18,10 +18,15 @@ from __future__ import annotations
 
 import numpy as np
 
+import ctypes as C
+
+from ..runtime.native import host_lib
 from ..utils.errors import FLACDecoderResult, MP3Error
 from .flac import FLACDecoder, _frame_kernel
 from .mp3 import MP3Decoder
 from . import mp3_pipeline
+
+_i32p = C.POINTER(C.c_int32)
 
 __all__ = ["BatchedFLACDecoder", "BatchedMP3Decoder"]
 
@@ -56,7 +61,10 @@ class BatchedFLACDecoder:
         """
         n = len(self.decoders)
         assert len(buffers) == n
-        # 1) host front-end: parse every frame of every stream
+        lib = host_lib()
+        # 1) host front-end: parse every frame of every stream. Each frame
+        # also reports whether its residual/warmup words fit int16 — typical
+        # for real audio — so the dominant upload ships at half width.
         parsed = [[] for _ in range(n)]   # per stream: list of frame tuples
         codes = [[] for _ in range(n)]
         for s, (dec, buffer) in enumerate(zip(self.decoders, buffers)):
@@ -71,18 +79,24 @@ class BatchedFLACDecoder:
                 codes[s].append(res)
                 if res != FLACDecoderResult.SUCCESS:
                     break
-                parsed[s].append((data[:, :bs], order, shift, wasted, coeffs, bs, ca, depth))
+                fits16 = bool(lib.eal_flac_frame_fits16(
+                    data.ctypes.data_as(_i32p), data.shape[1],
+                    dec.num_channels, bs))
+                d = data[:, :bs].astype(np.int16) if fits16 else data[:, :bs]
+                parsed[s].append((d, order, shift, wasted, coeffs, bs, ca, depth))
                 pos += consumed
 
         # 2) bucket across ALL streams by the kernel's static shape params
+        # (narrow frames bucket separately: dtype is part of the jit shape)
         buckets = {}
         for s in range(n):
             nch, m32 = self.decoders[s].num_channels, self.decoders[s]._output_32bit
             for i, f in enumerate(parsed[s]):
-                buckets.setdefault((f[5], f[7], nch, m32), []).append((s, i))
+                buckets.setdefault((f[5], f[7], nch, m32, f[0].dtype.itemsize),
+                                   []).append((s, i))
 
         out_chunks = [[None] * len(parsed[s]) for s in range(n)]
-        for (bs, depth, nch, m32), idxs in buckets.items():
+        for (bs, depth, nch, m32, _w), idxs in buckets.items():
             fr = [parsed[s][i] for s, i in idxs]
             packed = _frame_kernel(
                 jnp.asarray(np.stack([f[0] for f in fr])),

@@ -39,11 +39,12 @@ _i32p = C.POINTER(C.c_int32)
 def _frame_kernel(data, coeffs, order, shift, wasted, chan_assign, *, depth, nch, mode32):
     """Device back-end for a batch of frames.
 
-    data: int32 ``[..., C, T]`` (warm-ups + residuals), coeffs ``[..., C, 32]``,
-    order/shift/wasted ``[..., C]``, chan_assign ``[...]``.
-    Returns packed PCM uint8 ``[..., T*C*bps]``.
+    data: int ``[..., C, T]`` (warm-ups + residuals; may arrive int16 when
+    the frame's words fit — the batched feed ships the dominant tensor at
+    half width), coeffs ``[..., C, 32]``, order/shift/wasted ``[..., C]``,
+    chan_assign ``[...]``. Returns packed PCM uint8 ``[..., T*C*bps]``.
     """
-    y = lpc_ops.lpc_restore(data, coeffs, order, shift)
+    y = lpc_ops.lpc_restore(data.astype(jnp.int32), coeffs, order, shift)
     y = y << wasted[..., None]
     if nch == 2:
         y = lpc_ops.decorrelate(y, chan_assign)
@@ -258,16 +259,22 @@ class FLACDecoder:
             if res != FLACDecoderResult.SUCCESS:
                 codes.append(res)
                 break
-            frames.append((data[:, :bs], order, shift, wasted, coeffs, bs, ca, depth))
+            # frames whose residual/warmup words fit int16 ship at half
+            # width (the residual tensor dominates the feed; exact widening
+            # back to int32 happens in the kernel)
+            fits16 = bool(self._lib.eal_flac_frame_fits16(
+                data.ctypes.data_as(_i32p), data.shape[1], self.num_channels, bs))
+            d = data[:, :bs].astype(np.int16) if fits16 else data[:, :bs]
+            frames.append((d, order, shift, wasted, coeffs, bs, ca, depth))
             codes.append(res)
             pos += consumed
 
-        # bucket frames by (block_size, depth) and decode each bucket batched
+        # bucket frames by (block_size, depth, width) and decode batched
         out_chunks = [None] * len(frames)
         buckets = {}
         for i, f in enumerate(frames):
-            buckets.setdefault((f[5], f[7]), []).append(i)
-        for (bs, depth), idxs in buckets.items():
+            buckets.setdefault((f[5], f[7], f[0].dtype.itemsize), []).append(i)
+        for (bs, depth, _w), idxs in buckets.items():
             data = jnp.asarray(np.stack([frames[i][0] for i in idxs]))
             order = jnp.asarray(np.stack([frames[i][1] for i in idxs]))
             shift = jnp.asarray(np.stack([frames[i][2] for i in idxs]))

@@ -88,6 +88,8 @@ def host_lib() -> C.CDLL:
     lib.eal_mp3_granule_params_batch.argtypes = [C.c_int, i32p, i32p, i32p, i32p, i32p, i32p]
     lib.eal_mp3_granule_params_compact_batch.restype = C.c_int
     lib.eal_mp3_granule_params_compact_batch.argtypes = [C.c_int, i32p, i32p, i32p, i32p, i32p, i32p]
+    lib.eal_flac_frame_fits16.restype = C.c_int32
+    lib.eal_flac_frame_fits16.argtypes = [i32p, C.c_size_t, C.c_int32, C.c_int32]
     for codec in ("flac", "mp3"):
         getattr(lib, f"eal_{codec}_state_size").restype = C.c_size_t
         getattr(lib, f"eal_{codec}_state_size").argtypes = [C.c_void_p]
