@@ -11,7 +11,14 @@ re-emits them in canonical form:
   build/mp3_tables.npz   — named numpy arrays (device/python side)
   build/mp3_tables.h     — generated C header (host front-end build)
 
-No reference CODE is extracted — only numeric table contents.
+No reference CODE is extracted — only numeric table contents. Provenance
+caveat (see NOTICE.md): a few tables are Helix-specific fixed-point
+QUANTIZATIONS of the standard's mathematical constants (imdctWin, csa,
+coef32, polyCoef, pow43/pow2 families) — bit-exact parity requires the same
+quantized values — and huffTable/quadTable are extracted in Helix's packed
+layout solely as INPUT to tools/gen_huffman_tables.py, which recovers the
+normative (codeword, length, value) tuples of ISO/IEC 11172-3 Table B.7 and
+re-emits this project's own LUT format for the runtime to use.
 """
 
 from __future__ import annotations
