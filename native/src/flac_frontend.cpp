@@ -72,26 +72,33 @@ static uint16_t crc16(const uint8_t *data, size_t len) {
 }
 
 // -------------------------------------------------------------- LPC bit math
-// Overflow analysis deciding 32- vs 64-bit accumulators (semantics of
-// reference src/decode/flac/flac_lpc.cpp:17-83).
-static uint32_t silog2(int64_t v) {
-  if (v == 0) return 0;
-  if (v == -1) return 2;
-  if (v == INT64_MIN) return 64;
-  uint64_t a = v < 0 ? (uint64_t) (-v) : (uint64_t) v;
-  uint32_t bits = 64 - (uint32_t) __builtin_clzll(a);
-  return bits + 1;
+// Overflow analysis deciding 32- vs 64-bit accumulators.  Same decision as
+// reference src/decode/flac/flac_lpc.cpp:80-83 (the restored sample and the
+// pre-shift prediction sum must both fit in int32), derived here from first
+// principles: a worst-case sample magnitude of 2^(depth-1) times the sum of
+// absolute coefficient values bounds the dot product; the restored sample
+// adds the (ceil-shifted) prediction to a worst-case residual.
+
+// Two's-complement width needed for a non-negative magnitude: value bits
+// plus one sign bit.
+static uint32_t signed_width(uint64_t v) {
+  uint32_t w = 1;
+  while (v) {
+    ++w;
+    v >>= 1;
+  }
+  return w;
 }
 
 static bool can_use_32bit_lpc(uint32_t depth, const int32_t *coefs, uint32_t order, int shift) {
-  uint64_t max_abs_sample = (uint64_t) 1 << (depth - 1);
-  uint32_t abs_sum = 0;
-  for (uint32_t i = 0; i < order; ++i) abs_sum += (uint32_t) std::abs(coefs[i]);
-  uint64_t max_pred_before_shift = max_abs_sample * abs_sum;
-  uint32_t pred_bps = silog2((int64_t) max_pred_before_shift);
-  uint64_t max_pred_after_shift = (uint64_t) (-1 * ((-1 * (int64_t) max_pred_before_shift) >> shift));
-  uint32_t resid_bps = silog2((int64_t) (max_abs_sample + max_pred_after_shift));
-  return resid_bps <= 32 && pred_bps <= 32;
+  uint32_t s = shift > 0 ? (uint32_t) shift : 0;
+  uint64_t peak = (uint64_t) 1 << (depth - 1);
+  uint64_t coef_sum = 0;
+  for (uint32_t i = 0; i < order; ++i)
+    coef_sum += (uint64_t) (coefs[i] < 0 ? -(int64_t) coefs[i] : (int64_t) coefs[i]);
+  uint64_t sum_full = peak * coef_sum;                               // before >> shift
+  uint64_t sum_shifted = (sum_full + (((uint64_t) 1 << s) - 1)) >> s;  // ceil(x / 2^s)
+  return signed_width(sum_full) <= 32 && signed_width(peak + sum_shifted) <= 32;
 }
 
 // ------------------------------------------------------------------- decoder
@@ -100,8 +107,8 @@ struct FlacFrontend {
   const uint8_t *buffer = nullptr;
   size_t buffer_index = 0;
   int64_t bytes_left = 0;
-  uint32_t bit_buffer = 0;
-  uint32_t bit_buffer_length = 0;
+  uint64_t look = 0;      // pending bits, left-justified (next bit = bit 63)
+  uint32_t navail = 0;    // count of valid lookahead bits
   bool out_of_data = false;
 
   // --- STREAMINFO ---
@@ -127,103 +134,133 @@ struct FlacFrontend {
   uint32_t curr_block_size = 0, curr_channel_assign = 0, curr_sample_depth = 0;
 
   // ------------------------------------------------------------- bit reader
-  // Mirrors reference flac_decoder.cpp:911-1047.
+  // 64-bit MSB-first cursor.  The pending bits of the stream sit
+  // LEFT-JUSTIFIED in `look` (the very next stream bit is bit 63) and
+  // `navail` counts how many of them are valid.  `prime()` tops the
+  // lookahead up a byte at a time, so `navail % 8` is invariant across
+  // refills and whole unread bytes can always be handed back to the caller
+  // (`reset_bit_buffer`), preserving the reference's byte-accounting
+  // contract (flac_decoder.cpp:911-1047 — same observable protocol,
+  // different machine).  Rice unary runs are consumed in bulk via
+  // count-leading-zeros instead of bit-at-a-time.
   void reset_bit_buffer() {
-    buffer_index -= bit_buffer_length / 8;
-    bytes_left += bit_buffer_length / 8;
-    bit_buffer_length = 0;
-    bit_buffer = 0;
+    buffer_index -= navail / 8;
+    bytes_left += navail / 8;
+    navail = 0;
+    look = 0;
   }
 
-  bool refill() {
-    if (bytes_left >= 4) {
-      uint32_t w;
-      std::memcpy(&w, buffer + buffer_index, 4);
-      bit_buffer = __builtin_bswap32(w);
-      bit_buffer_length = 32;
-      buffer_index += 4;
-      bytes_left -= 4;
-      return false;
-    } else if (bytes_left > 0) {
-      for (int64_t i = 0; i < bytes_left; ++i) bit_buffer = (bit_buffer << 8) | buffer[buffer_index++];
-      bit_buffer_length = (uint32_t) (8 * bytes_left);
-      bytes_left = 0;
-      return false;
+  // In header mode, a refill pulls at most 4 bytes.  The reference's
+  // streaming-resume protocol leaks its refill granularity through
+  // get_bytes_index() when a metadata region runs dry (HEADER_OUT_OF_DATA
+  // hands back whole *unconsumed* buffered bytes) — matching the observable
+  // resume positions requires matching that granularity in the header
+  // region.  Frame parsing has byte-exact accounting only at frame
+  // boundaries, so it uses the full 64-bit lookahead.
+  bool header_mode = false;
+
+  void prime() {
+    if (header_mode) {
+      for (int n = 0; n < 4 && bytes_left > 0; ++n) {
+        look |= (uint64_t) buffer[buffer_index++] << (56 - navail);
+        --bytes_left;
+        navail += 8;
+      }
+      return;
     }
-    return true;
+    while (navail <= 56 && bytes_left > 0) {
+      look |= (uint64_t) buffer[buffer_index++] << (56 - navail);
+      --bytes_left;
+      navail += 8;
+    }
   }
 
   uint32_t read_uint(uint32_t num_bits) {
-    uint32_t result = 0;
-    int32_t need = (int32_t) num_bits - (int32_t) bit_buffer_length;
-    if (need > 0) {
-      int32_t bytes_needed = (need + 7) / 8;
-      if (bytes_left < bytes_needed) {
+    if (num_bits == 0) return 0;
+    if (navail < num_bits) {
+      prime();
+      if (navail < num_bits) {  // stream exhausted: fail without consuming
         out_of_data = true;
         return 0;
       }
-      if (need < 32) result = bit_buffer << need;
-      refill();
-      bit_buffer_length -= need;
-    } else {
-      bit_buffer_length -= num_bits;
     }
-    result |= bit_buffer >> bit_buffer_length;
-    if (num_bits < 32) result &= ((uint32_t) 1 << num_bits) - 1;
-    return result;
+    uint32_t v = (uint32_t) (look >> (64 - num_bits));
+    look <<= num_bits;
+    navail -= num_bits;
+    return v;
   }
 
   int32_t read_sint(uint32_t num_bits) {
-    if (num_bits > 32) {
-      uint32_t hi = read_uint(num_bits - 32);
-      uint32_t lo = read_uint(32);
-      int64_t v = ((int64_t) hi << 32) | lo;
-      int64_t sign = (int64_t) 1 << (num_bits - 1);
-      if (v & sign) v |= ~(((int64_t) 1 << num_bits) - 1);
-      return (int32_t) v;
+    // Up to 33 bits (32-bit depth + one stereo side bit); result truncates
+    // to int32 exactly as the reference's sample pipeline does.
+    if (num_bits == 0) return 0;
+    if (navail < num_bits) {
+      prime();
+      if (navail < num_bits) {
+        out_of_data = true;
+        return 0;
+      }
     }
-    uint32_t u = read_uint(num_bits);
-    if (num_bits == 32) return (int32_t) u;
-    return (int32_t) u - (((int32_t) u >> (num_bits - 1)) << num_bits);
+    uint64_t u = num_bits ? look >> (64 - num_bits) : 0;
+    look <<= num_bits;
+    navail -= num_bits;
+    int64_t sign = (int64_t) 1 << (num_bits - 1);
+    return (int32_t) (((int64_t) u ^ sign) - sign);
   }
 
   int32_t read_rice_sint(uint32_t param) {
-    uint32_t unary = 0;
-    while (true) {
-      if (bit_buffer_length == 0) {
-        if (refill()) {
+    // Unary quotient: eat whole runs of zero bits with clz, refilling
+    // between runs; then the binary remainder; then zigzag.
+    uint32_t q = 0;
+    for (;;) {
+      if (navail == 0) {
+        prime();
+        if (navail == 0) {
           out_of_data = true;
           return 0;
         }
       }
-      uint32_t bit = (bit_buffer >> (bit_buffer_length - 1)) & 1;
-      bit_buffer_length--;
-      if (bit) break;
-      unary++;
+      uint32_t lz = look ? (uint32_t) __builtin_clzll(look) : 64;
+      if (lz >= navail) {  // every valid bit is zero — consume and refill
+        q += navail;
+        look = 0;
+        navail = 0;
+        continue;
+      }
+      q += lz;  // zeros, then the terminating one-bit
+      look = lz >= 63 ? 0 : look << (lz + 1);  // lz+1 may be 64: full drain
+      navail -= lz + 1;
+      break;
     }
-    uint32_t binary = read_uint(param);
-    uint32_t value = (unary << param) | binary;
-    return (int32_t) ((value >> 1) ^ (uint32_t) (-(int32_t) (value & 1)));
+    uint32_t r = read_uint(param);
+    uint32_t zz = (q << param) | r;
+    return (int32_t) ((zz >> 1) ^ (uint32_t) (-(int32_t) (zz & 1)));
   }
 
   uint32_t read_aligned_byte() { return read_uint(8); }
 
   void align_to_byte() {
-    if (bit_buffer_length >= 8)
-      bit_buffer_length -= bit_buffer_length % 8;
-    else
-      bit_buffer_length = 0;
+    uint32_t drop = navail < 8 ? navail : navail % 8;
+    look <<= drop;
+    navail -= drop;
   }
 
   // ------------------------------------------------------------ read_header
   // Mirrors reference flac_decoder.cpp:35-176.
   int32_t read_header(const uint8_t *buf, size_t len) {
+    int32_t rc = read_header_inner(buf, len);
+    header_mode = false;
+    return rc;
+  }
+
+  int32_t read_header_inner(const uint8_t *buf, size_t len) {
     buffer = buf;
     buffer_index = 0;
     bytes_left = (int64_t) len;
-    bit_buffer = 0;
-    bit_buffer_length = 0;
+    look = 0;
+    navail = 0;
     out_of_data = (len == 0);
+    header_mode = true;
 
     if (!partial_header_read) {
       metadata.clear();
@@ -563,11 +600,11 @@ struct FlacFrontend {
     }
 
     align_to_byte();
-    if (bit_buffer_length / 8 + bytes_left < 2) {
+    if (navail / 8 + bytes_left < 2) {
       reset_bit_buffer();
       return ERR_OUT_OF_DATA;
     }
-    size_t frame_end_index = buffer_index - bit_buffer_length / 8;
+    size_t frame_end_index = buffer_index - navail / 8;
     uint16_t crc_read = (uint16_t) read_uint(16);
     if (enable_crc_check && frame_end_index > frame_start_index) {
       uint16_t calc = crc16(buf + frame_start_index, frame_end_index - frame_start_index);
@@ -713,8 +750,8 @@ int eal_flac_state_load(void *d, const uint8_t *data, size_t len) {
   const uint32_t *s = h.scalars;
   f->buffer = nullptr;          // transient; re-set by the next call
   f->bytes_left = 0;
-  f->bit_buffer = 0;
-  f->bit_buffer_length = 0;
+  f->look = 0;
+  f->navail = 0;
   f->out_of_data = false;
   f->min_block_size = s[0]; f->max_block_size = s[1];
   f->sample_rate = s[2]; f->num_channels = s[3]; f->sample_depth = s[4];
