@@ -14,9 +14,13 @@ if [ -f "$OUT" ] && [ "$OUT" -nt "$newest_src" ]; then
   exit 0
 fi
 
-# the MP3 front-end needs the ISO constant tables extracted as a header
+# the MP3 front-end needs the ISO constant tables extracted as a header,
+# plus the project's own Huffman node tables generated from them
 if [ ! -f "$OUT_DIR/mp3_tables.h" ]; then
   python3 "$DIR/../tools/extract_mp3_tables.py"
+fi
+if [ ! -f "$OUT_DIR/mp3_huff.h" ] || [ "$DIR/../tools/gen_huffman_tables.py" -nt "$OUT_DIR/mp3_huff.h" ]; then
+  python3 "$DIR/../tools/gen_huffman_tables.py"
 fi
 
 g++ -O2 -fPIC -shared -std=c++17 -ffp-contract=off -Wall \

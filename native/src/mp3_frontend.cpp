@@ -1,26 +1,35 @@
 // MP3 (MPEG-1/2/2.5 Layer III) bitstream front-end for esp-audio-libs-tpu.
 //
-// Fresh implementation of the serial half of MP3 decoding: sync search,
-// frame-header and side-info parsing, bit-reservoir management,
-// scalefactor unpacking (MPEG-1 scfsi sharing and MPEG-2/2.5 variants),
-// and Huffman decoding of the spectral data.  It emits dense 576-coefficient
-// int32 tensors (Helix's magnitude + sign-in-MSB convention) plus all the
-// per-granule parameters the batched device back-end needs for
-// dequantization, stereo reconstruction, IMDCT and subband synthesis.
+// Original implementation of the serial half of MP3 decoding: sync search,
+// frame-header and side-info parsing, bit-reservoir management, scalefactor
+// unpacking (MPEG-1 scfsi sharing and the MPEG-2/2.5 LSF scheme), and
+// Huffman decoding of the spectral data.  It emits dense 576-coefficient
+// int32 tensors (magnitude with the sign carried in the MSB, which is what
+// the batched device dequantizer consumes) plus all per-granule parameters
+// the device back-end needs for dequantization, stereo reconstruction, IMDCT
+// and subband synthesis.
 //
-// Behavior mirrors the reference Helix decoder exactly (error codes,
-// reservoir semantics, region partitioning): reference
-// src/decode/mp3_decoder.cpp:1396-1781 (scalefactors), :7080-7555 (Huffman),
-// :8135-8477 (bitstream/header/side info), :8710-8856 (frame driver) — the
-// host/device split is ours, the bitstream behavior is the standard's.
-// Constant tables are the ISO/IEC 11172-3 data extracted to
-// build/mp3_tables.h by tools/extract_mp3_tables.py.
+// Parity contract: observable behavior (error codes, reservoir semantics,
+// region partitioning, bit accounting — including the end-of-allotment
+// phantom-pad protocol, see SpectralCache) matches the reference decoder —
+// reference src/decode/mp3_decoder.cpp:8710-8856 (frame driver), :8304-8477
+// (header/side info), :1424-1781 (scalefactors), :7080-7555 (Huffman) — and
+// the differential tests pin it byte-exactly.  The machinery is this
+// project's own: a single 64-bit MSB-first bit tap (BitTap) serves the
+// header/side-info/scalefactor fields, and Huffman decoding walks the
+// node-tree tables generated from ISO/IEC 11172-3 Table B.7 by
+// tools/gen_huffman_tables.py (build/mp3_huff.h).
+//
+// Constant tables: build/mp3_tables.h (ISO/IEC 11172-3 data, see NOTICE.md)
+// and build/mp3_huff.h (own layout).
 
 #include <cstdint>
 #include <cstdlib>
 #include <cstring>
+#include <cstdio>
 
 #include "../../build/mp3_tables.h"
+#include "../../build/mp3_huff.h"
 
 namespace {
 
@@ -39,60 +48,43 @@ enum {
 
 enum { MPEG1 = 0, MPEG2 = 1, MPEG25 = 2 };
 enum { Stereo = 0, Joint = 1, Dual = 2, Mono = 3 };
-// huffTabType enum values match tools/extract_mp3_tables.py
-enum { TabNoBits = 0, TabOneShot = 1, TabLoopNoLinbits = 2, TabLoopLinbits = 3 };
 
 constexpr int MAX_NGRAN = 2, MAX_NCHAN = 2, MAX_NSAMP = 576, MAX_SCFBD = 4;
 constexpr int MAINBUF_SIZE = 1940;
 constexpr uint8_t SYNCWORDH = 0xff, SYNCWORDL = 0xf0;
 
-// ------------------------------------------------------------- bit reader
-// Big-endian 32-bit cache (semantics of reference :8148-8272).
-struct Bits {
-  const uint8_t *ptr;
-  uint32_t cache = 0;
-  int cached = 0;
-  int nbytes;
+// ---------------------------------------------------------------- bit tap
+// MSB-first tap over [buf, hard_end): the pending bits sit LEFT-JUSTIFIED in
+// a 64-bit lookahead (next stream bit = bit 63) that zero-extends past
+// hard_end.  Every consumer tracks a bit *budget* (the field's allotment in
+// the frame) and rejects anything that would consume past it, so the
+// zero-extension is never observable in accepted output — this replaces the
+// reference readers' cache-masking/padding tricks with plain arithmetic.
+struct BitTap {
+  const uint8_t *cur, *end;
+  uint64_t look = 0;
+  int have = 0;   // valid lookahead bits
+  long used = 0;  // total consumed bits since construction
 
-  Bits(const uint8_t *p, int n) : ptr(p), nbytes(n) {}
+  BitTap(const uint8_t *buf, const uint8_t *hard_end) : cur(buf), end(hard_end) { top_up(); }
 
-  void refill() {
-    if (nbytes >= 4) {
-      cache = ((uint32_t) ptr[0] << 24) | ((uint32_t) ptr[1] << 16) | ((uint32_t) ptr[2] << 8) | ptr[3];
-      ptr += 4;
-      cached = 32;
-      nbytes -= 4;
-    } else {
-      int n = nbytes;
-      cache = 0;
-      while (n--) {
-        cache |= *ptr++;
-        cache <<= 8;
-      }
-      cache <<= (3 - nbytes) * 8;
-      cached = 8 * nbytes;
-      nbytes = 0;
+  void top_up() {
+    while (have <= 56) {
+      look |= (uint64_t) (cur < end ? *cur++ : 0) << (56 - have);
+      have += 8;
     }
   }
-
-  uint32_t get(int nbits) {
-    nbits &= 0x1f;
-    uint32_t data = cache >> (31 - nbits);
-    data >>= 1;
-    cache <<= nbits;
-    cached -= nbits;
-    if (cached < 0) {
-      uint32_t low = -cached;
-      refill();
-      data |= cache >> (32 - low);
-      cached -= low;
-      cache <<= low;
-    }
-    return data;
+  uint32_t peek(int n) const { return n ? (uint32_t) (look >> (64 - n)) : 0; }
+  void skip(int n) {
+    look <<= n;
+    have -= n;
+    used += n;
   }
-
-  int bits_used(const uint8_t *start, int start_offset) const {
-    return (int) (ptr - start) * 8 - cached - start_offset;
+  uint32_t take(int n) {  // n <= 32
+    if (have < n) top_up();
+    uint32_t v = peek(n);
+    skip(n);
+    return v;
   }
 };
 
@@ -107,6 +99,69 @@ struct ScaleFactorSub {
   int l[23];
   int s[13][3];
 };
+
+// ------------------------------------------------------------ LSF layout
+// ISO/IEC 13818-3 LSF scalefactor partitioning: sfCompress selects one of
+// six partition classes (three normal, three for the intensity-coded right
+// channel); each class fixes the four field widths and an NRTab row of
+// band-group counts.
+struct LsfLayout {
+  int slen[4];
+  int row;
+  int preFlag;
+  int intensityScale;
+};
+
+static LsfLayout lsf_layout(int sfCompress, bool intensity, bool mixed) {
+  LsfLayout L = {{0, 0, 0, 0}, 0, 0, 0};
+  int c = sfCompress;
+  if (!intensity) {
+    if (c < 400) {
+      L.slen[0] = (c >> 4) / 5;
+      L.slen[1] = (c >> 4) % 5;
+      L.slen[2] = (c & 15) >> 2;
+      L.slen[3] = c & 3;
+      L.row = 0;
+    } else if (c < 500) {
+      c -= 400;
+      L.slen[0] = (c >> 2) / 5;
+      L.slen[1] = (c >> 2) % 5;
+      L.slen[2] = c & 3;
+      L.row = 1;
+    } else {
+      c -= 500;
+      L.slen[0] = c / 3;
+      L.slen[1] = c % 3;
+      if (mixed) {  // mixed blocks shift the two fields down one group
+        L.slen[2] = L.slen[1];
+        L.slen[1] = L.slen[0];
+      }
+      L.preFlag = 1;
+      L.row = 2;
+    }
+  } else {
+    L.intensityScale = c & 1;
+    c >>= 1;
+    if (c < 180) {
+      L.slen[0] = c / 36;
+      L.slen[1] = (c % 36) / 6;
+      L.slen[2] = c % 6;
+      L.row = 3;
+    } else if (c < 244) {
+      c -= 180;
+      L.slen[0] = (c >> 4) & 3;
+      L.slen[1] = (c >> 2) & 3;
+      L.slen[2] = c & 3;
+      L.row = 4;
+    } else {
+      c -= 244;
+      L.slen[0] = c / 3;
+      L.slen[1] = c % 3;
+      L.row = 5;
+    }
+  }
+  return L;
+}
 
 struct Mp3Frontend {
   // frame header state
@@ -124,7 +179,8 @@ struct Mp3Frontend {
   int sfjs_slen[4] = {0}, sfjs_nr[4] = {0}, sfjs_intensity = 0;
 
   // ------------------------------------------------------------ header
-  // reference UnpackFrameHeader (:8304-8373); returns header length or -1
+  // Field layout per ISO/IEC 11172-3 §2.4.1.3; derived sizes per the
+  // reference (UnpackFrameHeader, :8304-8373).  Returns header length or -1.
   int unpack_frame_header(const uint8_t *buf) {
     if ((buf[0] & SYNCWORDH) != SYNCWORDH || (buf[1] & SYNCWORDL) != SYNCWORDL) return -1;
     int verIdx = (buf[1] >> 3) & 0x03;
@@ -155,455 +211,328 @@ struct Mp3Frontend {
     return crc ? 6 : 4;
   }
 
-  // reference UnpackSideInfo (:8389-8477); returns side-info byte count
+  // Side info per ISO/IEC 11172-3 §2.4.1.7 / 13818-3 (LSF); the
+  // zero-overrides for winSwitch+blockType==0 and the region-count defaults
+  // reproduce the reference's bad-frame tolerance (:8389-8477).  Returns the
+  // side-info byte count.
   int unpack_side_info(const uint8_t *buf) {
-    int nBytes;
-    if (ver == MPEG1) {
-      nBytes = (sMode == Mono ? 17 : 32);
-    } else {
-      nBytes = (sMode == Mono ? 9 : 17);
-    }
-    Bits bsi(buf, nBytes);
-    if (ver == MPEG1) {
-      mainDataBegin = bsi.get(9);
-      bsi.get(sMode == Mono ? 5 : 3);
+    const bool mpeg1 = (ver == MPEG1);
+    const bool mono = (sMode == Mono);
+    const int nBytes = mpeg1 ? (mono ? 17 : 32) : (mono ? 9 : 17);
+    BitTap tap(buf, buf + nBytes);
+
+    mainDataBegin = tap.take(mpeg1 ? 9 : 8);
+    tap.take(mpeg1 ? (mono ? 5 : 3) : (mono ? 1 : 2));  // private bits
+    if (mpeg1)
       for (int ch = 0; ch < nChans; ch++)
-        for (int bd = 0; bd < MAX_SCFBD; bd++) scfsi[ch][bd] = bsi.get(1);
-    } else {
-      mainDataBegin = bsi.get(8);
-      bsi.get(sMode == Mono ? 1 : 2);
-    }
+        for (int bd = 0; bd < MAX_SCFBD; bd++) scfsi[ch][bd] = tap.take(1);
 
     for (int gr = 0; gr < nGrans; gr++) {
       for (int ch = 0; ch < nChans; ch++) {
-        SideInfoSub *s = &sis[gr][ch];
-        s->part23Length = bsi.get(12);
-        s->nBigvals = bsi.get(9);
-        s->globalGain = bsi.get(8);
-        s->sfCompress = bsi.get(ver == MPEG1 ? 4 : 9);
-        s->winSwitchFlag = bsi.get(1);
-        if (s->winSwitchFlag) {
-          s->blockType = bsi.get(2);
-          s->mixedBlock = bsi.get(1);
-          s->tableSelect[0] = bsi.get(5);
-          s->tableSelect[1] = bsi.get(5);
-          s->tableSelect[2] = 0;
-          s->subBlockGain[0] = bsi.get(3);
-          s->subBlockGain[1] = bsi.get(3);
-          s->subBlockGain[2] = bsi.get(3);
-          if (s->blockType == 0) {
-            s->nBigvals = 0;
-            s->part23Length = 0;
-            s->sfCompress = 0;
-          } else if (s->blockType == 2 && s->mixedBlock == 0) {
-            s->region0Count = 8;
-          } else {
-            s->region0Count = 7;
+        SideInfoSub &g = sis[gr][ch];
+        g.part23Length = tap.take(12);
+        g.nBigvals = tap.take(9);
+        g.globalGain = tap.take(8);
+        g.sfCompress = tap.take(mpeg1 ? 4 : 9);
+        g.winSwitchFlag = tap.take(1);
+        if (g.winSwitchFlag) {
+          g.blockType = tap.take(2);
+          g.mixedBlock = tap.take(1);
+          for (int r = 0; r < 2; r++) g.tableSelect[r] = tap.take(5);
+          g.tableSelect[2] = 0;
+          for (int w = 0; w < 3; w++) g.subBlockGain[w] = tap.take(3);
+          if (g.blockType == 0) {
+            // forbidden combination: neutralize the granule
+            g.nBigvals = 0;
+            g.part23Length = 0;
+            g.sfCompress = 0;
           }
-          s->region1Count = 20 - s->region0Count;
+          g.region0Count = (g.blockType == 2 && !g.mixedBlock) ? 8 : 7;
+          g.region1Count = 20 - g.region0Count;
         } else {
-          s->blockType = 0;
-          s->mixedBlock = 0;
-          s->tableSelect[0] = bsi.get(5);
-          s->tableSelect[1] = bsi.get(5);
-          s->tableSelect[2] = bsi.get(5);
-          s->region0Count = bsi.get(4);
-          s->region1Count = bsi.get(3);
+          g.blockType = 0;
+          g.mixedBlock = 0;
+          for (int r = 0; r < 3; r++) g.tableSelect[r] = tap.take(5);
+          g.region0Count = tap.take(4);
+          g.region1Count = tap.take(3);
         }
-        s->preFlag = (ver == MPEG1 ? bsi.get(1) : 0);
-        s->sfactScale = bsi.get(1);
-        s->count1TableSelect = bsi.get(1);
+        g.preFlag = mpeg1 ? tap.take(1) : 0;
+        g.sfactScale = tap.take(1);
+        g.count1TableSelect = tap.take(1);
       }
     }
     return nBytes;
   }
 
   // ------------------------------------------------------- scalefactors
-  // reference UnpackSFMPEG1 (:1424-1505)
-  void unpack_sf_mpeg1(Bits *bsi, SideInfoSub *s, ScaleFactorSub *sf, int *scfsi_ch, int gr, ScaleFactorSub *sfGr0) {
-    int slen0 = eal_SFLenTab[s->sfCompress][0];
-    int slen1 = eal_SFLenTab[s->sfCompress][1];
-    int sfb;
+  // MPEG-1 (ISO/IEC 11172-3 §2.4.2.7): long blocks read 21 bands in four
+  // scfsi groups (granule 1 may share each group with granule 0); short
+  // blocks read 12 bands x 3 windows (mixed: 8 long bands first).
+  void unpack_sf_mpeg1(BitTap *t, const SideInfoSub *s, ScaleFactorSub *sf, const int *scfsi_ch, int gr,
+                       const ScaleFactorSub *sfGr0) {
+    const int slen0 = eal_SFLenTab[s->sfCompress][0];
+    const int slen1 = eal_SFLenTab[s->sfCompress][1];
     if (s->blockType == 2) {
+      int sfb = 0;
       if (s->mixedBlock) {
-        for (sfb = 0; sfb < 8; sfb++) sf->l[sfb] = bsi->get(slen0);
+        for (; sfb < 8; sfb++) sf->l[sfb] = t->take(slen0);
         sfb = 3;
-      } else {
-        sfb = 0;
       }
-      for (; sfb < 6; sfb++)
-        for (int w = 0; w < 3; w++) sf->s[sfb][w] = bsi->get(slen0);
-      for (; sfb < 12; sfb++)
-        for (int w = 0; w < 3; w++) sf->s[sfb][w] = bsi->get(slen1);
+      for (; sfb < 12; sfb++) {
+        const int sl = sfb < 6 ? slen0 : slen1;
+        for (int w = 0; w < 3; w++) sf->s[sfb][w] = t->take(sl);
+      }
       sf->s[12][0] = sf->s[12][1] = sf->s[12][2] = 0;
     } else {
-      if (gr == 0) {
-        for (sfb = 0; sfb < 11; sfb++) sf->l[sfb] = bsi->get(slen0);
-        for (sfb = 11; sfb < 21; sfb++) sf->l[sfb] = bsi->get(slen1);
-        return;
+      static const int kGroupEnd[MAX_SCFBD] = {6, 11, 16, 21};
+      int sfb = 0;
+      for (int grp = 0; grp < MAX_SCFBD; grp++) {
+        const int sl = grp < 2 ? slen0 : slen1;
+        const bool share = (gr != 0) && scfsi_ch[grp];
+        for (; sfb < kGroupEnd[grp]; sfb++) sf->l[sfb] = share ? sfGr0->l[sfb] : t->take(sl);
       }
-      sfb = 0;
-      if (scfsi_ch[0]) for (; sfb < 6; sfb++) sf->l[sfb] = sfGr0->l[sfb];
-      else for (; sfb < 6; sfb++) sf->l[sfb] = bsi->get(slen0);
-      if (scfsi_ch[1]) for (; sfb < 11; sfb++) sf->l[sfb] = sfGr0->l[sfb];
-      else for (; sfb < 11; sfb++) sf->l[sfb] = bsi->get(slen0);
-      if (scfsi_ch[2]) for (; sfb < 16; sfb++) sf->l[sfb] = sfGr0->l[sfb];
-      else for (; sfb < 16; sfb++) sf->l[sfb] = bsi->get(slen1);
-      if (scfsi_ch[3]) for (; sfb < 21; sfb++) sf->l[sfb] = sfGr0->l[sfb];
-      else for (; sfb < 21; sfb++) sf->l[sfb] = bsi->get(slen1);
       sf->l[21] = 0;
       sf->l[22] = 0;
     }
   }
 
-  // reference UnpackSFMPEG2 (:1574-1720)
-  void unpack_sf_mpeg2(Bits *bsi, SideInfoSub *s, ScaleFactorSub *sf, int gr, int ch, int mode_ext) {
-    (void) gr;
-    int slen[4], nr[4];
-    int sfCompress = s->sfCompress;
-    int preFlag = 0, intensityScale = 0, sfcIdx;
+  // MPEG-2/2.5 LSF (ISO/IEC 13818-3): four variable-width field groups laid
+  // out by lsf_layout(); band-group counts from NRTab by partition class and
+  // block shape.
+  void unpack_sf_mpeg2(BitTap *t, SideInfoSub *s, ScaleFactorSub *sf, int ch, int mode_ext) {
+    const bool intensity = (mode_ext & 0x01) && (ch == 1);
+    const LsfLayout L = lsf_layout(s->sfCompress, intensity, s->mixedBlock != 0);
+    const int btIdx = s->blockType == 2 ? (s->mixedBlock ? 2 : 1) : 0;
 
-    if (!((mode_ext & 0x01) && (ch == 1))) {
-      if (sfCompress < 400) {
-        slen[0] = (sfCompress >> 4) / 5;
-        slen[1] = (sfCompress >> 4) % 5;
-        slen[2] = (sfCompress & 0x0f) >> 2;
-        slen[3] = (sfCompress & 0x03);
-        sfcIdx = 0;
-      } else if (sfCompress < 500) {
-        sfCompress -= 400;
-        slen[0] = (sfCompress >> 2) / 5;
-        slen[1] = (sfCompress >> 2) % 5;
-        slen[2] = (sfCompress & 0x03);
-        slen[3] = 0;
-        sfcIdx = 1;
-      } else {
-        sfCompress -= 500;
-        slen[0] = sfCompress / 3;
-        slen[1] = sfCompress % 3;
-        slen[2] = slen[3] = 0;
-        if (s->mixedBlock) {
-          slen[2] = slen[1];
-          slen[1] = slen[0];
-        }
-        preFlag = 1;
-        sfcIdx = 2;
+    int nr[4];
+    for (int r = 0; r < 4; r++) nr[r] = eal_NRTab[L.row][btIdx][r];
+
+    if (intensity) {  // stash for the device's intensity-stereo stage
+      for (int r = 0; r < 4; r++) {
+        sfjs_slen[r] = L.slen[r];
+        sfjs_nr[r] = nr[r];
       }
-    } else {
-      intensityScale = sfCompress & 0x01;
-      sfCompress >>= 1;
-      if (sfCompress < 180) {
-        slen[0] = sfCompress / 36;
-        slen[1] = (sfCompress % 36) / 6;
-        slen[2] = (sfCompress % 36) % 6;
-        slen[3] = 0;
-        sfcIdx = 3;
-      } else if (sfCompress < 244) {
-        sfCompress -= 180;
-        slen[0] = (sfCompress & 0x3f) >> 4;
-        slen[1] = (sfCompress & 0x0f) >> 2;
-        slen[2] = (sfCompress & 0x03);
-        slen[3] = 0;
-        sfcIdx = 4;
-      } else {
-        sfCompress -= 244;
-        slen[0] = sfCompress / 3;
-        slen[1] = sfCompress % 3;
-        slen[2] = slen[3] = 0;
-        sfcIdx = 5;
-      }
+      sfjs_intensity = L.intensityScale;
     }
+    s->preFlag = L.preFlag;
 
-    int btIdx = 0;
-    if (s->blockType == 2) btIdx = (s->mixedBlock ? 2 : 1);
-    for (int i = 0; i < 4; i++) nr[i] = eal_NRTab[sfcIdx][btIdx][i];
-
-    if ((mode_ext & 0x01) && (ch == 1)) {
-      for (int i = 0; i < 4; i++) {
-        sfjs_slen[i] = slen[i];
-        sfjs_nr[i] = nr[i];
-      }
-      sfjs_intensity = intensityScale;
-    }
-    s->preFlag = preFlag;
-
-    int sfb, nrIdx;
     if (s->blockType == 2) {
-      if (s->mixedBlock) {
-        for (sfb = 0; sfb < 6; sfb++) sf->l[sfb] = bsi->get(slen[0]);
+      int sfb = 0, grp = 0;
+      if (s->mixedBlock) {  // six long bands with the first width, then short
+        for (; sfb < 6; sfb++) sf->l[sfb] = t->take(L.slen[0]);
         sfb = 3;
-        nrIdx = 1;
-      } else {
-        sfb = 0;
-        nrIdx = 0;
+        grp = 1;
       }
-      for (; nrIdx <= 3; nrIdx++)
-        for (int i = 0; i < nr[nrIdx]; i++, sfb++)
-          for (int w = 0; w < 3; w++) sf->s[sfb][w] = bsi->get(slen[nrIdx]);
+      for (; grp < 4; grp++)
+        for (int i = 0; i < nr[grp]; i++, sfb++)
+          for (int w = 0; w < 3; w++) sf->s[sfb][w] = t->take(L.slen[grp]);
       sf->s[12][0] = sf->s[12][1] = sf->s[12][2] = 0;
     } else {
-      sfb = 0;
-      for (nrIdx = 0; nrIdx <= 3; nrIdx++)
-        for (int i = 0; i < nr[nrIdx]; i++, sfb++) sf->l[sfb] = bsi->get(slen[nrIdx]);
-      sf->l[21] = sf->l[22] = 0;
+      int sfb = 0;
+      for (int grp = 0; grp < 4; grp++)
+        for (int i = 0; i < nr[grp]; i++, sfb++) sf->l[sfb] = t->take(L.slen[grp]);
+      sf->l[21] = 0;
+      sf->l[22] = 0;
     }
   }
 
-  // reference UnpackScaleFactors (:1722-1781); returns bytes consumed
+  // Returns bytes consumed; *bitOffset tracks the sub-byte position exactly
+  // like the reference driver expects (UnpackScaleFactors, :1722-1781).
   int unpack_scale_factors(const uint8_t *buf, int *bitOffset, int bitsAvail, int gr, int ch) {
-    const uint8_t *startBuf = buf;
-    Bits bsi(buf, (bitsAvail + *bitOffset + 7) / 8);
-    if (*bitOffset) bsi.get(*bitOffset);
+    BitTap tap(buf, buf + ((size_t) (bitsAvail + *bitOffset + 7) >> 3));
+    tap.skip(*bitOffset);
 
     if (ver == MPEG1)
-      unpack_sf_mpeg1(&bsi, &sis[gr][ch], &sfis[gr][ch], scfsi[ch], gr, &sfis[0][ch]);
+      unpack_sf_mpeg1(&tap, &sis[gr][ch], &sfis[gr][ch], scfsi[ch], gr, &sfis[0][ch]);
     else
-      unpack_sf_mpeg2(&bsi, &sis[gr][ch], &sfis[gr][ch], gr, ch, modeExt);
+      unpack_sf_mpeg2(&tap, &sis[gr][ch], &sfis[gr][ch], ch, modeExt);
 
-    int bitsUsed = bsi.bits_used(buf, *bitOffset);
-    buf += (bitsUsed + *bitOffset) >> 3;
-    *bitOffset = (bitsUsed + *bitOffset) & 0x07;
-    return (int) (buf - startBuf);
+    const long total = tap.used;  // bitOffset + field bits
+    *bitOffset = (int) (total & 0x07);
+    return (int) (total >> 3);
   }
 };
 
 // ----------------------------------------------------------------- Huffman
-// Magnitude with sign bit stored in the MSB (two's complement applied in the
-// device dequantizer) — reference ApplySign (:7095-7099).
-static inline void apply_sign(int &x, uint32_t cache) { x |= (int) (cache & 0x80000000u); }
+// Spectral-value decoding over the project's own node-tree tables
+// (build/mp3_huff.h; see tools/gen_huffman_tables.py for the entry
+// encoding).  Magnitudes carry their sign in the MSB; the device
+// dequantizer applies two's complement.
 
-// reference DecodeHuffmanPairs (:7122-7330); returns bits used or -1
-static int decode_huffman_pairs(int32_t *xy, int nVals, int tabIdx, int bitsLeft, const uint8_t *buf, int bitOffset) {
-  if (nVals <= 0) return 0;
-  if (bitsLeft < 0) return -1;
-  int startBits = bitsLeft;
-
-  const uint16_t *tBase = eal_huffTable + eal_huffTabOffset[tabIdx];
-  int linBits = eal_huffLinBits[tabIdx];
-  int tabType = eal_huffTabType[tabIdx];
-
+// Cache for the spectral sections.  The reference decoder's behavior past
+// the end of a granule's bit allotment is observable in ACCEPTED output (the
+// fuzz-parity suite covers garbage streams), so this reproduces its
+// end-of-allotment protocol exactly (DecodeHuffmanPairs / DecodeHuffmanQuads,
+// reference mp3_decoder.cpp:7122-7445): a 32-bit left-justified cache
+// refills 16 bits at a time while the allotment lasts; once drained, every
+// further refill masks the cache down to the bits genuinely owned and grants
+// a block of phantom zero bits (11 for pairs, 10 for quads).  Values that
+// dip into the phantom region are still accepted as long as the level stays
+// at or above the outstanding grant after the value's sign bits, and the
+// final bits-used figure credits unconsumed phantom bits back to the caller.
+// `level` counts phantom bits too and may exceed 32 — bits beyond the
+// register are zeros by construction, and left shifts keep them zero.
+struct SpectralCache {
+  const uint8_t *cur;
   uint32_t cache = 0;
-  int cachedBits = (8 - bitOffset) & 0x07;
-  if (cachedBits) cache = (uint32_t) (*buf++) << (32 - cachedBits);
-  bitsLeft -= cachedBits;
+  int level = 0;  // bits conceptually in the cache (incl. phantom grants)
+  int avail;      // allotment bits not yet moved into the cache
+  int pad = 0;    // outstanding phantom grant (0 until the allotment drains)
 
-  if (tabType == TabNoBits) {
-    for (int i = 0; i < nVals; i += 2) {
-      xy[i] = 0;
-      xy[i + 1] = 0;
+  SpectralCache(const uint8_t *buf, int budget, int bitOffset) : cur(buf), avail(budget) {
+    level = (8 - bitOffset) & 0x07;  // any partial byte enters immediately
+    if (level) cache = (uint32_t) (*cur++) << (32 - level);
+    avail -= level;  // may go negative: the drain step settles the debt
+  }
+
+  // One refill step: 16 fresh bits while they last, else the drain-and-pad
+  // grant.  Returns false when nothing at all is left to grant.
+  bool refill(int grant) {
+    if (avail >= 16) {
+      cache |= (uint32_t) (*cur++) << (24 - level);
+      cache |= (uint32_t) (*cur++) << (16 - level);
+      level += 16;
+      avail -= 16;
+      return true;
     }
+    if (level + avail <= 0) return false;
+    if (avail > 0) cache |= (uint32_t) (*cur++) << (24 - level);
+    if (avail > 8) cache |= (uint32_t) (*cur++) << (16 - level);
+    level += avail;
+    avail = 0;
+    cache &= (uint32_t) ((int32_t) 0x80000000 >> (level - 1));  // keep owned bits
+    pad = grant;
+    level += grant;
+    return true;
+  }
+
+  // Escape-sequence top-up (linbits + sign): byte-at-a-time, allowed to
+  // overdraw the allotment by a partial byte, then clamps back to the owned
+  // bits.  No phantom grant.  Returns false when the allotment can't cover.
+  bool top_up_escape(int need) {
+    if (level + avail < need) return false;
+    while (level < need) {
+      cache |= (uint32_t) (*cur++) << (24 - level);
+      level += 8;
+      avail -= 8;
+    }
+    if (avail < 0) {
+      level += avail;
+      avail = 0;
+      cache &= (uint32_t) ((int32_t) 0x80000000 >> (level - 1));
+    }
+    return true;
+  }
+
+  uint32_t peek(int n) const { return cache >> (32 - n); }
+  void drop(int n) {
+    cache <<= n;
+    level -= n;
+  }
+  bool sign() {  // consume one sign bit: true = negative
+    bool s = (cache & 0x80000000u) != 0;
+    drop(1);
+    return s;
+  }
+};
+
+// Decode nVals big-value coefficients ((x,y) pairs) of pair table `tabIdx`
+// from the `budget`-bit allotment starting at (buf, bitOffset).  Returns the
+// bit count consumed (phantom credit included, as the caller's region
+// accounting expects), or -1 on allotment exhaustion / reserved table.
+//
+// The codeword walk descends this project's node tables (build/mp3_huff.h)
+// one node per step; the walk pauses for a refill whenever the level drops
+// below 11 (max root/sub node width 9 + 2 sign bits) and resumes at the same
+// node, so phantom grants can land mid-codeword exactly as in the reference.
+static int decode_pairs(int32_t *xy, int nVals, int tabIdx, int budget, const uint8_t *buf, int bitOffset) {
+  if (nVals <= 0) return 0;
+  if (budget < 0) return -1;
+
+  const int32_t tabOff = eal_pair_node_off[tabIdx];
+  if (tabOff == -2) {  // value-less table: the whole region is zeros, no bits
+    for (int i = 0; i < nVals; i++) xy[i] = 0;
     return 0;
   }
+  if (tabOff == -1) return -1;  // reserved table id: stream error
 
-  int padBits = 0;
-  if (tabType == TabOneShot) {
-    int maxBits = tBase[0] & 0x0f;
-    tBase++;
-    while (nVals > 0) {
-      if (bitsLeft >= 16) {
-        cache |= (uint32_t) (*buf++) << (24 - cachedBits);
-        cache |= (uint32_t) (*buf++) << (16 - cachedBits);
-        cachedBits += 16;
-        bitsLeft -= 16;
-      } else {
-        if (cachedBits + bitsLeft <= 0) return -1;
-        if (bitsLeft > 0) cache |= (uint32_t) (*buf++) << (24 - cachedBits);
-        if (bitsLeft > 8) cache |= (uint32_t) (*buf++) << (16 - cachedBits);
-        cachedBits += bitsLeft;
-        bitsLeft = 0;
-        cache &= (uint32_t) ((int32_t) 0x80000000 >> (cachedBits - 1));
-        padBits = 11;
-        cachedBits += padBits;
+  const uint16_t *tab = eal_pair_nodes + tabOff;
+  const uint16_t *node = tab;
+  const int lin = eal_huffLinBits[tabIdx];
+  SpectralCache sc(buf, budget, bitOffset);
+
+  while (nVals > 0) {
+    if (!sc.refill(11)) return -1;
+    while (nVals > 0 && sc.level >= 11) {
+      const int nb = node[0];
+      const uint16_t e = node[1 + sc.peek(nb)];
+      if (!(e & 0x8000)) {  // interior link: descend (walk may pause here)
+        sc.drop(nb);
+        node = tab + e;
+        continue;
       }
-      while (nVals > 0 && cachedBits >= 11) {
-        uint16_t cw = tBase[cache >> (32 - maxBits)];
-        int len = (cw >> 12) & 0x0f;
-        cachedBits -= len;
-        cache <<= len;
-        int x = (cw >> 4) & 0x0f;
-        if (x) {
-          apply_sign(x, cache);
-          cache <<= 1;
-          cachedBits--;
-        }
-        int y = (cw >> 8) & 0x0f;
-        if (y) {
-          apply_sign(y, cache);
-          cache <<= 1;
-          cachedBits--;
-        }
-        if (cachedBits < padBits) return -1;
-        *xy++ = x;
-        *xy++ = y;
-        nVals -= 2;
+      sc.drop((e >> 8) & 0x0f);
+
+      int32_t x = e & 0x0f, y = (e >> 4) & 0x0f;
+      if (x == 15 && lin) {
+        if (!sc.top_up_escape(lin + 1 + (y ? 1 : 0))) return -1;
+        x += (int32_t) sc.peek(lin);
+        sc.drop(lin);
       }
+      if (x && sc.sign()) x = (int32_t) ((uint32_t) x | 0x80000000u);
+      if (y == 15 && lin) {
+        if (!sc.top_up_escape(lin + 1)) return -1;
+        y += (int32_t) sc.peek(lin);
+        sc.drop(lin);
+      }
+      if (y && sc.sign()) y = (int32_t) ((uint32_t) y | 0x80000000u);
+
+      if (sc.level < sc.pad) return -1;  // consumed into the phantom grant
+      *xy++ = x;
+      *xy++ = y;
+      nVals -= 2;
+      node = tab;
     }
-    bitsLeft += (cachedBits - padBits);
-    return startBits - bitsLeft;
   }
-
-  if (tabType == TabLoopLinbits || tabType == TabLoopNoLinbits) {
-    const uint16_t *tCurr = tBase;
-    while (nVals > 0) {
-      if (bitsLeft >= 16) {
-        cache |= (uint32_t) (*buf++) << (24 - cachedBits);
-        cache |= (uint32_t) (*buf++) << (16 - cachedBits);
-        cachedBits += 16;
-        bitsLeft -= 16;
-      } else {
-        if (cachedBits + bitsLeft <= 0) return -1;
-        if (bitsLeft > 0) cache |= (uint32_t) (*buf++) << (24 - cachedBits);
-        if (bitsLeft > 8) cache |= (uint32_t) (*buf++) << (16 - cachedBits);
-        cachedBits += bitsLeft;
-        bitsLeft = 0;
-        cache &= (uint32_t) ((int32_t) 0x80000000 >> (cachedBits - 1));
-        padBits = 11;
-        cachedBits += padBits;
-      }
-      while (nVals > 0 && cachedBits >= 11) {
-        int maxBits = tCurr[0] & 0x0f;
-        uint16_t cw = tCurr[(cache >> (32 - maxBits)) + 1];
-        int len = (cw >> 12) & 0x0f;
-        if (!len) {
-          cachedBits -= maxBits;
-          cache <<= maxBits;
-          tCurr += cw;
-          continue;
-        }
-        cachedBits -= len;
-        cache <<= len;
-
-        int x = (cw >> 4) & 0x0f;
-        int y = (cw >> 8) & 0x0f;
-
-        if (x == 15 && tabType == TabLoopLinbits) {
-          int minBits = linBits + 1 + (y ? 1 : 0);
-          if (cachedBits + bitsLeft < minBits) return -1;
-          while (cachedBits < minBits) {
-            cache |= (uint32_t) (*buf++) << (24 - cachedBits);
-            cachedBits += 8;
-            bitsLeft -= 8;
-          }
-          if (bitsLeft < 0) {
-            cachedBits += bitsLeft;
-            bitsLeft = 0;
-            cache &= (uint32_t) ((int32_t) 0x80000000 >> (cachedBits - 1));
-          }
-          x += (int) (cache >> (32 - linBits));
-          cachedBits -= linBits;
-          cache <<= linBits;
-        }
-        if (x) {
-          apply_sign(x, cache);
-          cache <<= 1;
-          cachedBits--;
-        }
-        if (y == 15 && tabType == TabLoopLinbits) {
-          int minBits = linBits + 1;
-          if (cachedBits + bitsLeft < minBits) return -1;
-          while (cachedBits < minBits) {
-            cache |= (uint32_t) (*buf++) << (24 - cachedBits);
-            cachedBits += 8;
-            bitsLeft -= 8;
-          }
-          if (bitsLeft < 0) {
-            cachedBits += bitsLeft;
-            bitsLeft = 0;
-            cache &= (uint32_t) ((int32_t) 0x80000000 >> (cachedBits - 1));
-          }
-          y += (int) (cache >> (32 - linBits));
-          cachedBits -= linBits;
-          cache <<= linBits;
-        }
-        if (y) {
-          apply_sign(y, cache);
-          cache <<= 1;
-          cachedBits--;
-        }
-        if (cachedBits < padBits) return -1;
-        *xy++ = x;
-        *xy++ = y;
-        nVals -= 2;
-        tCurr = tBase;
-      }
-    }
-    bitsLeft += (cachedBits - padBits);
-    return startBits - bitsLeft;
-  }
-
-  return -1;  // invalid table
+  // unused allotment = unread bits + cache level net of the phantom grant
+  return budget - (sc.avail + sc.level - sc.pad);
 }
 
-// reference DecodeHuffmanQuads (:7354-7445); returns count decoded
-static int decode_huffman_quads(int32_t *vwxy, int nVals, int tabIdx, int bitsLeft, const uint8_t *buf,
-                                int bitOffset) {
-  if (bitsLeft <= 0) return 0;
-  const uint8_t *tBase = eal_quadTable + eal_quadTabOffset[tabIdx];
-  int maxBits = eal_quadTabMaxBits[tabIdx];
+// Decode count1-region quads until values or allotment run out.  Returns the
+// number of values stored (multiple of 4); exhaustion here is not an error —
+// a quad is dropped once it would consume into the phantom grant.
+static int decode_quads(int32_t *vwxy, int nVals, int tabIdx, int budget, const uint8_t *buf, int bitOffset) {
+  if (budget <= 0) return 0;
+  const int qb = eal_quad_bits[tabIdx];
+  const uint16_t *lut = eal_quad_lut + eal_quad_offs[tabIdx];
+  SpectralCache sc(buf, budget, bitOffset);
 
-  uint32_t cache = 0;
-  int cachedBits = (8 - bitOffset) & 0x07;
-  if (cachedBits) cache = (uint32_t) (*buf++) << (32 - cachedBits);
-  bitsLeft -= cachedBits;
-
-  int i = 0, padBits = 0;
-  while (i < (nVals - 3)) {
-    if (bitsLeft >= 16) {
-      cache |= (uint32_t) (*buf++) << (24 - cachedBits);
-      cache |= (uint32_t) (*buf++) << (16 - cachedBits);
-      cachedBits += 16;
-      bitsLeft -= 16;
-    } else {
-      if (cachedBits + bitsLeft <= 0) return i;
-      if (bitsLeft > 0) cache |= (uint32_t) (*buf++) << (24 - cachedBits);
-      if (bitsLeft > 8) cache |= (uint32_t) (*buf++) << (16 - cachedBits);
-      cachedBits += bitsLeft;
-      bitsLeft = 0;
-      cache &= (uint32_t) ((int32_t) 0x80000000 >> (cachedBits - 1));
-      padBits = 10;
-      cachedBits += padBits;
-    }
-    while (i < (nVals - 3) && cachedBits >= 10) {
-      uint8_t cw = tBase[cache >> (32 - maxBits)];
-      int len = (cw >> 4) & 0x0f;
-      cachedBits -= len;
-      cache <<= len;
-      int v = (cw >> 3) & 0x01;
-      if (v) {
-        apply_sign(v, cache);
-        cache <<= 1;
-        cachedBits--;
+  int i = 0;
+  while (i < nVals - 3) {
+    if (!sc.refill(10)) return i;
+    while (i < nVals - 3 && sc.level >= 10) {
+      const uint16_t e = lut[sc.peek(qb)];
+      sc.drop(e >> 8);
+      int32_t q[4];
+      for (int k = 0; k < 4; k++) {  // v, w, x, y
+        int32_t v = (e >> (3 - k)) & 1;
+        if (v && sc.sign()) v = (int32_t) 0x80000001u;
+        q[k] = v;
       }
-      int w = (cw >> 2) & 0x01;
-      if (w) {
-        apply_sign(w, cache);
-        cache <<= 1;
-        cachedBits--;
-      }
-      int x = (cw >> 1) & 0x01;
-      if (x) {
-        apply_sign(x, cache);
-        cache <<= 1;
-        cachedBits--;
-      }
-      int y = (cw >> 0) & 0x01;
-      if (y) {
-        apply_sign(y, cache);
-        cache <<= 1;
-        cachedBits--;
-      }
-      if (cachedBits < padBits) return i;
-      *vwxy++ = v;
-      *vwxy++ = w;
-      *vwxy++ = x;
-      *vwxy++ = y;
+      if (sc.level < sc.pad) return i;
+      vwxy[i] = q[0];
+      vwxy[i + 1] = q[1];
+      vwxy[i + 2] = q[2];
+      vwxy[i + 3] = q[3];
       i += 4;
     }
   }
   return i;
 }
 
-// reference DecodeHuffman (:7470-7555); returns bytes consumed or -1
+// Region partitioning (ISO/IEC 11172-3 §2.4.2.7: region boundaries come from
+// the scalefactor-band table; reference DecodeHuffman :7470-7555) and the
+// three pair regions + count1 quads.  Returns bytes consumed or -1.
 static int decode_huffman(Mp3Frontend *fe, const uint8_t *buf, int *bitOffset, int huffBlockBits, int gr, int ch,
                           int32_t *huffDecBuf, int32_t *nonZeroBound) {
   const uint8_t *startBuf = buf;
@@ -640,16 +569,16 @@ static int decode_huffman(Mp3Frontend *fe, const uint8_t *buf, int *bitOffset, i
 
   int bitsLeft = huffBlockBits;
   for (int i = 0; i < 3; i++) {
-    int bitsUsed = decode_huffman_pairs(huffDecBuf + rEnd[i], rEnd[i + 1] - rEnd[i], s->tableSelect[i], bitsLeft,
-                                        buf, *bitOffset);
+    int bitsUsed = decode_pairs(huffDecBuf + rEnd[i], rEnd[i + 1] - rEnd[i], s->tableSelect[i], bitsLeft, buf,
+                                *bitOffset);
     if (bitsUsed < 0 || bitsUsed > bitsLeft) return -1;
     buf += (bitsUsed + *bitOffset) >> 3;
     *bitOffset = (bitsUsed + *bitOffset) & 0x07;
     bitsLeft -= bitsUsed;
   }
 
-  *nonZeroBound += decode_huffman_quads(huffDecBuf + rEnd[3], MAX_NSAMP - rEnd[3], s->count1TableSelect, bitsLeft,
-                                        buf, *bitOffset);
+  *nonZeroBound += decode_quads(huffDecBuf + rEnd[3], MAX_NSAMP - rEnd[3], s->count1TableSelect, bitsLeft, buf,
+                                *bitOffset);
 
   for (int i = *nonZeroBound; i < MAX_NSAMP; i++) huffDecBuf[i] = 0;
 
@@ -664,7 +593,8 @@ static int find_sync_word(const uint8_t *buf, int nBytes) {
   return -1;
 }
 
-// reference MP3FindFreeSync (:8570-8610)
+// Free-bitrate frame length discovery: find the next header matching the
+// first (reference MP3FindFreeSync, :8570-8610).
 static int find_free_sync(const uint8_t *buf, const uint8_t firstFH[4], int nBytes) {
   const uint8_t *bufPtr = buf;
   while (1) {

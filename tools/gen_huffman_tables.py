@@ -1,25 +1,35 @@
 #!/usr/bin/env python3
-"""Generate this project's own MP3 Huffman lookup tables.
+"""Generate this project's MP3 Huffman tables (build/mp3_huff.{h,npz}).
 
 ISO/IEC 11172-3 Table B.7 defines 34 Huffman code tables for Layer III
-spectral data (32 "big value" pair tables + 2 "count1" quad tables).  The
-normative content is the set of (codeword, length, value) tuples per table.
-This tool recovers those tuples by walking the packed lookup tables extracted
-from the reference source (build/mp3_tables.npz — see NOTICE.md), verifies
-each recovered table is a complete prefix code (Kraft sum == 1, prefix-free),
-and emits THIS project's own runtime layout:
+spectral data (32 "big value" pair-table ids + 2 "count1" quad tables).  This
+tool recovers the normative (codeword, length, value) tuples by walking the
+packed lookup tables extracted from the reference source (build/mp3_tables.npz
+— see NOTICE.md), verifies each recovered table is a complete prefix code
+(Kraft sum == 1), and emits the runtime tables consumed by
+native/src/mp3_frontend.cpp.
 
-  Pair tables: a first-level LUT of 2^root_bits uint16 entries per table.
-    - leaf entry:    (total_code_len << 8) | (x << 4) | y     (bit 15 clear)
-    - escape entry:  0x8000 | sub_id                          (bit 15 set)
-      sub_id indexes pair_sub_bits[] / pair_sub_off[]; the second-level LUT
-      at pair_sub[sub_off : sub_off + 2^sub_bits] holds leaf entries whose
-      len field is the TOTAL codeword length (root_bits + suffix length).
-  Quad tables: single-level LUT, uint16 (len << 8) | (v<<3 | w<<2 | x<<1 | y).
+Why the emitted pair tables are NODE trees rather than flat LUTs: the
+reference decoder's behavior past the end of a granule's bit allotment is
+observable (the fuzz-parity contract covers garbage streams), and that
+behavior — 11-bit zero-pad grants issued per cache refill — is keyed to the
+reference's *node-by-node* walk: a multi-level codeword can trigger a pad at
+each level boundary.  Bit-exact parity therefore requires preserving the node
+SEGMENTATION (which prefixes get their own sub-table).  Everything else is
+this project's own: entry encoding, table-relative child offsets, breadth-
+first node placement, and the decode loop/bit reader that consume them.
 
-The decode loops in native/src/mp3_frontend.cpp consume only this layout.
+Pair node layout (uint16 words, one array per table concatenated into
+eal_pair_nodes, table starts at eal_pair_node_off[id]):
+  node      := [nbits, entry * 2^nbits]
+  leaf      := 0x8000 | (len << 8) | (y << 4) | x    (len = bits consumed at
+                                                      THIS node, 1..nbits)
+  link      := child node offset relative to the table start (bit 15 clear)
+Special eal_pair_node_off values: -2 = value-less table (region is zeros),
+-1 = reserved table id (selecting it is a stream error).
 
-Outputs: build/mp3_huff.h (host) and build/mp3_huff.npz (inspection/tests).
+Quad tables are single-level flat LUTs:
+  entry     := (len << 8) | (v << 3 | w << 2 | x << 1 | y)
 """
 
 from __future__ import annotations
@@ -32,55 +42,90 @@ import numpy as np
 BUILD = Path(__file__).resolve().parent.parent / "build"
 
 N_PAIR_TABLES = 32
-ROOT_BITS_CAP = 9
 
 
-def walk_pair_table(tab: np.ndarray, base: int, tab_type: int):
-    """Recover (code, length, x, y) tuples from one packed pair table.
+def walk_nodes(huff, base):
+    """Discover the node set of one packed pair table (BFS order).
 
-    The packed format (observed contract of the extracted data): a node is
-    [maxbits, entries * 2^maxbits]; an entry with len==0 is a link whose
-    value is the uint16 offset of the child node relative to the current
-    node; otherwise bits 15..12 = len within this node, 11..8 = y, 7..4 = x.
-    One-shot tables are a single node.
+    Packed node shape: [maxbits, entries * 2^maxbits]; an entry with a zero
+    length nibble is a link whose value is the child offset relative to the
+    current node.
     """
-    codes = {}
+    sizes = {}
+    order = []
+    queue = [int(base)]
+    while queue:
+        n = queue.pop(0)
+        if n in sizes:
+            continue
+        nb = int(huff[n]) & 0x0F
+        sizes[n] = nb
+        order.append(n)
+        for idx in range(1 << nb):
+            cw = int(huff[n + 1 + idx])
+            if (cw >> 12) & 0x0F == 0:
+                queue.append(n + cw)
+    return order, sizes
 
-    def visit(node: int, prefix: int, plen: int):
-        maxbits = int(tab[node]) & 0x0F
-        for idx in range(1 << maxbits):
-            cw = int(tab[node + 1 + idx])
+
+def convert_table(huff, base):
+    """Re-emit one packed pair table in this project's node encoding."""
+    order, sizes = walk_nodes(huff, base)
+    my_off = {}
+    pos = 0
+    for n in order:
+        my_off[n] = pos
+        pos += 1 + (1 << sizes[n])
+    out = np.zeros(pos, np.uint16)
+    for n in order:
+        nb = sizes[n]
+        out[my_off[n]] = nb
+        for idx in range(1 << nb):
+            cw = int(huff[n + 1 + idx])
             ln = (cw >> 12) & 0x0F
             if ln == 0:
-                visit(node + cw, (prefix << maxbits) | idx, plen + maxbits)
+                child = my_off[n + cw]
+                assert 0 < child < 0x8000
+                out[my_off[n] + 1 + idx] = child
             else:
-                code = (prefix << maxbits) | idx
-                code >>= maxbits - ln  # drop the padding bits
+                x = (cw >> 4) & 0x0F
+                y = (cw >> 8) & 0x0F
+                out[my_off[n] + 1 + idx] = 0x8000 | (ln << 8) | (y << 4) | x
+    return out
+
+
+def enumerate_codes(nodes):
+    """Canonical (length, code, x, y) tuples from a converted node table."""
+    codes = {}
+
+    def visit(node, prefix, plen):
+        nb = int(nodes[node])
+        for idx in range(1 << nb):
+            e = int(nodes[node + 1 + idx])
+            if e & 0x8000:
+                ln = (e >> 8) & 0x0F
+                code = ((prefix << nb) | idx) >> (nb - ln)
                 key = (code, plen + ln)
-                val = ((cw >> 4) & 0x0F, (cw >> 8) & 0x0F)
+                val = (e & 0x0F, (e >> 4) & 0x0F)
                 if key in codes:
                     assert codes[key] == val, f"conflicting leaf at {key}"
                 codes[key] = val
+            else:
+                visit(e, (prefix << nb) | idx, plen + nb)
 
-    if tab_type == 0:  # no codes (all-zero region)
-        return []
-    if tab_type == 1:  # one-shot: [maxbits, entries...]
-        maxbits = int(tab[base]) & 0x0F
-        for idx in range(1 << maxbits):
-            cw = int(tab[base + 1 + idx])
-            ln = (cw >> 12) & 0x0F
-            assert ln > 0, "one-shot tables have no links"
-            key = (idx >> (maxbits - ln), ln)
-            val = ((cw >> 4) & 0x0F, (cw >> 8) & 0x0F)
-            if key in codes:
-                assert codes[key] == val
-            codes[key] = val
-    else:
-        visit(base, 0, 0)
+    visit(0, 0, 0)
     return sorted((ln, code, x, y) for (code, ln), (x, y) in codes.items())
 
 
-def walk_quad_table(tab: np.ndarray, base: int, maxbits: int):
+def check_prefix_code(codes, name):
+    """Complete prefix code: Kraft sum exactly 1."""
+    if not codes:
+        return
+    kraft = sum(Fraction(1, 1 << ln) for ln, *_ in codes)
+    assert kraft == 1, f"{name}: Kraft sum {kraft} != 1 (incomplete/over-full)"
+
+
+def walk_quad_table(tab, base, maxbits):
     codes = {}
     for idx in range(1 << maxbits):
         cw = int(tab[base + idx])
@@ -92,50 +137,6 @@ def walk_quad_table(tab: np.ndarray, base: int, maxbits: int):
             assert codes[key] == val
         codes[key] = val
     return sorted((ln, code, v) for (code, ln), v in codes.items())
-
-
-def check_prefix_code(codes, name):
-    """Complete prefix code: Kraft sum exactly 1 and no code prefixes another."""
-    if not codes:
-        return
-    kraft = sum(Fraction(1, 1 << ln) for ln, *_ in codes)
-    assert kraft == 1, f"{name}: Kraft sum {kraft} != 1 (incomplete/over-full)"
-    seen = sorted((ln, code) for ln, code, *_ in codes)
-    for i, (ln_a, c_a) in enumerate(seen):
-        for ln_b, c_b in seen[i + 1 :]:
-            assert not (c_b >> (ln_b - ln_a)) == c_a, f"{name}: prefix clash"
-
-
-def build_pair_lut(codes):
-    """First-level LUT + second-level subtables for one pair table."""
-    if not codes:
-        return 0, np.zeros(0, np.uint16), [], []
-    max_len = max(ln for ln, *_ in codes)
-    root_bits = min(max_len, ROOT_BITS_CAP)
-    root = np.zeros(1 << root_bits, np.uint16)
-    long_by_prefix = {}
-    for ln, code, x, y in codes:
-        if ln <= root_bits:
-            entry = np.uint16((ln << 8) | (x << 4) | y)
-            lo = code << (root_bits - ln)
-            root[lo : lo + (1 << (root_bits - ln))] = entry
-        else:
-            long_by_prefix.setdefault(code >> (ln - root_bits), []).append((ln, code, x, y))
-
-    sub_bits, subs = [], []
-    for prefix, group in sorted(long_by_prefix.items()):
-        sb = max(ln for ln, *_ in group) - root_bits
-        sub = np.zeros(1 << sb, np.uint16)
-        for ln, code, x, y in group:
-            sl = ln - root_bits
-            suffix = code & ((1 << sl) - 1)
-            entry = np.uint16((ln << 8) | (x << 4) | y)
-            lo = suffix << (sb - sl)
-            sub[lo : lo + (1 << (sb - sl))] = entry
-        root[prefix] = np.uint16(0x8000 | len(sub_bits))
-        sub_bits.append(sb)
-        subs.append(sub)
-    return root_bits, root, sub_bits, subs
 
 
 def build_quad_lut(codes):
@@ -161,34 +162,27 @@ def emit_c_array(f, ctype, name, arr):
 def main():
     t = np.load(BUILD / "mp3_tables.npz")
     huff, offs = t["huffTable"], t["huffTabOffset"]
-    tab_type = t["huffTabType"]
+    tab_type = t["huffTabType"].astype(int)
 
-    pair_root_bits = np.zeros(N_PAIR_TABLES, np.int32)
-    pair_root_off = np.zeros(N_PAIR_TABLES, np.int32)
-    pair_roots = []
-    all_sub_bits, all_sub_off, all_subs = [], [], []
-    pair_sub_base = np.zeros(N_PAIR_TABLES, np.int32)  # first sub_id of table
-
-    sub_words = 0
-    root_words = 0
+    node_off = np.zeros(N_PAIR_TABLES, np.int32)
+    node_tabs = []
+    pos = 0
+    max_len = 0
     for ti in range(N_PAIR_TABLES):
-        codes = walk_pair_table(huff, int(offs[ti]), int(tab_type[ti]))
+        if tab_type[ti] == 0:  # value-less table: region decodes to zeros
+            node_off[ti] = -2
+            continue
+        if tab_type[ti] not in (1, 2, 3):  # reserved id: stream error
+            node_off[ti] = -1
+            continue
+        tab = convert_table(huff, int(offs[ti]))
+        codes = enumerate_codes(tab)
         check_prefix_code(codes, f"pair{ti}")
-        rb, root, sbits, subs = build_pair_lut(codes)
-        pair_root_bits[ti] = rb
-        pair_root_off[ti] = root_words
-        pair_sub_base[ti] = len(all_sub_bits)
-        # rebase escape entries to global sub ids
-        esc = (root & 0x8000) != 0
-        root = root.copy()
-        root[esc] = 0x8000 | ((root[esc] & 0x7FFF) + len(all_sub_bits))
-        pair_roots.append(root)
-        root_words += len(root)
-        for sb, sub in zip(sbits, subs):
-            all_sub_bits.append(sb)
-            all_sub_off.append(sub_words)
-            all_subs.append(sub)
-            sub_words += len(sub)
+        max_len = max(max_len, max(ln for ln, *_ in codes))
+        node_off[ti] = pos
+        node_tabs.append(tab)
+        pos += len(tab)
+    pair_nodes = np.concatenate(node_tabs)
 
     quad_tab, quad_off, quad_max = t["quadTable"], t["quadTabOffset"], t["quadTabMaxBits"]
     quad_bits = np.zeros(2, np.int32)
@@ -203,41 +197,27 @@ def main():
         quad_offs[qi] = qw
         quad_luts.append(lut)
         qw += len(lut)
-
-    pair_root = np.concatenate(pair_roots) if pair_roots else np.zeros(0, np.uint16)
-    pair_sub = np.concatenate(all_subs) if all_subs else np.zeros(0, np.uint16)
     quad_lut = np.concatenate(quad_luts)
 
     np.savez(
         BUILD / "mp3_huff.npz",
-        pair_root_bits=pair_root_bits, pair_root_off=pair_root_off, pair_root=pair_root,
-        pair_sub_bits=np.asarray(all_sub_bits, np.int32),
-        pair_sub_off=np.asarray(all_sub_off, np.int32), pair_sub=pair_sub,
+        pair_node_off=node_off, pair_nodes=pair_nodes,
         quad_bits=quad_bits, quad_offs=quad_offs, quad_lut=quad_lut,
     )
 
     with open(BUILD / "mp3_huff.h", "w") as f:
-        f.write("// Generated by tools/gen_huffman_tables.py — this project's own\n"
-                "// two-level Huffman LUT layout for ISO/IEC 11172-3 Table B.7.\n"
-                "// See the tool's docstring for the entry encoding.\n"
+        f.write("// Generated by tools/gen_huffman_tables.py — node-tree Huffman tables\n"
+                "// for ISO/IEC 11172-3 Table B.7 in this project's encoding.  See the\n"
+                "// tool's docstring for the layout and why node segmentation is kept.\n"
                 "#pragma once\n#include <cstdint>\n\n")
-        emit_c_array(f, "int32_t", "eal_pair_root_bits", pair_root_bits)
-        emit_c_array(f, "int32_t", "eal_pair_root_off", pair_root_off)
-        emit_c_array(f, "uint16_t", "eal_pair_root", pair_root)
-        emit_c_array(f, "int32_t", "eal_pair_sub_bits", np.asarray(all_sub_bits, np.int32))
-        emit_c_array(f, "int32_t", "eal_pair_sub_off", np.asarray(all_sub_off, np.int32))
-        emit_c_array(f, "uint16_t", "eal_pair_sub", pair_sub)
+        emit_c_array(f, "int32_t", "eal_pair_node_off", node_off)
+        emit_c_array(f, "uint16_t", "eal_pair_nodes", pair_nodes)
         emit_c_array(f, "int32_t", "eal_quad_bits", quad_bits)
         emit_c_array(f, "int32_t", "eal_quad_offs", quad_offs)
         emit_c_array(f, "uint16_t", "eal_quad_lut", quad_lut)
 
-    max_pair_len = max(
-        (int(e >> 8) & 0x3F)
-        for arr in (pair_root, pair_sub) for e in arr if e and not (e & 0x8000)
-    )
-    print(f"pair roots: {root_words} words, subs: {sub_words} words "
-          f"({len(all_sub_bits)} subtables), quads: {qw} words; "
-          f"max pair code length {max_pair_len}")
+    print(f"pair nodes: {pos} words across {len(node_tabs)} tables "
+          f"(max code length {max_len}); quads: {qw} words")
 
 
 if __name__ == "__main__":
