@@ -22,7 +22,7 @@ import ctypes as C
 
 from ..runtime.native import host_lib
 from ..utils.errors import FLACDecoderResult, MP3Error
-from .flac import FLACDecoder, _frame_kernel
+from .flac import FLACDecoder, _decode_streams
 from .mp3 import MP3Decoder
 from . import mp3_pipeline
 
@@ -54,78 +54,17 @@ class BatchedFLACDecoder:
     def decode_streams(self, buffers, verify_md5: bool = True):
         """Decode all streams' frame sections (bytes after the header).
 
+        One native call per stream parses every frame straight into shared
+        batch tables (``eal_flac_parse_stream``), frames from ALL streams
+        bucket by kernel shape, and each bucket is one device dispatch — see
+        ``models.flac._decode_streams`` for the shared implementation.
+
         Args:
           buffers: per-stream bytes (pass None to skip a stream).
         Returns: list of per-stream (pcm_bytes, results-dict) like
           ``FLACDecoder.decode_stream``.
         """
-        n = len(self.decoders)
-        assert len(buffers) == n
-        lib = host_lib()
-        # 1) host front-end: parse every frame of every stream. Each frame
-        # also reports whether its residual/warmup words fit int16 — typical
-        # for real audio — so the dominant upload ships at half width.
-        parsed = [[] for _ in range(n)]   # per stream: list of frame tuples
-        codes = [[] for _ in range(n)]
-        for s, (dec, buffer) in enumerate(zip(self.decoders, buffers)):
-            if buffer is None:
-                continue
-            buf = np.frombuffer(buffer, np.uint8) if isinstance(buffer, (bytes, bytearray)) else buffer
-            pos = 0
-            while pos < buf.size:
-                (res, data, order, shift, wasted, use64, coeffs,
-                 bs, ca, depth) = dec._parse_frame(buf[pos:])
-                consumed = dec.get_bytes_index()
-                codes[s].append(res)
-                if res != FLACDecoderResult.SUCCESS:
-                    break
-                fits16 = bool(lib.eal_flac_frame_fits16(
-                    data.ctypes.data_as(_i32p), data.shape[1],
-                    dec.num_channels, bs))
-                d = data[:, :bs].astype(np.int16) if fits16 else data[:, :bs]
-                parsed[s].append((d, order, shift, wasted, coeffs, bs, ca, depth))
-                pos += consumed
-
-        # 2) bucket across ALL streams by the kernel's static shape params
-        # (narrow frames bucket separately: dtype is part of the jit shape)
-        buckets = {}
-        for s in range(n):
-            nch, m32 = self.decoders[s].num_channels, self.decoders[s]._output_32bit
-            for i, f in enumerate(parsed[s]):
-                buckets.setdefault((f[5], f[7], nch, m32, f[0].dtype.itemsize),
-                                   []).append((s, i))
-
-        out_chunks = [[None] * len(parsed[s]) for s in range(n)]
-        for (bs, depth, nch, m32, _w), idxs in buckets.items():
-            fr = [parsed[s][i] for s, i in idxs]
-            packed = _frame_kernel(
-                jnp.asarray(np.stack([f[0] for f in fr])),
-                jnp.asarray(np.stack([f[4] for f in fr])),
-                jnp.asarray(np.stack([f[1] for f in fr])),
-                jnp.asarray(np.stack([f[2] for f in fr])),
-                jnp.asarray(np.stack([f[3] for f in fr])),
-                jnp.asarray(np.asarray([f[6] for f in fr], np.int32)),
-                depth=depth, nch=nch, mode32=m32)
-            packed_np = np.asarray(packed)
-            for k, (s, i) in enumerate(idxs):
-                out_chunks[s][i] = packed_np[k]
-
-        # 3) reassemble per stream (+ the same MD5 self-check)
-        results = []
-        for s, dec in enumerate(self.decoders):
-            if buffers[s] is None:
-                results.append((b"", None))
-                continue
-            pcm = b"".join(c.tobytes() for c in out_chunks[s] if c is not None)
-            md5_ok = None
-            if verify_md5 and not dec._output_32bit:
-                sig = dec.md5_signature
-                if any(sig):
-                    md5_ok = dec._md5_of_output(out_chunks[s], parsed[s]) == sig
-            total = sum(f[5] for f in parsed[s]) * dec.num_channels
-            results.append((pcm, {"frame_results": codes[s], "num_samples": total,
-                                  "md5_ok": md5_ok, "num_frames": len(parsed[s])}))
-        return results
+        return _decode_streams(self.decoders, buffers, verify_md5)
 
 
 class BatchedMP3Decoder:

@@ -35,16 +35,20 @@ __all__ = ["FLACDecoder"]
 _i32p = C.POINTER(C.c_int32)
 
 
-@functools.partial(jax.jit, static_argnames=("depth", "nch", "mode32"))
-def _frame_kernel(data, coeffs, order, shift, wasted, chan_assign, *, depth, nch, mode32):
+@functools.partial(jax.jit, static_argnames=("depth", "nch", "mode32", "use64"))
+def _frame_kernel(data, coeffs, order, shift, wasted, chan_assign, *, depth, nch, mode32,
+                  use64=True):
     """Device back-end for a batch of frames.
 
     data: int ``[..., C, T]`` (warm-ups + residuals; may arrive int16 when
     the frame's words fit — the batched feed ships the dominant tensor at
     half width), coeffs ``[..., C, 32]``, order/shift/wasted ``[..., C]``,
-    chan_assign ``[...]``. Returns packed PCM uint8 ``[..., T*C*bps]``.
+    chan_assign ``[...]``. ``use64=False`` selects the int32 accumulation
+    fast path — only valid when every subframe's front-end overflow analysis
+    cleared it (see ``lpc_restore``). Returns packed PCM uint8
+    ``[..., T*C*bps]``.
     """
-    y = lpc_ops.lpc_restore(data.astype(jnp.int32), coeffs, order, shift)
+    y = lpc_ops.lpc_restore(data.astype(jnp.int32), coeffs, order, shift, use64=use64)
     y = y << wasted[..., None]
     if nch == 2:
         y = lpc_ops.decorrelate(y, chan_assign)
@@ -77,6 +81,165 @@ def _require_x64(what: str) -> None:
             "jax.config.update('jax_enable_x64', True) (before tracing) "
             "or JAX_ENABLE_X64=1. Without it JAX silently truncates the "
             "decoder's int64 accumulators and output is incorrect.")
+
+
+class _ParseGroup:
+    """Host-side frame table for one (channels, max_block_size) shape class.
+
+    The native front-end appends every parsed frame of every stream directly
+    into these batch-major arrays (``eal_flac_parse_stream``), so the Python
+    layer never touches individual frames: residuals land pre-narrowed in
+    ``data16`` when the frame's words fit int16 (halving the device upload),
+    else in ``data32``; predictor metadata is row-indexed by frame slot.
+    Arrays double when full (amortized O(total)).
+    """
+
+    def __init__(self, nch: int, mbs: int, cap: int = 256):
+        self.nch, self.mbs, self.cap = nch, mbs, cap
+        self.nf = 0
+        self.data16 = np.empty((cap, nch, mbs), np.int16)
+        self.data32 = np.empty((cap, nch, mbs), np.int32)
+        self.cursors = np.zeros(2, np.int32)  # [slot16, slot32]
+        self.wide = np.empty(cap, np.int32)
+        self.slot = np.empty(cap, np.int32)
+        self.order = np.empty((cap, nch), np.int32)
+        self.shift = np.empty((cap, nch), np.int32)
+        self.wasted = np.empty((cap, nch), np.int32)
+        self.use64 = np.empty((cap, nch), np.int32)
+        self.coeffs = np.empty((cap, nch, 32), np.int32)
+        self.bs = np.empty(cap, np.int32)
+        self.ca = np.empty(cap, np.int32)
+        self.depth = np.empty(cap, np.int32)
+        self.crc_ok = np.empty(cap, np.int32)
+        self.consumed = np.empty(cap, np.int32)
+
+    def room(self) -> int:
+        s16, s32 = int(self.cursors[0]), int(self.cursors[1])
+        return min(self.cap - self.nf, self.cap - s16, self.cap - s32)
+
+    def grow(self) -> None:
+        new_cap = self.cap * 2
+        for name in ("data16", "data32", "wide", "slot", "order", "shift",
+                     "wasted", "use64", "coeffs", "bs", "ca", "depth",
+                     "crc_ok", "consumed"):
+            old = getattr(self, name)
+            new = np.empty((new_cap,) + old.shape[1:], old.dtype)
+            new[: old.shape[0]] = old
+            setattr(self, name, new)
+        self.cap = new_cap
+
+
+def _parse_streams(decoders, buffers):
+    """Host front-end for a fleet: parse every frame of every stream.
+
+    One native call per stream per capacity window (``eal_flac_parse_stream``)
+    fills the shared :class:`_ParseGroup` tables.  Returns
+    ``(groups, codes, frames_of)``: per-stream result-code lists (same
+    protocol as the old per-frame loop — SUCCESS per parsed frame plus the
+    terminal code that ended the stream, if any) and per-stream lists of
+    (group key, frame row) pairs.
+    """
+    lib = host_lib()
+    u8p = C.POINTER(C.c_uint8)
+    i16p = C.POINTER(C.c_int16)
+    groups: dict = {}
+    codes = [[] for _ in buffers]
+    frames_of = [[] for _ in buffers]
+    for s, (dec, buffer) in enumerate(zip(decoders, buffers)):
+        if buffer is None:
+            continue
+        buf = np.frombuffer(buffer, np.uint8) if isinstance(buffer, (bytes, bytearray)) else np.ascontiguousarray(buffer)
+        nch, mbs = dec.num_channels, dec.max_block_size
+        key = (nch, mbs)
+        g = groups.setdefault(key, _ParseGroup(nch, mbs))
+        pos = 0
+        while pos < buf.size:
+            room = g.room()
+            if room == 0:
+                g.grow()
+                continue
+            last_rc = C.c_int32(0)
+            sub = buf[pos:]
+            f0 = g.nf
+            nf = lib.eal_flac_parse_stream(
+                dec._ctx, sub.ctypes.data_as(u8p), sub.size, room, mbs,
+                g.data16.ctypes.data_as(i16p), g.data32.ctypes.data_as(_i32p),
+                g.cursors[0:].ctypes.data_as(_i32p), g.cursors[1:].ctypes.data_as(_i32p),
+                g.wide[f0:].ctypes.data_as(_i32p), g.slot[f0:].ctypes.data_as(_i32p),
+                g.order[f0:].ctypes.data_as(_i32p), g.shift[f0:].ctypes.data_as(_i32p),
+                g.wasted[f0:].ctypes.data_as(_i32p), g.use64[f0:].ctypes.data_as(_i32p),
+                g.coeffs[f0:].ctypes.data_as(_i32p), g.bs[f0:].ctypes.data_as(_i32p),
+                g.ca[f0:].ctypes.data_as(_i32p), g.depth[f0:].ctypes.data_as(_i32p),
+                g.crc_ok[f0:].ctypes.data_as(_i32p), g.consumed[f0:].ctypes.data_as(_i32p),
+                C.byref(last_rc))
+            g.nf += nf
+            pos += int(g.consumed[f0 : f0 + nf].sum())
+            codes[s].extend([FLACDecoderResult.SUCCESS] * nf)
+            frames_of[s].extend((key, f0 + i) for i in range(nf))
+            rc = last_rc.value
+            if rc != 0:
+                codes[s].append(FLACDecoderResult(rc))
+                break
+            if nf < room:   # clean exhaustion (pos >= size)
+                break
+    return groups, codes, frames_of
+
+
+def _decode_streams(decoders, buffers, verify_md5: bool = True):
+    """Shared end-to-end path for 1..N streams: native batched host parse,
+    cross-stream shape-bucketed device kernels, per-stream reassembly.
+
+    Returns the per-stream (pcm_bytes, results-dict) list of
+    ``FLACDecoder.decode_stream`` / ``BatchedFLACDecoder.decode_streams``.
+    """
+    n = len(decoders)
+    assert len(buffers) == n
+    groups, codes, frames_of = _parse_streams(decoders, buffers)
+
+    # bucket every frame of every stream by the kernel's static shape params
+    # (residual width and the int32-accumulation clearance are part of the
+    # compiled shape; frames cleared by the front-end's overflow analysis run
+    # the int32 fast path)
+    buckets: dict = {}
+    for s in range(n):
+        m32 = decoders[s]._output_32bit
+        for j, (key, fi) in enumerate(frames_of[s]):
+            g = groups[key]
+            bkey = (key, int(g.bs[fi]), int(g.depth[fi]), int(g.wide[fi]),
+                    bool(g.use64[fi].any()), m32)
+            buckets.setdefault(bkey, []).append((s, j, fi))
+
+    out_chunks = [[None] * len(frames_of[s]) for s in range(n)]
+    for ((nch, mbs), bs, depth, wide, acc64, m32), idxs in buckets.items():
+        g = groups[(nch, mbs)]
+        rows = np.fromiter((g.slot[fi] for _, _, fi in idxs), np.int64, len(idxs))
+        frs = np.fromiter((fi for _, _, fi in idxs), np.int64, len(idxs))
+        src = g.data32 if wide else g.data16
+        data = src[rows] if bs == mbs else src[rows][:, :, :bs]
+        packed = _frame_kernel(
+            jnp.asarray(data), jnp.asarray(g.coeffs[frs]),
+            jnp.asarray(g.order[frs]), jnp.asarray(g.shift[frs]),
+            jnp.asarray(g.wasted[frs]), jnp.asarray(g.ca[frs]),
+            depth=depth, nch=nch, mode32=m32, use64=acc64)
+        packed_np = np.asarray(packed)
+        for k, (s, j, _) in enumerate(idxs):
+            out_chunks[s][j] = packed_np[k]
+
+    results = []
+    for s, dec in enumerate(decoders):
+        if buffers[s] is None:
+            results.append((b"", None))
+            continue
+        pcm = b"".join(c.tobytes() for c in out_chunks[s] if c is not None)
+        md5_ok = None
+        if verify_md5 and not dec._output_32bit:
+            sig = dec.md5_signature
+            if any(sig):
+                md5_ok = dec._md5_of_output(out_chunks[s]) == sig
+        total = int(sum(groups[key].bs[fi] for key, fi in frames_of[s])) * dec.num_channels
+        results.append((pcm, {"frame_results": codes[s], "num_samples": total,
+                              "md5_ok": md5_ok, "num_frames": len(frames_of[s])}))
+    return results
 
 
 class FLACDecoder:
@@ -237,69 +400,23 @@ class FLACDecoder:
         packed = _frame_kernel(
             jnp.asarray(data[:, :bs]), jnp.asarray(coeffs), jnp.asarray(order),
             jnp.asarray(shift), jnp.asarray(wasted), jnp.int32(ca),
-            depth=depth, nch=self.num_channels, mode32=self._output_32bit)
+            depth=depth, nch=self.num_channels, mode32=self._output_32bit,
+            use64=bool(use64.any()))
         return res, np.asarray(packed).tobytes(), bs * self.num_channels
 
     # ----------------------------------------------------------- streaming
     def decode_stream(self, buffer: bytes, verify_md5: bool = True):
-        """Decode an entire stream after read_header: batches all equal-sized
-        frames into single device calls.
+        """Decode an entire stream after read_header: one native call parses
+        every frame, then all equal-shaped frames decode as single device
+        calls (shared with the fleet path, see ``_decode_streams``).
 
         Returns (pcm_bytes, results) where results is a dict with per-frame
         result codes, total samples, and md5_ok (None when the STREAMINFO
         carries no signature or verify_md5=False).
         """
-        buf = np.frombuffer(buffer, np.uint8) if isinstance(buffer, (bytes, bytearray)) else buffer
-        pos = 0
-        frames = []
-        codes = []
-        while pos < buf.size:
-            res, data, order, shift, wasted, use64, coeffs, bs, ca, depth = self._parse_frame(buf[pos:])
-            consumed = self.get_bytes_index()
-            if res != FLACDecoderResult.SUCCESS:
-                codes.append(res)
-                break
-            # frames whose residual/warmup words fit int16 ship at half
-            # width (the residual tensor dominates the feed; exact widening
-            # back to int32 happens in the kernel)
-            fits16 = bool(self._lib.eal_flac_frame_fits16(
-                data.ctypes.data_as(_i32p), data.shape[1], self.num_channels, bs))
-            d = data[:, :bs].astype(np.int16) if fits16 else data[:, :bs]
-            frames.append((d, order, shift, wasted, coeffs, bs, ca, depth))
-            codes.append(res)
-            pos += consumed
+        return _decode_streams([self], [buffer], verify_md5)[0]
 
-        # bucket frames by (block_size, depth, width) and decode batched
-        out_chunks = [None] * len(frames)
-        buckets = {}
-        for i, f in enumerate(frames):
-            buckets.setdefault((f[5], f[7], f[0].dtype.itemsize), []).append(i)
-        for (bs, depth, _w), idxs in buckets.items():
-            data = jnp.asarray(np.stack([frames[i][0] for i in idxs]))
-            order = jnp.asarray(np.stack([frames[i][1] for i in idxs]))
-            shift = jnp.asarray(np.stack([frames[i][2] for i in idxs]))
-            wasted = jnp.asarray(np.stack([frames[i][3] for i in idxs]))
-            coeffs = jnp.asarray(np.stack([frames[i][4] for i in idxs]))
-            ca = jnp.asarray(np.asarray([frames[i][6] for i in idxs], np.int32))
-            packed = _frame_kernel(data, coeffs, order, shift, wasted, ca,
-                                   depth=depth, nch=self.num_channels,
-                                   mode32=self._output_32bit)
-            packed_np = np.asarray(packed)
-            for k, i in enumerate(idxs):
-                out_chunks[i] = packed_np[k]
-
-        pcm = b"".join(c.tobytes() for c in out_chunks if c is not None)
-
-        md5_ok = None
-        if verify_md5 and not self._output_32bit:
-            sig = self.md5_signature
-            if any(sig):
-                md5_ok = self._md5_of_output(out_chunks, frames) == sig
-        total = sum(f[5] for f in frames) * self.num_channels
-        return pcm, {"frame_results": codes, "num_samples": total, "md5_ok": md5_ok,
-                     "num_frames": len(frames)}
-
-    def _md5_of_output(self, out_chunks, frames) -> bytes:
+    def _md5_of_output(self, out_chunks) -> bytes:
         """MD5 over decoded PCM in FLAC's canonical form: interleaved,
         little-endian, ceil(depth/8) bytes, signed (the host example repacks
         sign and removes the 8-bit bias before hashing,
@@ -308,7 +425,7 @@ class FLACDecoder:
         md5 = hashlib.md5()
         shift_amount = (8 - depth % 8) % 8
         bps = (depth + 7) // 8
-        for chunk, f in zip(out_chunks, frames):
+        for chunk in out_chunks:
             if chunk is None:
                 continue
             if shift_amount == 0 and depth != 8:

@@ -68,6 +68,13 @@ def host_lib() -> C.CDLL:
     lib.eal_flac_parse_frame.argtypes = [
         C.c_void_p, u8p, C.c_size_t, i32p, C.c_size_t,
         i32p, i32p, i32p, i32p, i32p, i32p, i32p, i32p, i32p]
+    i16p = C.POINTER(C.c_int16)
+    lib.eal_flac_parse_stream.restype = C.c_int32
+    lib.eal_flac_parse_stream.argtypes = [
+        C.c_void_p, u8p, C.c_size_t, C.c_int32, C.c_int32,
+        i16p, i32p, i32p, i32p, i32p, i32p,
+        i32p, i32p, i32p, i32p, i32p,
+        i32p, i32p, i32p, i32p, i32p, i32p]
 
     # ---- MP3 front-end ----
     lib.eal_mp3_create.restype = C.c_void_p

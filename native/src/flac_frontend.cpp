@@ -682,6 +682,71 @@ int32_t eal_flac_frame_fits16(const int32_t *data, size_t data_stride, int32_t n
   return 1;
 }
 
+// Parse every frame of a stream section in ONE call (the serving front-end:
+// SURVEY.md §7 hard part (d) — at fleet batch sizes the per-frame
+// Python<->C crossing, not the bit parsing, dominates the host leg).
+// Frames append into caller-provided batch arrays shared across the whole
+// fleet, so Python does no per-frame work at all:
+//   data16 / data32: [*, nch, frame_cap] appended at *slot16/*slot32 —
+//     each frame lands in data16 when all its residual/warmup words fit
+//     int16 (the dominant case for real audio; halves the device upload),
+//     else in data32.  wide[f] says which array, slot[f] the row.
+//   order/shift/wasted/use64: [max_frames, nch]; coeffs [max_frames, nch, 32]
+//   bs/ca/depth/crc_ok/consumed: [max_frames]
+// Returns the number of frames appended; *last_rc holds the result that
+// ended the stream (NO_MORE_FRAMES for clean exhaustion, the error code
+// otherwise — same per-frame codes as eal_flac_parse_frame).  Stops early
+// when max_frames is reached (caller grows its arrays and continues from
+// the consumed-bytes position).
+int32_t eal_flac_parse_stream(void *d, const uint8_t *buf, size_t len, int32_t max_frames, int32_t frame_cap,
+                              int16_t *data16, int32_t *data32, int32_t *slot16, int32_t *slot32, int32_t *wide,
+                              int32_t *slot, int32_t *order, int32_t *shift, int32_t *wasted, int32_t *use64,
+                              int32_t *coeffs, int32_t *bs, int32_t *ca, int32_t *depth, int32_t *crc_ok,
+                              int32_t *consumed, int32_t *last_rc) {
+  FlacFrontend *fe = (FlacFrontend *) d;
+  const int32_t nch = (int32_t) fe->num_channels;
+  static thread_local std::vector<int32_t> scratch;
+  scratch.resize((size_t) nch * frame_cap);
+
+  size_t pos = 0;
+  int32_t nf = 0;
+  *last_rc = OK;
+  while (pos < len && nf < max_frames) {
+    int32_t *fr_order = order + (size_t) nf * nch;
+    int32_t *fr_shift = shift + (size_t) nf * nch;
+    int32_t *fr_wasted = wasted + (size_t) nf * nch;
+    int32_t *fr_use64 = use64 + (size_t) nf * nch;
+    int32_t rc = fe->parse_frame(buf + pos, len - pos, scratch.data(), frame_cap, fr_order, fr_shift, fr_wasted,
+                                 fr_use64, coeffs + (size_t) nf * nch * 32, bs + nf, ca + nf, depth + nf,
+                                 crc_ok + nf);
+    consumed[nf] = (int32_t) fe->buffer_index;
+    if (rc != OK) {
+      *last_rc = rc;
+      return nf;
+    }
+    const int32_t fbs = bs[nf];
+    int32_t f16 = eal_flac_frame_fits16(scratch.data(), frame_cap, nch, fbs);
+    if (f16) {
+      int16_t *dst = data16 + (size_t) (*slot16) * nch * frame_cap;
+      for (int32_t c = 0; c < nch; c++) {
+        const int32_t *src = scratch.data() + (size_t) c * frame_cap;
+        int16_t *row = dst + (size_t) c * frame_cap;
+        for (int32_t i = 0; i < fbs; i++) row[i] = (int16_t) src[i];
+      }
+      wide[nf] = 0;
+      slot[nf] = (*slot16)++;
+    } else {
+      std::memcpy(data32 + (size_t) (*slot32) * nch * frame_cap, scratch.data(),
+                  (size_t) nch * frame_cap * sizeof(int32_t));
+      wide[nf] = 1;
+      slot[nf] = (*slot32)++;
+    }
+    pos += fe->buffer_index;
+    nf++;
+  }
+  return nf;
+}
+
 // ---------------------------------------------------------------- checkpoint
 // Serializable decoder state (SURVEY.md §5 checkpoint/resume: the reference
 // keeps streaming resume state in memory only; here it's exportable so a
