@@ -19,6 +19,13 @@ import time
 
 import numpy as np
 
+# Persistent XLA compilation cache: repeat bench runs skip the multi-minute
+# recompiles (fresh clones still pay them once).
+import os as _os
+_os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                       str(__import__("pathlib").Path(__file__).resolve().parent / "build" / "jax_cache"))
+_os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+
 
 def bench_ours(B=2048, frames_per_chunk=8192, n_chunks=8, taps=64, filters=32):
     """Steady-state device throughput of the streaming path: the multi-chunk

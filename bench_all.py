@@ -24,6 +24,13 @@ from pathlib import Path
 
 import numpy as np
 
+# Persistent XLA compilation cache: repeat bench runs skip the multi-minute
+# recompiles (fresh clones still pay them once).
+import os as _os
+_os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                       str(__import__("pathlib").Path(__file__).resolve().parent / "build" / "jax_cache"))
+_os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+
 sys.path.insert(0, str(Path(__file__).resolve().parent / "tools"))
 
 RT = 44100.0
@@ -39,16 +46,25 @@ def report(metric, samples_per_s, unit="Msamples/s/chip", ch=2):
 
 
 def bench_flac_e2e(B=256, n_frames=16, block=4096):
-    """Config 1: batched FLAC decode to PCM, 16-bit stereo 44.1k."""
+    """Config 1: batched FLAC decode to PCM, 16-bit stereo 44.1k.
+
+    The corpus uses encoder-grade fitted LPC (flacgen fit=True) so the
+    residual statistics — and therefore the int16 upload fast path — match
+    real audio.  Also reports the host-parse and device-only legs: on this
+    box the axon tunnel's H2D/D2H bandwidth is the e2e wall (PROFILES.md),
+    so the split shows what co-located serving hardware would sustain.
+    """
     import jax
     jax.config.update("jax_enable_x64", True)
+    import jax.numpy as jnp
     from flacgen import SubframePlan, make_flac
     from esp_audio_libs_tpu.models.batch import BatchedFLACDecoder
+    from esp_audio_libs_tpu.models.flac import _decode_streams, _parse_streams, _frame_kernel
 
     blob, _ = make_flac(rng_seed=1, depth=16, channels=2, block_size=block,
                         n_frames=n_frames,
-                        plans=[[SubframePlan("lpc", order=8),
-                                SubframePlan("lpc", order=8)]] * n_frames)
+                        plans=[[SubframePlan("lpc", order=8, fit=True),
+                                SubframePlan("lpc", order=8, fit=True)]] * n_frames)
     blobs = [blob] * B
     bat = BatchedFLACDecoder(B)
     bat.read_headers(blobs)
@@ -59,6 +75,33 @@ def bench_flac_e2e(B=256, n_frames=16, block=4096):
     dt = time.perf_counter() - t0
     samples = sum(r[1]["num_samples"] for r in results)
     report("flac_decode_e2e_16b_stereo", samples / dt)
+
+    # host front-end leg (native one-call-per-stream parse)
+    t0 = time.perf_counter()
+    groups, _, _ = _parse_streams(bat.decoders, bodies)
+    host_dt = time.perf_counter() - t0
+    print(json.dumps({"metric": "flac_host_parse", "value": round(samples / host_dt / 1e6, 2),
+                      "unit": "Msamples/s (host leg)"}))
+
+    # device-only leg: residuals resident, PCM left on device
+    g = next(iter(groups.values()))
+    n16 = int(g.cursors[0])
+    dev = [jnp.asarray(x) for x in (g.data16[:n16], g.coeffs[:n16], g.order[:n16],
+                                    g.shift[:n16], g.wasted[:n16], g.ca[:n16])]
+    jax.block_until_ready(dev)
+    acc64 = bool(g.use64[:n16].any())
+    out = _frame_kernel(*dev, depth=16, nch=2, mode32=False, use64=acc64)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    reps = 3
+    for _ in range(reps):
+        out = _frame_kernel(*dev, depth=16, nch=2, mode32=False, use64=acc64)
+    jax.block_until_ready(out)
+    dev_dt = (time.perf_counter() - t0) / reps
+    dev_samples = n16 * 2 * block
+    print(json.dumps({"metric": "flac_decode_device_only", "value": round(dev_samples / dev_dt / 1e6, 2),
+                      "unit": "Msamples/s/chip (device leg)",
+                      "realtime_streams": int(dev_samples / dev_dt / (RT * 2))}))
 
 
 def bench_wav_quant(B=2048, frames=65536):
@@ -156,16 +199,20 @@ def bench_biquad(B=2048, T=65536):
 
 def bench_mp3(B=256, n_frames=8):
     """Config 5: Helix MP3 decode batched across streams (silence frames:
-    every stage incl. IMDCT + subband runs; transport-bound on this host)."""
+    every stage incl. IMDCT + subband runs).  Reports the per-frame API,
+    the serving-rate decode_run API (whole run -> one dispatch per group),
+    and the device-only leg — on this box the tunnel's per-transfer latency
+    and bandwidth are the e2e wall (PROFILES.md)."""
     import jax
     jax.config.update("jax_enable_x64", True)
     from esp_audio_libs_tpu.models.batch import BatchedMP3Decoder
+    from esp_audio_libs_tpu.models import mp3_pipeline
     from esp_audio_libs_tpu.runtime.tables import mp3_tables
 
     T = mp3_tables()
     total = int(T["slotTab"][0][0][11])
     frame = bytes([0xFF, 0xE0 | (3 << 3) | 2 | 1, 11 << 4, 0]) + bytes(total - 4)
-    stream = frame * (n_frames + 2)
+    stream = frame * (3 * n_frames + 4)
     bat = BatchedMP3Decoder(B)
     pos = [0] * B
     for _ in range(2):   # warm both vbuf parities
@@ -179,6 +226,58 @@ def bench_mp3(B=256, n_frames=8):
         samples += sum(len(g[1]) for g in got)
     dt = time.perf_counter() - t0
     report("mp3_decode_batched_stereo", samples / dt)
+
+    # serving-rate API: the whole n_frames run is one dispatch per group
+    runs = bat.decode_run([stream[p:] for p in pos], n_frames)   # warm G=2*n_frames
+    pos = [p + sum(x[2] for x in rr) for p, rr in zip(pos, runs)]
+    t0 = time.perf_counter()
+    runs = bat.decode_run([stream[p:] for p in pos], n_frames)
+    dt = time.perf_counter() - t0
+    samples = sum(len(x[1]) for rr in runs for x in rr if x[1] is not None)
+    report("mp3_decode_run_stereo", samples / dt)
+
+    # device-only leg: granule inputs RESIDENT on device, PCM left on device
+    # (times the fused _granules_scan alone — what co-located serving
+    # hardware would sustain per chip)
+    import jax.numpy as jnp
+    pa = bat._parse_batch([np.frombuffer(stream, np.uint8)] * B)
+    G = 2 * n_frames
+    reps_g = [pa["huff"][:, g % 2] for g in range(G)]
+    huff_gs = jnp.asarray(np.stack([mp3_pipeline._pack_huff16(h[:, :2]) for h in reps_g]))
+    nch = 2
+    blobs = [mp3_pipeline.granule_params_compact_blob(
+        pa["params"][:, g % 2], pa["sf"][:, g % 2], pa["frame"], pa["sfjs"],
+        pa["params"][:, g % 2, :nch, 18].astype(np.int32), nch) for g in range(G)]
+    side = np.empty((G, B, 3 * nch + blobs[0].shape[-1]), np.int32)
+    for g in range(G):
+        side[g, :, 0:nch] = pa["params"][:, g % 2, :nch, 18]
+        side[g, :, nch:2 * nch] = pa["params"][:, g % 2, :nch, 5]
+        side[g, :, 2 * nch:3 * nch] = pa["params"][:, g % 2, :nch, 6]
+        side[g, :, 3 * nch:] = blobs[g]
+    side_gs = jnp.asarray(side)
+    fdct_gs, poly_gs, coef_gs, _ = mp3_pipeline._sched_run_dev(0, G, nch)
+    maps = mp3_pipeline._maps_dev(0, 0)
+    state = bat._gather_state(list(range(B)))
+    T0 = mp3_tables()
+    cutoff = int(T0["sfBandLong"][0][0][8] // 18)
+    jax.block_until_ready((huff_gs, side_gs))
+
+    def dev_call():
+        return mp3_pipeline._granules_scan(
+            huff_gs, side_gs, maps, state[0], state[1], state[2], state[3],
+            state[4], fdct_gs, poly_gs, coef_gs, nch=nch, cutoff=cutoff)
+    jax.block_until_ready(dev_call()[0])
+    t0 = time.perf_counter()
+    reps = 3
+    for _ in range(reps):
+        out = dev_call()
+    jax.block_until_ready(out[0])
+    dev_dt = (time.perf_counter() - t0) / reps
+    dev_samples = B * G * 576 * nch
+    print(json.dumps({"metric": "mp3_decode_device_only",
+                      "value": round(dev_samples / dev_dt / 1e6, 2),
+                      "unit": "Msamples/s/chip (device leg)",
+                      "realtime_streams": int(dev_samples / dev_dt / (RT * 2))}))
 
 
 def main():

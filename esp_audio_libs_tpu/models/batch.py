@@ -30,6 +30,7 @@ _i32p = C.POINTER(C.c_int32)
 
 __all__ = ["BatchedFLACDecoder", "BatchedMP3Decoder"]
 
+import jax
 import jax.numpy as jnp
 
 
@@ -110,6 +111,88 @@ class BatchedMP3Decoder:
         self._npv = self._npv.at[idx].set(new_state[3])
         self._vbuf = self._vbuf.at[idx].set(new_state[4])
 
+    # ---------------------------------------------------------- checkpoint
+    def get_state(self) -> dict:
+        """Serializable snapshot of the WHOLE fleet (SURVEY.md §5
+        checkpoint/resume at the serving layer): per-stream native front-end
+        images (bit reservoir included) + the batch-stacked device tensors,
+        synced once.  Restore with :meth:`set_state` into a
+        ``BatchedMP3Decoder`` of the same width; decoding then continues
+        bit-identically to an uninterrupted run."""
+        return {
+            "native": [d.get_state()["native"] for d in self.decoders],
+            "over": np.asarray(self._over).copy(),
+            "pt": np.asarray(self._pt).copy(),
+            "pws": np.asarray(self._pws).copy(),
+            "npv": np.asarray(self._npv).copy(),
+            "vbuf": np.asarray(self._vbuf).copy(),
+            "vindex": list(self._vindex),
+            "ref_defined": list(self.last_frame_reference_defined),
+        }
+
+    def set_state(self, state: dict) -> None:
+        if len(state["native"]) != len(self.decoders):
+            raise ValueError(
+                f"state holds {len(state['native'])} streams, decoder has {len(self.decoders)}")
+        for d, blob in zip(self.decoders, state["native"]):
+            data = np.frombuffer(blob, np.uint8)
+            if d._lib.eal_mp3_state_load(
+                    d._ctx, data.ctypes.data_as(C.POINTER(C.c_uint8)), data.size) != 0:
+                raise RuntimeError("MP3 state load failed (bad/incompatible blob)")
+        self._over = jnp.asarray(np.asarray(state["over"], np.int32))
+        self._pt = jnp.asarray(np.asarray(state["pt"], np.int32))
+        self._pws = jnp.asarray(np.asarray(state["pws"], np.int32))
+        self._npv = jnp.asarray(np.asarray(state["npv"], np.int32))
+        self._vbuf = jnp.asarray(np.asarray(state["vbuf"], np.int32))
+        self._vindex = list(state["vindex"])
+        self.last_frame_reference_defined = list(state["ref_defined"])
+
+    def _parse_batch(self, views, use_size=False):
+        """Serial front-ends for the whole fleet in ONE native crossing
+        (eal_mp3_parse_frame_batch); outputs land batch-stacked.
+
+        views: per-stream np.uint8 views (zero-copy slices) or None to skip.
+        Returns a dict of batch arrays; rc == INT32_MIN marks skipped rows.
+        """
+        n = len(self.decoders)
+        lib = host_lib()
+        out = {
+            "huff": np.zeros((n, 2, 2, 576), np.int32),
+            "params": np.zeros((n, 2, 2, 24), np.int32),
+            "sf": np.zeros((n, 2, 2, 62), np.int32),
+            "frame": np.zeros((n, 16), np.int32),
+            "sfjs": np.zeros((n, 8), np.int32),
+            "consumed": np.zeros(n, np.int32),
+            "clear": np.zeros(n, np.int32),
+            "err_gr": np.zeros(n, np.int32),
+            "rc": np.full(n, np.iinfo(np.int32).min, np.int32),
+        }
+        ctxs = (C.c_void_p * n)()
+        u8p = C.POINTER(C.c_uint8)
+        bufp = (u8p * n)()
+        lens = np.zeros(n, np.int32)
+        for s, (dec, b) in enumerate(zip(self.decoders, views)):
+            if b is None:
+                continue
+            ctxs[s] = dec._ctx
+            bufp[s] = b.ctypes.data_as(u8p)
+            lens[s] = b.size
+        lib.eal_mp3_parse_frame_batch(
+            n, ctxs, bufp, lens.ctypes.data_as(_i32p), int(use_size),
+            out["huff"].ctypes.data_as(_i32p), out["params"].ctypes.data_as(_i32p),
+            out["sf"].ctypes.data_as(_i32p), out["frame"].ctypes.data_as(_i32p),
+            out["sfjs"].ctypes.data_as(_i32p), out["consumed"].ctypes.data_as(_i32p),
+            out["clear"].ctypes.data_as(_i32p), out["err_gr"].ctypes.data_as(_i32p),
+            out["rc"].ctypes.data_as(_i32p))
+        return out
+
+    @staticmethod
+    def _as_view(buf):
+        if buf is None:
+            return None
+        return (np.frombuffer(buf, np.uint8)
+                if isinstance(buf, (bytes, bytearray)) else np.ascontiguousarray(buf))
+
     def decode(self, buffers, use_size=False):
         """One frame per stream: returns list of (err, pcm|None, consumed).
 
@@ -120,13 +203,25 @@ class BatchedMP3Decoder:
         """
         n = len(self.decoders)
         assert len(buffers) == n
+        views = [self._as_view(b) for b in buffers]
+        pa = self._parse_batch(views, use_size)
+        huffs, paramss, sfs = pa["huff"], pa["params"], pa["sf"]
+        frames, sfjss = pa["frame"], pa["sfjs"]
+        consumed_a, clear_a, err_gr_a, rcs = (pa["consumed"], pa["clear"],
+                                              pa["err_gr"], pa["rc"])
+
         results = [None] * n
         work = {}   # group key -> list of (stream, parse tuple, ngr_run)
-        for s, (dec, buf) in enumerate(zip(self.decoders, buffers)):
-            if buf is None:
+        skip = np.iinfo(np.int32).min
+        for s, dec in enumerate(self.decoders):
+            if rcs[s] == skip:
                 continue
-            p = dec.parse_frame(buf, use_size)
-            err, huff, params, sf, frame, sfjs, consumed, clear, err_gr = p
+            err = MP3Error(int(rcs[s]))
+            huff, params, sf, frame, sfjs = (huffs[s], paramss[s], sfs[s],
+                                             frames[s], sfjss[s])
+            dec._last_frame = frame
+            consumed, clear, err_gr = int(consumed_a[s]), bool(clear_a[s]), int(err_gr_a[s])
+            p = (err, huff, params, sf, frame, sfjs, consumed, clear, err_gr)
             ngr, nch, ngs = int(frame[6]), int(frame[5]), int(frame[7])
             self.last_frame_reference_defined[s] = True
             if err != MP3Error.NONE:
@@ -151,12 +246,144 @@ class BatchedMP3Decoder:
                 vindex, ngr_run)
             self._scatter_state(streams, new_state)
             new_vindex = mp3_pipeline._advance_vindex(vindex, ngr_run)
-            # the ONLY per-group syncs: PCM + the reference-UB flags
-            pcm_np = np.asarray(pcm)
-            undef = np.asarray(ref_undef)
+            # the ONLY per-group sync: PCM + the reference-UB flags, pulled
+            # together in one round trip
+            pcm_np, undef = jax.device_get((pcm, ref_undef))
             for k, (s, p, _) in enumerate(items):
                 self._vindex[s] = new_vindex
                 self.last_frame_reference_defined[s] = not bool(undef[k])
                 if results[s] is None:   # success path: emit PCM
                     results[s] = (MP3Error.NONE, pcm_np[k].reshape(-1), p[6])
+        return results
+
+    @staticmethod
+    def _peek_format(view, pos):
+        """(ver, sr_idx, nch) from the 4 header bytes at pos, or None when
+        they can't be a Layer III header (the real parse then reports the
+        error).  Field layout per ISO/IEC 11172-3 §2.4.1.3."""
+        if pos + 4 > view.size:
+            return None
+        b1, b2, b3 = int(view[pos + 1]), int(view[pos + 2]), int(view[pos + 3])
+        if int(view[pos]) != 0xFF or (b1 & 0xF0) != 0xF0:
+            return None
+        ver_idx = (b1 >> 3) & 0x03
+        ver = 2 if ver_idx == 0 else (0 if (ver_idx & 1) else 1)
+        sr_idx = (b2 >> 2) & 0x03
+        nch = 1 if ((b3 >> 6) & 0x03) == 3 else 2
+        return (ver, sr_idx, nch)
+
+    def decode_run(self, buffers, n_frames, use_size=False):
+        """Serving-rate API: decode up to ``n_frames`` sequential frames per
+        stream, synthesizing each format group's WHOLE run of granules as a
+        single fused device dispatch (mp3_pipeline.decode_granules_run) —
+        behind a high-latency transport this amortizes the per-step
+        upload/dispatch/sync round trips that dominate :meth:`decode`.
+
+        Per-frame semantics are identical to repeated :meth:`decode` calls.
+        A stream's run ends early at its first error frame (the error entry
+        is included and carried state reflects the reference's
+        partial-granule synthesis), at end of buffer, or before a mid-stream
+        format change (rare; the next call picks it up).
+        ``last_frame_reference_defined`` aggregates over the whole run.
+
+        Returns: list over streams of lists of (err, pcm|None, consumed).
+        """
+        n = len(self.decoders)
+        assert len(buffers) == n
+        views = [self._as_view(b) for b in buffers]
+        pos = [0] * n
+        active = [v is not None and v.size > 0 for v in views]
+        fmt0 = [None] * n
+        perstream = [[] for _ in range(n)]   # (frame_idx, err, clear, consumed, ngr_run)
+        parses = []
+        skip = np.iinfo(np.int32).min
+
+        for f in range(n_frames):
+            ins = [None] * n
+            for s in range(n):
+                if not active[s]:
+                    continue
+                fmt = self._peek_format(views[s], pos[s])
+                if fmt is not None and fmt0[s] is not None and fmt != fmt0[s]:
+                    active[s] = False   # format change: next call handles it
+                    continue
+                ins[s] = views[s][pos[s]:]
+            if not any(v is not None for v in ins):
+                break
+            pa = self._parse_batch(ins, use_size)
+            parses.append(pa)
+            fi = len(parses) - 1
+            for s in range(n):
+                if ins[s] is None or pa["rc"][s] == skip:
+                    continue
+                err = MP3Error(int(pa["rc"][s]))
+                consumed = int(pa["consumed"][s])
+                pos[s] += consumed
+                self.decoders[s]._last_frame = pa["frame"][s]
+                frame = pa["frame"][s]
+                if err == MP3Error.NONE:
+                    ngr_run = int(frame[6])
+                    fmt0[s] = (int(frame[0]), int(frame[4]), int(frame[5]))
+                else:
+                    ngr_run = int(pa["err_gr"][s]) if int(pa["err_gr"][s]) > 0 else 0
+                    active[s] = False
+                perstream[s].append((fi, err, bool(pa["clear"][s]), consumed, ngr_run))
+                if active[s] and pos[s] >= views[s].size:
+                    active[s] = False
+
+        # group streams by (format, starting vindex, total granules) — the
+        # schedule sequence is then identical lane-to-lane
+        results = [[] for _ in range(n)]
+        work = {}
+        for s in range(n):
+            if not perstream[s]:
+                continue
+            G = sum(k for *_, k in perstream[s])
+            first = parses[perstream[s][0][0]]["frame"][s]
+            key = (int(first[0]), int(first[4]), int(first[5]), self._vindex[s], G)
+            work.setdefault(key, []).append(s)
+
+        for (ver, sr_idx, nch, vindex, G), streams in work.items():
+            B = len(streams)
+            if G > 0:
+                huff_g = np.empty((B, G, 2, 576), np.int32)
+                params_g = np.empty((B, G, 2, 24), np.int32)
+                sf_g = np.empty((B, G, 2, 62), np.int32)
+                frame_g = np.empty((B, G, 16), np.int32)
+                sfjs_g = np.empty((B, G, 8), np.int32)
+                for bi, s in enumerate(streams):
+                    g = 0
+                    for (fi, _err, _clear, _con, k) in perstream[s]:
+                        pa = parses[fi]
+                        huff_g[bi, g:g + k] = pa["huff"][s][:k]
+                        params_g[bi, g:g + k] = pa["params"][s][:k]
+                        sf_g[bi, g:g + k] = pa["sf"][s][:k]
+                        frame_g[bi, g:g + k] = pa["frame"][s]
+                        sfjs_g[bi, g:g + k] = pa["sfjs"][s]
+                        g += k
+                pcm, new_state, ref_undef = mp3_pipeline.decode_granules_run(
+                    huff_g, params_g, sf_g, frame_g, sfjs_g,
+                    self._gather_state(streams), vindex)
+                self._scatter_state(streams, new_state)
+                new_vindex = mp3_pipeline._advance_vindex(vindex, G)
+                pcm_np, undef = jax.device_get((pcm, ref_undef))
+            else:
+                pcm_np = undef = None
+                new_vindex = vindex
+
+            for bi, s in enumerate(streams):
+                self._vindex[s] = new_vindex
+                if undef is not None:
+                    self.last_frame_reference_defined[s] = not bool(undef[bi])
+                off = 0
+                for (fi, err, clear, consumed, k) in perstream[s]:
+                    frame = parses[fi]["frame"][s]
+                    if err == MP3Error.NONE:
+                        results[s].append(
+                            (err, pcm_np[bi, off:off + k * 576 * nch].copy(), consumed))
+                    else:
+                        ntot = int(frame[6]) * int(frame[7]) * int(frame[5])
+                        results[s].append(
+                            (err, np.zeros(ntot, np.int16) if clear else None, consumed))
+                    off += k * 576 * nch
         return results

@@ -46,11 +46,23 @@ def _sched_dev(vindex: int, nch: int):
     return hit
 
 
-@functools.partial(jax.jit, static_argnames=("nch", "cutoff"))
-def _granule_step(huff_g, nzb_in, compact, maps, over, prev_type,
+def _pack_huff16(huff_np: np.ndarray) -> np.ndarray:
+    """Pack sign-in-MSB int32 spectral magnitudes to int16 for transport.
+
+    Lossless by construction: a Layer III magnitude is at most
+    15 + (2^13 - 1) = 8206 (the largest linbits field is 13,
+    ISO/IEC 11172-3 Table B.7 tables 23/31), so value fits 15 bits and the
+    sign flag moves from bit 31 to bit 15.  Halves the dominant per-granule
+    upload; ``_granule_step`` re-widens on device, bit-exactly.
+    """
+    h = huff_np.astype(np.int32, copy=False)
+    return (((h & 0x7FFF) | ((h >> 16) & 0x8000)).astype(np.uint16)).view(np.int16)
+
+
+def _granule_body(huff_g, nzb_in, compact, maps, over, prev_type,
                   prev_win_switch, num_prev, vbuf, block_type, mixed,
                   fdct_idx, poly_idx, coef, ref_undef, *, nch, cutoff):
-    """One granule for B streams, fully device-resident (ONE dispatch).
+    """One granule for B streams, fully device-resident.
 
     Chains dequant -> IMDCT -> subband and updates all carried state on
     device; per-sample parameters are EXPANDED ON DEVICE from the ~230-word
@@ -58,8 +70,13 @@ def _granule_step(huff_g, nzb_in, compact, maps, over, prev_type,
     transfer weight), and the reference-UB flag (see decode_granules_batch)
     is accumulated on device too, so the host never syncs inside a frame —
     critical when the chip sits behind a high-latency transport.
+    ``huff_g`` arrives int16-packed (see ``_pack_huff16``) and re-widens to
+    the sign-in-MSB int32 form the dequantizer consumes.
     """
     B = huff_g.shape[0]
+    v = huff_g.astype(jnp.int32)          # sign-extends the bit-15 flag
+    mag = v & 0x7FFF
+    huff_g = jnp.where(v < 0, mag | jnp.int32(-(2 ** 31)), mag)
     hp = expand_hp_device(compact, maps, nch)
     dq = mp3dsp.dequantize_granule(huff_g, nzb_in, hp, nch=nch)
     x = dq["x"].reshape(B * nch, 576)
@@ -85,6 +102,66 @@ def _granule_step(huff_g, nzb_in, compact, maps, over, prev_type,
         out.reshape(B, nch, 18, 32), gb_out.reshape(B, nch), vbuf,
         fdct_idx, poly_idx, coef, nch=nch)
     return pcm, over, prev_type, prev_win_switch, num_prev, vbuf, ref_undef
+
+
+@functools.partial(jax.jit, static_argnames=("nch", "cutoff"))
+def _granules_scan(huff_gs, side_gs, maps, over, prev_type,
+                   prev_win_switch, num_prev, vbuf,
+                   fdct_gs, poly_gs, coef_gs, *, nch, cutoff):
+    """ALL granules of a run in ONE dispatch: ``lax.scan`` over the leading
+    granule axis of every per-granule input.  Behind a high-latency
+    transport this is the difference between 2 (or 2*n_frames, see
+    ``decode_granules_run``) dispatch+upload round trips and exactly one:
+    the stacked tensors ship together and the carried state never leaves
+    the device between granules.
+
+    ``side_gs`` int32 [G, B, 3*nch + CW] packs every small per-granule
+    input into a single upload (per-transfer latency on a tunneled chip
+    makes each separate host array cost ~a dispatch): columns are
+    nzb [nch] | block_type [nch] | mixed [nch] | compact blob [CW].
+    """
+    B = huff_gs.shape[1]
+    nzb_gs = side_gs[:, :, 0:nch]
+    block_gs = side_gs[:, :, nch:2 * nch].reshape(side_gs.shape[0], -1)
+    mixed_gs = side_gs[:, :, 2 * nch:3 * nch].reshape(side_gs.shape[0], -1)
+    compact_gs = side_gs[:, :, 3 * nch:]
+
+    def step(carry, xs):
+        over, pt, pws, npv, vbuf, ru = carry
+        huff_g, nzb, compact, bt, mx, fdct, poly, coef = xs
+        pcm, over, pt, pws, npv, vbuf, ru = _granule_body(
+            huff_g, nzb, compact, maps, over, pt, pws, npv, vbuf, bt, mx,
+            fdct, poly, coef, ru, nch=nch, cutoff=cutoff)
+        return (over, pt, pws, npv, vbuf, ru), pcm
+
+    carry0 = (over, prev_type, prev_win_switch, num_prev, vbuf,
+              jnp.zeros(B, bool))
+    (over, prev_type, prev_win_switch, num_prev, vbuf, ref_undef), pcm_gs = \
+        jax.lax.scan(step, carry0,
+                     (huff_gs, nzb_gs, compact_gs, block_gs, mixed_gs,
+                      fdct_gs, poly_gs, coef_gs))
+    return pcm_gs, (over, prev_type, prev_win_switch, num_prev, vbuf), ref_undef
+
+
+_SCHED_RUN: dict = {}   # (vindex0, G, nch) -> stacked schedule triple + vindex_out
+
+
+def _sched_run_dev(vindex: int, G: int, nch: int):
+    """Device-cached STACKED schedule sequence for a G-granule run starting
+    at ``vindex`` (vindex cycles through 8 values, so steady-state runs hit
+    the cache and ship zero schedule bytes — and dispatch zero stack ops)."""
+    key = (vindex, G, nch)
+    hit = _SCHED_RUN.get(key)
+    if hit is None:
+        scheds = []
+        v = vindex
+        for _ in range(G):
+            fdct, poly, coef, v = _sched_dev(v, nch)
+            scheds.append((fdct, poly, coef))
+        stacked = tuple(jnp.stack([s[i] for s in scheds]) for i in range(3))
+        jax.block_until_ready(stacked)
+        hit = _SCHED_RUN[key] = stacked + (v,)
+    return hit
 
 
 def decode_granules(huff, params, sf, frame, sfjs, state, n_granules=None):
@@ -159,42 +236,71 @@ def decode_granules_batch_dev(huff, params, sf, frame, sfjs, dev_state,
     [B,2], num_prev [B,2], vbuf [B,2176]). Returns (pcm device
     [B, ngr*576*nch], new dev_state, ref_undef device bool [B]).
 
-    Per granule the host does ONE native parameter expansion and ONE fused
-    device dispatch; nothing syncs back. gb == 31 means the guard-bit mask
-    was zero: the reference computes CLZ(0) there (undefined in C) and the
-    garbage gb rescales both new samples and carried overlap state (IMDCT36
+    The frame's granules ship and dispatch as ONE fused scan (see
+    decode_granules_run). gb == 31 means the guard-bit mask was zero: the
+    reference computes CLZ(0) there (undefined in C) and the garbage gb
+    rescales both new samples and carried overlap state (IMDCT36
     xPrev >>= es, reference :2190-2200), so its output is nondeterministic
     unless everything involved is zero; ours uses the defined lzcnt value
     and accumulates the flag on device for differential tests to fetch.
     """
-    B = huff.shape[0]
-    nch = int(frame[0, 5])
-    ver, sr_idx = int(frame[0, 0]), int(frame[0, 4])
+    G = ngr
+    frame_g = np.repeat(np.asarray(frame)[:, None], max(G, 1), axis=1)
+    sfjs_g = np.repeat(np.asarray(sfjs)[:, None], max(G, 1), axis=1)
+    return decode_granules_run(huff[:, :G], params[:, :G], sf[:, :G],
+                               frame_g[:, :G], sfjs_g[:, :G], dev_state, vindex)
+
+
+def decode_granules_run(huff_g, params_g, sf_g, frame_g, sfjs_g, dev_state,
+                        vindex):
+    """Synthesize an arbitrary RUN of G granules (any mix of frames) for B
+    format-uniform streams in ONE upload + ONE fused scan dispatch.
+
+    This is the serving-rate path: behind a high-latency transport the
+    per-dispatch round trip dominates MP3 decode, so ``BatchedMP3Decoder.
+    decode_run`` parses many frames per stream and lands here with the whole
+    run's granules stacked.  All per-granule inputs carry a granule axis:
+    huff_g int32 [B, G, 2, 576], params_g [B, G, 2, 24], sf_g [B, G, 2, 62],
+    frame_g [B, G, 16], sfjs_g [B, G, 8].  Streams must share
+    (version, samplerate index, nChans) and the starting ``vindex``; the
+    subband schedule sequence then advances identically for every stream.
+
+    Returns (pcm device [B, G*576*nch], new dev_state, ref_undef [B]).
+    """
+    B = huff_g.shape[0]
+    G = huff_g.shape[1]
+    over, prev_type, prev_win_switch, num_prev, vbuf = dev_state
+    if G == 0:
+        return (jnp.zeros((B, 0), jnp.int16),
+                (over, prev_type, prev_win_switch, num_prev, vbuf),
+                jnp.zeros(B, bool))
+    nch = int(frame_g[0, 0, 5])
+    ver, sr_idx = int(frame_g[0, 0, 0]), int(frame_g[0, 0, 4])
     T = mp3_tables()
     cutoff = int(T["sfBandLong"][ver][sr_idx][8 if ver == 0 else 6] // 18)
-
-    over, prev_type, prev_win_switch, num_prev, vbuf = dev_state
     maps = _maps_dev(ver, sr_idx)
-    ref_undef = jnp.zeros(B, bool)
-    pcm_parts = []
-    for gr in range(ngr):
-        nzb_in = params[:, gr, :nch, 18].astype(np.int32)     # [B, nch]
-        # ONE native call emits the compact band-level params for all B
-        # streams (~930B/stream); per-sample expansion happens on device
-        compact = granule_params_compact_blob(params[:, gr], sf[:, gr],
-                                              frame, sfjs, nzb_in, nch)
-        fdct, poly, coef, vindex = _sched_dev(vindex, nch)
-        (pcm, over, prev_type, prev_win_switch, num_prev, vbuf,
-         ref_undef) = _granule_step(
-            jnp.asarray(huff[:, gr, :nch]), jnp.asarray(nzb_in),
-            jnp.asarray(compact), maps, over, prev_type, prev_win_switch,
-            num_prev, vbuf, jnp.asarray(params[:, gr, :nch, 5].reshape(-1)),
-            jnp.asarray(params[:, gr, :nch, 6].reshape(-1)),
-            fdct, poly, coef, ref_undef, nch=nch, cutoff=cutoff)
-        pcm_parts.append(pcm)                                 # device [B, 576*nch]
 
-    if pcm_parts:
-        pcm_all = jnp.concatenate(pcm_parts, axis=1).astype(jnp.int16)
-    else:
-        pcm_all = jnp.zeros((B, 0), jnp.int16)
-    return pcm_all, (over, prev_type, prev_win_switch, num_prev, vbuf), ref_undef
+    huff_gs = np.stack([_pack_huff16(huff_g[:, g, :nch]) for g in range(G)])
+    # pack every small per-granule input into ONE int32 upload (layout:
+    # see _granules_scan); the compact blob comes from ONE native call per
+    # granule (~930B/stream), expanded per-sample on device
+    blobs = []
+    for g in range(G):
+        nzb = params_g[:, g, :nch, 18].astype(np.int32)
+        blobs.append(granule_params_compact_blob(
+            params_g[:, g], sf_g[:, g], frame_g[:, g], sfjs_g[:, g], nzb, nch))
+    side_gs = np.empty((G, B, 3 * nch + blobs[0].shape[-1]), np.int32)
+    for g in range(G):
+        side_gs[g, :, 0:nch] = params_g[:, g, :nch, 18]
+        side_gs[g, :, nch:2 * nch] = params_g[:, g, :nch, 5]
+        side_gs[g, :, 2 * nch:3 * nch] = params_g[:, g, :nch, 6]
+        side_gs[g, :, 3 * nch:] = blobs[g]
+    fdct_gs, poly_gs, coef_gs, vindex = _sched_run_dev(vindex, G, nch)
+
+    pcm_gs, new_state, ref_undef = _granules_scan(
+        jnp.asarray(huff_gs), jnp.asarray(side_gs),
+        maps, over, prev_type, prev_win_switch, num_prev, vbuf,
+        fdct_gs, poly_gs, coef_gs, nch=nch, cutoff=cutoff)
+    # [G, B, 576*nch] -> [B, G*576*nch]
+    pcm_all = jnp.swapaxes(pcm_gs, 0, 1).reshape(B, -1).astype(jnp.int16)
+    return pcm_all, new_state, ref_undef

@@ -32,9 +32,16 @@ MAX_ORDER = 32
 __all__ = ["lpc_restore", "decorrelate", "MAX_ORDER"]
 
 
+def _default_unroll() -> int:
+    # deep unrolling pays on TPU (amortizes scan-step launch overhead) but
+    # multiplies XLA:CPU compile time for long blocks — tests and host-only
+    # runs compile far more shapes than they execute
+    return 8 if jax.default_backend() == "tpu" else 2
+
+
 @functools.partial(jax.jit, static_argnames=("unroll", "use64"))
 def lpc_restore(data: jax.Array, coeffs: jax.Array, order: jax.Array, shift: jax.Array,
-                *, unroll: int = 8, use64: bool = True) -> jax.Array:
+                *, unroll: int | None = None, use64: bool = True) -> jax.Array:
     """Restore LPC/fixed prediction for a batch of subframes.
 
     Args:
@@ -101,7 +108,8 @@ def lpc_restore(data: jax.Array, coeffs: jax.Array, order: jax.Array, shift: jax
         jnp.broadcast_to(c_acc, batch_shape + (MAX_ORDER,)), j_safe, axis=-1), 0)
 
     idx = jnp.arange(T, dtype=jnp.int32)
-    _, y_t = jax.lax.scan(step, window0, (idx, data_t), unroll=unroll)
+    _, y_t = jax.lax.scan(step, window0, (idx, data_t),
+                          unroll=unroll if unroll is not None else _default_unroll())
     return jnp.moveaxis(y_t, 0, -1)
 
 

@@ -85,6 +85,10 @@ def host_lib() -> C.CDLL:
     lib.eal_mp3_parse_frame.argtypes = [
         C.c_void_p, u8p, C.c_int, C.c_int,
         i32p, i32p, i32p, i32p, i32p, i32p, i32p, i32p]
+    lib.eal_mp3_parse_frame_batch.restype = C.c_int
+    lib.eal_mp3_parse_frame_batch.argtypes = [
+        C.c_int, C.POINTER(C.c_void_p), C.POINTER(u8p), i32p, C.c_int,
+        i32p, i32p, i32p, i32p, i32p, i32p, i32p, i32p, i32p]
     lib.eal_mp3_frame_info.restype = C.c_int
     lib.eal_mp3_frame_info.argtypes = [C.c_void_p, u8p, i32p]
     lib.eal_mp3_last_frame_info.restype = C.c_int

@@ -25,6 +25,9 @@ from __future__ import annotations
 import argparse
 import ctypes as C
 import json
+import os
+import struct
+import subprocess
 import sys
 import time
 from pathlib import Path
@@ -32,6 +35,11 @@ from pathlib import Path
 REPO = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(REPO))
 sys.path.insert(0, str(REPO / "tools"))
+
+# persistent XLA compile cache, shared with the CLI subprocesses this runner
+# drives — without it every flac_to_wav invocation pays a fresh compile
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", str(REPO / "build" / "jax_cache"))
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 
 import jax  # noqa: E402
 
@@ -65,6 +73,10 @@ def generate_corpus(root: Path):
              plans=[[SubframePlan("lpc", order=2, escape=True), SubframePlan("fixed", order=1)]] * 3),
         dict(rng_seed=6, depth=16, channels=1, block_size=192, n_frames=4,
              plans=[[SubframePlan("lpc", order=32)]] * 4),
+        dict(rng_seed=7, depth=16, channels=2, block_size=4096, n_frames=4,
+             stereo_modes=["ms", "ls", "rs", None],
+             plans=[[SubframePlan("lpc", order=8, fit=True),
+                     SubframePlan("lpc", order=12, fit=True)]] * 4),
     ]
     uncommon = [
         dict(rng_seed=11, depth=32, channels=2, block_size=512, n_frames=2,
@@ -77,6 +89,23 @@ def generate_corpus(root: Path):
              plans=[[SubframePlan("fixed", order=0)], [SubframePlan("lpc", order=7)]]),
         dict(rng_seed=14, depth=16, channels=1, block_size=256, n_frames=2,
              plans=[[SubframePlan("lpc", order=5, wasted=3)], [SubframePlan("verbatim", wasted=2)]]),
+        # reference-envelope extremes (TESTING.md:82-96): 1-8 channels,
+        # 22.05-768 kHz, block sizes 16-65535, depths 8-32
+        dict(rng_seed=15, depth=16, channels=8, block_size=256, n_frames=2,
+             plans=[[SubframePlan("lpc", order=4) for _ in range(8)],
+                    [SubframePlan("fixed", order=2) for _ in range(8)]]),
+        dict(rng_seed=16, depth=24, channels=4, block_size=1024, n_frames=2, sample_rate=96000,
+             plans=[[SubframePlan("lpc", order=8, fit=True) for _ in range(4)]] * 2),
+        dict(rng_seed=17, depth=16, channels=2, block_size=16, n_frames=3, uncommon_bs_code=True,
+             plans=[[SubframePlan("lpc", order=2), SubframePlan("fixed", order=1)]] * 3),
+        dict(rng_seed=18, depth=16, channels=1, block_size=65535, n_frames=1, sample_rate=768000,
+             plans=[[SubframePlan("lpc", order=8, fit=True)]]),
+        dict(rng_seed=19, depth=32, channels=2, block_size=256, n_frames=2, sample_rate=176400,
+             plans=[[SubframePlan("lpc", order=8, wasted=2), SubframePlan("verbatim")]] * 2),
+        dict(rng_seed=20, depth=16, channels=3, block_size=4096, n_frames=2, sample_rate=22050,
+             plans=[[SubframePlan("lpc", order=16, fit=True, partition_order=4),
+                     SubframePlan("fixed", order=3),
+                     SubframePlan("lpc", order=8, escape=True)]] * 2),
     ]
     from flacgen import make_flac as mk
     for i, cfg in enumerate(subset):
@@ -124,13 +153,47 @@ def reference_decode(oracle_lib, blob: bytes):
         oracle_lib.ref_flac_destroy(d)
 
 
-def test_single_file(path: Path, oracle_lib, expect_fail: bool):
+def _wav_data_payload(path: Path) -> bytes:
+    """Extract the data chunk payload from a RIFF/WAVE file."""
+    raw = path.read_bytes()
+    pos = 12  # past RIFF size WAVE
+    while pos + 8 <= len(raw):
+        tag, size = raw[pos : pos + 4], struct.unpack("<I", raw[pos + 4 : pos + 8])[0]
+        if tag == b"data":
+            return raw[pos + 8 : pos + 8 + size]
+        pos += 8 + size + (size & 1)
+    return b""
+
+
+def drive_cli(path: Path, out_dir: Path, expect_fail: bool, ref_pcm):
+    """Drive the real user artifact — the flac_to_wav CLI — as a subprocess
+    and scrape its output, the way the reference harness drives its compiled
+    example binary (reference test_flac_decoder.py:152-259).  Checks exit
+    code, the MD5 PASS report, and (when the reference decoded the file) the
+    WAV data payload byte-for-byte."""
+    out_wav = out_dir / (path.stem + ".wav")
+    proc = subprocess.run(
+        [sys.executable, str(REPO / "examples" / "flac_to_wav.py"), str(path), str(out_wav)],
+        capture_output=True, text=True, timeout=900, env=os.environ.copy())
+    if expect_fail:
+        return proc.returncode != 0
+    if proc.returncode != 0:
+        return False
+    if "MD5: PASS" not in proc.stdout and "no signature" not in proc.stdout:
+        return False
+    if ref_pcm is not None and _wav_data_payload(out_wav) != ref_pcm:
+        return False
+    return True
+
+
+def test_single_file(path: Path, oracle_lib, expect_fail: bool, cli_out: Path | None = None,
+                     cli_pool=None):
     """Run both oracles on one file (mirrors the reference runner's
     test_single_file, host_examples/.../test_flac_decoder.py:152-259)."""
     blob = path.read_bytes()
     t0 = time.perf_counter()
     result = {"file": path.name, "md5": None, "reference_match": None,
-              "status": "fail", "seconds": 0.0}
+              "cli": None, "status": "fail", "seconds": 0.0}
 
     dec = FLACDecoder()
     ok = dec.read_header(blob) == FLACDecoderResult.SUCCESS
@@ -146,16 +209,28 @@ def test_single_file(path: Path, oracle_lib, expect_fail: bool):
         ref_ok, ref_pcm = reference_decode(oracle_lib, blob)
         result["reference_match"] = (decode_ok == ref_ok) and (not decode_ok or pcm == ref_pcm)
 
+    if cli_out is not None:
+        ref_arg = ref_pcm if (ref_ok and not expect_fail) else None
+        if cli_pool is not None:   # run CLI subprocesses concurrently
+            result["_cli_future"] = cli_pool.submit(drive_cli, path, cli_out, expect_fail, ref_arg)
+        else:
+            result["cli"] = drive_cli(path, cli_out, expect_fail, ref_arg)
+
     if expect_fail:
         # faulty corpus: pass when BOTH decoders reject (reference runner
         # semantics, test_flac_decoder.py:241-247)
-        result["status"] = "pass" if (not decode_ok and (ref_ok in (None, False))) else "fail"
+        ok_fail = not decode_ok and (ref_ok in (None, False))
+        if result["cli"] is not None:
+            ok_fail = ok_fail and result["cli"]
+        result["status"] = "pass" if ok_fail else "fail"
     else:
         checks = [decode_ok]
         if result["md5"] is not None:
             checks.append(result["md5"])
         if result["reference_match"] is not None:
             checks.append(result["reference_match"])
+        if result["cli"] is not None:
+            checks.append(result["cli"])
         result["status"] = "pass" if all(checks) else "fail"
     result["seconds"] = round(time.perf_counter() - t0, 3)
     return result
@@ -166,6 +241,8 @@ def main():
     ap.add_argument("--corpus", type=Path, default=REPO / "build" / "flac_corpus")
     ap.add_argument("--out", type=Path, default=REPO / "build" / "test_results")
     ap.add_argument("--no-reference", action="store_true")
+    ap.add_argument("--no-cli", action="store_true",
+                    help="skip driving the flac_to_wav CLI subprocess per file")
     args = ap.parse_args()
 
     if not args.corpus.exists():
@@ -177,6 +254,9 @@ def main():
         from tests.oracle import load
         oracle_lib = load().lib
 
+    from concurrent.futures import ThreadPoolExecutor
+    cli_pool = None if args.no_cli else ThreadPoolExecutor(max_workers=4)
+
     categories = ["subset", "uncommon", "faulty"]
     report = {"categories": {}, "summary": {}}
     total = passed = 0
@@ -186,14 +266,27 @@ def main():
         if not d.exists():
             continue
         results = []
+        cli_out = None
+        if not args.no_cli:
+            cli_out = args.out / "wav" / cat
+            cli_out.mkdir(parents=True, exist_ok=True)
         for f in sorted(d.glob("*.flac")):
-            r = test_single_file(f, oracle_lib, expect_fail=(cat == "faulty"))
+            r = test_single_file(f, oracle_lib, expect_fail=(cat == "faulty"),
+                                 cli_out=cli_out, cli_pool=cli_pool)
             results.append(r)
+        report["categories"][cat] = results
+    # resolve the concurrent CLI drives, then finalize statuses
+    for cat, results in report["categories"].items():
+        for r in results:
+            fut = r.pop("_cli_future", None)
+            if fut is not None:
+                r["cli"] = fut.result()
+                if not r["cli"]:
+                    r["status"] = "fail"
             total += 1
             passed += r["status"] == "pass"
             lines.append(f"[{cat}] {r['file']}: {r['status'].upper()} "
-                         f"(md5={r['md5']}, ref={r['reference_match']}, {r['seconds']}s)")
-        report["categories"][cat] = results
+                         f"(md5={r['md5']}, ref={r['reference_match']}, cli={r['cli']}, {r['seconds']}s)")
     report["summary"] = {"total": total, "passed": passed, "failed": total - passed}
     lines.insert(2, f"{passed}/{total} passed")
 

@@ -786,6 +786,30 @@ int eal_mp3_parse_frame(void *hctx, const uint8_t *inbuf, int bytesLeft, int use
   return ERR_NONE;
 }
 
+// Fleet variant: run the serial front-end for B independent streams in one
+// crossing (the MP3 analog of eal_flac_parse_stream — at serving batch
+// sizes the per-stream Python<->C hop, not the parsing, dominates the host
+// leg).  ctxs[b] == NULL skips stream b (its output rows are untouched and
+// rc[b] is set to INT32_MIN as the skip sentinel).  Outputs are the
+// eal_mp3_parse_frame arrays batch-stacked along the leading axis.
+int eal_mp3_parse_frame_batch(int B, void **ctxs, const uint8_t **bufs, const int32_t *lens, int useSize,
+                              int32_t *huff, int32_t *params, int32_t *sf, int32_t *frame, int32_t *sfjs,
+                              int32_t *consumed, int32_t *clear_out, int32_t *err_gr, int32_t *rc) {
+  const size_t NH = (size_t) MAX_NGRAN * MAX_NCHAN * MAX_NSAMP;
+  const size_t NP = (size_t) MAX_NGRAN * MAX_NCHAN * 24;
+  const size_t NS = (size_t) MAX_NGRAN * MAX_NCHAN * 62;
+  for (int b = 0; b < B; b++) {
+    if (!ctxs[b]) {
+      rc[b] = INT32_MIN;
+      continue;
+    }
+    rc[b] = eal_mp3_parse_frame(ctxs[b], bufs[b], lens[b], useSize, huff + (size_t) b * NH,
+                                params + (size_t) b * NP, sf + (size_t) b * NS, frame + (size_t) b * 16,
+                                sfjs + (size_t) b * 8, consumed + b, clear_out + b, err_gr + b);
+  }
+  return 0;
+}
+
 // Per-sample dequant/stereo parameter expansion for one granule (all
 // channels). Native transcription of models/mp3.py granule_params (which
 // mirrors DequantChannel's control flow, reference mp3_decoder.cpp:657-795

@@ -30,6 +30,13 @@ CONFIGS = [
     (64, 16, 1.0, 0, 2.0),                                   # Hann upsample, no interp
     (128, 64, 0.84, sinc.SUBSAMPLE_INTERPOLATE, 16000 / 48000),  # Hann + interp (wrapper-style)
     (32, 4, 1.0, sinc.SUBSAMPLE_INTERPOLATE, 1.0),            # unity ratio
+    # ---- reference acceptance envelope (art_resampler.cpp:89-97:
+    # 4..1024 taps, 2..1024 filters) ----
+    (4, 2, 1.0, 0, 0.5),                                      # minimum config
+    (256, 256, 0.9, sinc.BLACKMAN_HARRIS | sinc.SUBSAMPLE_INTERPOLATE, 16000 / 44100),
+    (1024, 64, 0.95, sinc.BLACKMAN_HARRIS, 0.5),              # max taps
+    (128, 1024, 0.9, sinc.SUBSAMPLE_INTERPOLATE, 44100 / 16000),  # max filters, upsample
+    (1024, 1024, 0.84, sinc.BLACKMAN_HARRIS | sinc.SUBSAMPLE_INTERPOLATE, 8000 / 96000),  # max both, extreme down
 ]
 
 
@@ -90,8 +97,10 @@ def test_process_batch_consistency(oracle):
             np.asarray(out_b)[s].view(np.uint32), np.asarray(out_s)[0].view(np.uint32))
 
 
-def test_fast_mode_close(oracle):
-    taps, nf, lp, flags, ratio = 64, 16, 0.9, sinc.BLACKMAN_HARRIS | sinc.SUBSAMPLE_INTERPOLATE, 0.37
+@pytest.mark.parametrize("taps,nf,lp,flags,ratio", CONFIGS)
+def test_fast_mode_close(oracle, taps, nf, lp, flags, ratio):
+    """Fast (banded/Pallas) path tracks the exact path across the whole
+    acceptance envelope, incl. 1024-tap/1024-filter extremes."""
     rng = np.random.default_rng(1)
     x = rng.standard_normal((2, 500)).astype(np.float32)
     exact = BatchedResample((2,), taps, nf, lp, flags, exact=True)

@@ -135,3 +135,60 @@ def test_batched_mp3_skip_stream():
     assert got[1] is None
     assert got[0][0] == 0 and got[0][1] is not None
     assert not np.any(np.asarray(got[0][1]))
+
+
+@pytest.mark.parametrize("homogeneous", [True, False])
+def test_mp3_decode_run_matches_decode(homogeneous):
+    """decode_run (one fused dispatch per group for the whole run) returns
+    exactly what repeated decode() calls return, frame by frame — including
+    errored streams stopping early and partial-granule state updates."""
+    cfgs = [MP3_CFGS[1]] * 4 if homogeneous else MP3_CFGS
+    streams = [_mp3_stream(c, seed=60 + i, n_frames=5) for i, c in enumerate(cfgs)]
+    n = len(streams)
+    n_frames = 5
+
+    ref = BatchedMP3Decoder(n)
+    expected = [[] for _ in range(n)]
+    pos = [0] * n
+    stopped = [False] * n
+    for _ in range(n_frames):
+        bufs = [None if stopped[i] or pos[i] >= len(s[0]) else s[0][pos[i]:]
+                for i, s in enumerate(streams)]
+        if all(b is None for b in bufs):
+            break
+        got = ref.decode(bufs)
+        for i in range(n):
+            if bufs[i] is None:
+                continue
+            expected[i].append(got[i])
+            pos[i] += got[i][2]
+            if got[i][0] != 0:
+                stopped[i] = True   # decode_run stops a stream at first error
+
+    bat = BatchedMP3Decoder(n)
+    results = bat.decode_run([s[0] for s in streams], n_frames)
+
+    for i in range(n):
+        assert len(results[i]) == len(expected[i]), f"stream {i}: frame count"
+        for f, ((ee, ep, ec), (ge, gp, gc)) in enumerate(zip(expected[i], results[i])):
+            assert (ge, gc) == (ee, ec), f"stream {i} frame {f}"
+            if ep is None:
+                assert gp is None, f"stream {i} frame {f}"
+            else:
+                np.testing.assert_array_equal(np.asarray(gp).reshape(-1),
+                                              np.asarray(ep).reshape(-1),
+                                              err_msg=f"stream {i} frame {f}")
+        # carried state equivalence: one more plain decode step must agree
+        tail_ref = ref.decode([None if not expected[i] else streams[i][0][pos[i]:]
+                               for i in range(n)])
+        tail_got = bat.decode([None if not expected[i] else streams[i][0][pos[i]:]
+                               for i in range(n)])
+        for i2 in range(n):
+            if tail_ref[i2] is None or tail_got[i2] is None:
+                assert tail_ref[i2] == tail_got[i2]
+                continue
+            assert tail_got[i2][0] == tail_ref[i2][0]
+            if tail_ref[i2][1] is not None and tail_got[i2][1] is not None:
+                np.testing.assert_array_equal(np.asarray(tail_got[i2][1]),
+                                              np.asarray(tail_ref[i2][1]))
+        break  # tail check once

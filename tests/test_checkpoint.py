@@ -160,3 +160,51 @@ def test_bad_state_blob_rejected():
         raise AssertionError("accepted truncated state")
     except RuntimeError:
         pass
+
+
+def test_batched_mp3_save_restore():
+    """Fleet-level checkpoint: a BatchedMP3Decoder snapshot restored into a
+    FRESH fleet (pickle round trip, as a serving layer migrating streams
+    across workers would do) continues bit-identically, including the
+    per-stream native bit reservoirs and the batch-stacked device state."""
+    import pickle
+
+    from esp_audio_libs_tpu.models.batch import BatchedMP3Decoder
+
+    B = 8
+    streams = [_mp3_stream(6, seed=100 + s) for s in range(B)]
+
+    ref = BatchedMP3Decoder(B)
+    pos = [0] * B
+    expected = []
+    for _ in range(6):
+        got = ref.decode([st[p:] for st, p in zip(streams, pos)])
+        pos = [p + g[2] for p, g in zip(pos, got)]
+        expected.append([(g[0], None if g[1] is None else np.asarray(g[1]).copy())
+                         for g in got])
+
+    bat = BatchedMP3Decoder(B)
+    pos = [0] * B
+    results = []
+    for _ in range(3):
+        got = bat.decode([st[p:] for st, p in zip(streams, pos)])
+        pos = [p + g[2] for p, g in zip(pos, got)]
+        results.append([(g[0], None if g[1] is None else np.asarray(g[1]).copy())
+                        for g in got])
+
+    blob = pickle.dumps(bat.get_state())
+    bat2 = BatchedMP3Decoder(B)
+    bat2.set_state(pickle.loads(blob))
+    for _ in range(3):
+        got = bat2.decode([st[p:] for st, p in zip(streams, pos)])
+        pos = [p + g[2] for p, g in zip(pos, got)]
+        results.append([(g[0], None if g[1] is None else np.asarray(g[1]).copy())
+                        for g in got])
+
+    for f, (erow, grow) in enumerate(zip(expected, results)):
+        for s, ((ee, ep), (ge, gp)) in enumerate(zip(erow, grow)):
+            assert ge == ee, f"frame {f} stream {s}"
+            if ep is None:
+                assert gp is None, f"frame {f} stream {s}"
+            else:
+                np.testing.assert_array_equal(gp, ep, err_msg=f"frame {f} stream {s}")

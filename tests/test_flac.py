@@ -101,6 +101,34 @@ CORPUS = [
          stereo_modes=[None, "ms"],
          plans=[[SubframePlan("lpc", order=8, partition_order=3),
                  SubframePlan("fixed", order=4, partition_order=1)]] * 2),
+    # ---- reference-envelope extremes (TESTING.md:82-96: 1-8 channels,
+    # 22.05-768 kHz, block 16-65535, depths 8-32) ----
+    dict(rng_seed=12, depth=16, channels=8, block_size=256, n_frames=2,
+         plans=[[SubframePlan("lpc", order=4) for _ in range(8)],
+                [SubframePlan("fixed", order=2) for _ in range(8)]]),
+    dict(rng_seed=13, depth=24, channels=3, block_size=512, n_frames=2,
+         plans=[[SubframePlan("lpc", order=8), SubframePlan("fixed", order=3),
+                 SubframePlan("verbatim")]] * 2),
+    dict(rng_seed=14, depth=16, channels=6, block_size=1024, n_frames=2,
+         sample_rate=96000,
+         plans=[[SubframePlan("lpc", order=12, fit=True) for _ in range(6)]] * 2),
+    dict(rng_seed=15, depth=16, channels=2, block_size=16, n_frames=3,
+         uncommon_bs_code=True,
+         plans=[[SubframePlan("lpc", order=2), SubframePlan("fixed", order=1)]] * 3),
+    dict(rng_seed=16, depth=16, channels=1, block_size=65535, n_frames=1,
+         sample_rate=768000,
+         plans=[[SubframePlan("lpc", order=8, fit=True)]]),
+    dict(rng_seed=17, depth=32, channels=2, block_size=256, n_frames=2,
+         sample_rate=176400,
+         plans=[[SubframePlan("lpc", order=8, wasted=2), SubframePlan("verbatim")]] * 2),
+    dict(rng_seed=18, depth=20, channels=2, block_size=4608, n_frames=2,
+         sample_rate=88200,
+         plans=[[SubframePlan("lpc", order=16, fit=True, partition_order=4),
+                 SubframePlan("lpc", order=8, escape=True)]] * 2),
+    dict(rng_seed=19, depth=16, channels=2, block_size=4096, n_frames=3,
+         stereo_modes=["ms", "ls", "rs"],
+         plans=[[SubframePlan("lpc", order=8, fit=True),
+                 SubframePlan("lpc", order=12, fit=True)]] * 3),
 ]
 
 
@@ -142,7 +170,7 @@ def test_decode_frame_matches_reference(oracle, corpus, ci):
         pos += dec.get_bytes_index()
 
 
-@pytest.mark.parametrize("ci", [1, 2, 9])
+@pytest.mark.parametrize("ci", [1, 2, 9, 11, 15, 17, 18])
 def test_decode_stream_batched(oracle, corpus, ci):
     blob, pcm = corpus[ci]
     rc, info, ref_frames = oracle_decode_all(oracle, blob)
@@ -153,7 +181,7 @@ def test_decode_stream_batched(oracle, corpus, ci):
     assert pcm_bytes == b"".join(f[1] for f in ref_frames)
 
 
-@pytest.mark.parametrize("ci", [1, 4, 7])
+@pytest.mark.parametrize("ci", [1, 4, 7, 11, 16])
 def test_output_32bit_mode(oracle, corpus, ci):
     blob, _ = corpus[ci]
     rc, info, ref_frames = oracle_decode_all(oracle, blob, out32=True)

@@ -117,7 +117,7 @@ class SubframePlan:
     """How to encode one channel of one frame."""
 
     def __init__(self, kind="lpc", order=8, wasted=0, precision=12, shift=10,
-                 partition_order=0, escape=False, escape_bits=None):
+                 partition_order=0, escape=False, escape_bits=None, fit=False):
         self.kind = kind            # constant | verbatim | fixed | lpc
         self.order = order
         self.wasted = wasted
@@ -126,6 +126,39 @@ class SubframePlan:
         self.partition_order = partition_order
         self.escape = escape        # use escape code in partition 0
         self.escape_bits = escape_bits  # None -> derive; 0 -> all-zero escape
+        # fit=True derives the LPC coefficients from the signal
+        # (Levinson-Durbin + quantization) like a real encoder, giving
+        # realistically small residuals; fit=False keeps adversarial random
+        # coefficients (stress decode correctness, huge residuals).
+        self.fit = fit
+
+
+def _fit_lpc_coeffs(x: np.ndarray, order: int, precision: int, shift: int) -> np.ndarray:
+    """Encoder-grade quantized LPC fit (autocorrelation + Levinson-Durbin),
+    the method real FLAC encoders use; returns int coeffs c such that
+    pred[m] = (sum_i c[i] * x[m-order+i]) >> shift tracks the signal."""
+    xf = x.astype(np.float64)
+    n = len(xf)
+    r = np.array([np.dot(xf[: n - k], xf[k:]) for k in range(order + 1)])
+    if r[0] <= 0:
+        return np.zeros(order, np.int64)
+    a = np.zeros(order + 1)
+    a[0] = 1.0
+    e = r[0]
+    for i in range(1, order + 1):
+        acc = r[i] + np.dot(a[1:i], r[i - 1 : 0 : -1])
+        k = -acc / e
+        new_a = a.copy()
+        new_a[1:i] = a[1:i] + k * a[i - 1 : 0 : -1]
+        new_a[i] = k
+        a = new_a
+        e *= 1.0 - k * k
+        if e <= 0:
+            break
+    # pred[m] = -sum_j a[j] x[m-j]; c[i] pairs with x at lag (order - i)
+    c_float = -a[order:0:-1]
+    lim = (1 << (precision - 1)) - 1
+    return np.clip(np.round(c_float * (1 << shift)), -lim - 1, lim).astype(np.int64)
 
 
 def encode_subframe(w: BitWriter, samples: np.ndarray, depth: int, plan: SubframePlan,
@@ -173,9 +206,11 @@ def encode_subframe(w: BitWriter, samples: np.ndarray, depth: int, plan: Subfram
         coeffs = np.array(FIXED_COEFFS[order], np.int64)
         shift = 0
     else:
-        # quantized LPC: pick stable-ish random coefficients
         precision, shift = plan.precision, plan.shift
-        coeffs = rng.integers(-(1 << (precision - 2)), 1 << (precision - 2), order).astype(np.int64)
+        if plan.fit:  # encoder-grade fit: realistic small residuals
+            coeffs = _fit_lpc_coeffs(enc, order, precision, shift)
+        else:  # adversarial random coefficients: stress decode correctness
+            coeffs = rng.integers(-(1 << (precision - 2)), 1 << (precision - 2), order).astype(np.int64)
         w.write(precision - 1, 4)
         w.write_signed(shift, 5)
         for i in range(order):
