@@ -407,39 +407,73 @@ def expand_hp_device(compact, maps, nch: int) -> dict:
 
     idx = jnp.arange(N, dtype=jnp.int32)
     long_proc = idx[None, None, :] < pe_l[..., None]               # [B,C,N]
-    # short section: offset from the dynamic base; map row by cbs (0 or 3)
+    # Short-section structure via ARITHMETIC, not shifted-row gathers: on
+    # TPU a [B,C,576] minor-axis gather lowers to a serial element walk and
+    # dominated this whole function.  Everything the old maps held is a
+    # function of the in-section offset o and ~13 static thresholds:
+    #   band(o):  count of band starts <= o        (13 compares)
+    #   win(o) = (o - S[band]) // n[band];  k = remainder
+    #   inv(o) = S[band] + n[band] * ((o-S) % 3) + (o-S) // 3
     row = (cb_start_s == 3).astype(jnp.int32)                      # [B,C]
     off = idx[None, None, :] - short_base[..., None]
-    off_c = jnp.clip(off, 0, N - 1)
-    sband = jnp.take_along_axis(maps["off_band"][row], off_c, axis=-1)
-    swin = jnp.take_along_axis(maps["off_win"][row], off_c, axis=-1)
-    sinv = jnp.take_along_axis(maps["inv_off"][row], off_c, axis=-1)
+    o = jnp.clip(off, 0, N - 1)
     short_proc = (off >= 0) & (idx[None, None, :] < pe_s[..., None]) \
         & has_short[..., None]
+
+    sfb_s_np = np.asarray(maps["sfb_s"])                           # static [14]
+    base_s = jnp.where(row == 1, int(sfb_s_np[3]), int(sfb_s_np[0]))   # sfb_s[cbs]
+    # S[cb] = 3*(sfb_s[cb] - sfb_s[cbs]); widths are format-static scalars
+    sband = -jnp.ones_like(o)
+    S_sel = jnp.zeros_like(o)
+    n_sel = jnp.ones_like(o)
+    gw = [jnp.zeros_like(o) for _ in range(3)]   # per-window short gain
+    for cb in range(13):
+        S_cb = (3 * (int(sfb_s_np[cb]) - base_s))[..., None]       # [B,C,1]
+        hit = o >= S_cb
+        sband = jnp.where(hit, cb, sband)
+        S_sel = jnp.where(hit, S_cb, S_sel)
+        n_sel = jnp.where(hit, int(sfb_s_np[cb + 1] - sfb_s_np[cb]), n_sel)
+        for w in range(3):
+            gw[w] = jnp.where(hit, gain_s[:, :, cb * 3 + w, None], gw[w])
+    q = o - S_sel
+    swin = q // n_sel
+    sinv = S_sel + n_sel * (q % 3) + q // 3
+    g_short = jnp.where(swin == 0, gw[0], jnp.where(swin == 1, gw[1], gw[2]))
 
     lband = maps["long_band"][None, None, :]
     band_in = jnp.where(long_proc, lband,
                         jnp.where(short_proc, sband, jnp.int32(-1)))
-    g_long = jnp.take_along_axis(gain_l, jnp.broadcast_to(lband, long_proc.shape),
-                                 axis=-1)
-    g_short = jnp.take_along_axis(gain_s, sband * 3 + swin, axis=-1)
+    # static-index expansions ride the MXU as one-hot f32 matmuls (values are
+    # small integers, exact in f32; a device gather here walks elements)
+    long_band_np = np.asarray(maps["long_band"])
+    oh_l22 = jnp.asarray(np.eye(22, dtype=np.float32)[long_band_np].T)  # [22,N]
+    g_long = jnp.einsum("bcj,jt->bct", gain_l.astype(jnp.float32),
+                        oh_l22).astype(jnp.int32)
     gain = jnp.where(long_proc, g_long, jnp.where(short_proc, g_short, 0))
     win_in = jnp.where(short_proc, swin, 0)
     processed = long_proc | short_proc
     invperm = jnp.where(short_proc, short_base[..., None] + sinv,
                         idx[None, None, :])
 
+    bo_l_np = np.asarray(maps["band_out_l"])
+    bo_s_np = np.asarray(maps["band_out_s"])
+    wo_np = np.asarray(maps["win_out"])
     bo_l = maps["band_out_l"]
     bo_s = maps["band_out_s"]
     wo = maps["win_out"]
-    valid_l = bo_l >= 0
-    valid_s = bo_s >= 0
-    sf_right_l = jnp.where(valid_l[None], sfl1[:, jnp.clip(bo_l, 0)], 0)
-    sf_right_s = jnp.where(valid_s[None],
-                           jnp.take(sfs1, jnp.clip(bo_s, 0) * 3 + wo, axis=-1), 0)
-    il_out_l = jnp.where(valid_l[None], il_long[:, jnp.clip(bo_l, 0)], 0)
-    il_out_s = jnp.where(valid_s[None],
-                         jnp.take(il_short, jnp.clip(bo_s, 0, 12), axis=-1), 0)
+    # output-order right-channel params: indices are format-STATIC, so each
+    # is one [B,K] @ [K,N] one-hot matmul (MXU) instead of a device gather
+    oh23 = np.zeros((23, N), np.float32)
+    oh23[np.clip(bo_l_np, 0, 22), np.arange(N)] = (bo_l_np >= 0)
+    oh39 = np.zeros((39, N), np.float32)
+    oh39[np.clip(bo_s_np * 3 + wo_np, 0, 38), np.arange(N)] = (bo_s_np >= 0)
+    oh13 = np.zeros((13, N), np.float32)
+    oh13[np.clip(bo_s_np, 0, 12), np.arange(N)] = (bo_s_np >= 0)
+    f32 = jnp.float32
+    sf_right_l = jnp.einsum("bj,jt->bt", sfl1.astype(f32), jnp.asarray(oh23)).astype(jnp.int32)
+    sf_right_s = jnp.einsum("bj,jt->bt", sfs1.astype(f32), jnp.asarray(oh39)).astype(jnp.int32)
+    il_out_l = jnp.einsum("bj,jt->bt", il_long.astype(f32), jnp.asarray(oh23)).astype(jnp.int32)
+    il_out_s = jnp.einsum("bj,jt->bt", il_short.astype(f32), jnp.asarray(oh13)).astype(jnp.int32)
 
     bc = lambda a: jnp.broadcast_to(a[None], (B,) + a.shape)
     return dict(

@@ -21,31 +21,6 @@ from .mp3 import expand_hp_device, format_maps, granule_params_compact_blob
 
 __all__ = ["decode_granules", "decode_granules_batch", "decode_granules_batch_dev"]
 
-_SCHED_DEV: dict = {}   # (vindex, nch) -> (fdct, poly, coef device arrays, vindex_out)
-_MAPS_DEV: dict = {}    # (ver, sr_idx) -> device copies of format_maps
-
-
-def _maps_dev(ver: int, sr_idx: int) -> dict:
-    key = (ver, sr_idx)
-    hit = _MAPS_DEV.get(key)
-    if hit is None:
-        hit = _MAPS_DEV[key] = {k: jnp.asarray(v)
-                                for k, v in format_maps(ver, sr_idx).items()}
-    return hit
-
-
-def _sched_dev(vindex: int, nch: int):
-    """Device-cached subband schedule: only 8 vindex values x 2 channel
-    counts exist, so steady state ships ZERO schedule bytes per granule."""
-    key = (vindex, nch)
-    hit = _SCHED_DEV.get(key)
-    if hit is None:
-        s = mp3subband.build_subband_schedule(vindex, nch)
-        hit = _SCHED_DEV[key] = (jnp.asarray(s["fdct_idx"]), jnp.asarray(s["poly_idx"]),
-                                 jnp.asarray(s["coef"]), s["vindex_out"])
-    return hit
-
-
 def _pack_huff16(huff_np: np.ndarray) -> np.ndarray:
     """Pack sign-in-MSB int32 spectral magnitudes to int16 for transport.
 
@@ -61,7 +36,7 @@ def _pack_huff16(huff_np: np.ndarray) -> np.ndarray:
 
 def _granule_body(huff_g, nzb_in, compact, maps, over, prev_type,
                   prev_win_switch, num_prev, vbuf, block_type, mixed,
-                  fdct_idx, poly_idx, coef, ref_undef, *, nch, cutoff):
+                  vindex, ref_undef, *, nch, cutoff):
     """One granule for B streams, fully device-resident.
 
     Chains dequant -> IMDCT -> subband and updates all carried state on
@@ -100,68 +75,65 @@ def _granule_body(huff_g, nzb_in, compact, maps, over, prev_type,
 
     pcm, vbuf = mp3subband.subband_granule(
         out.reshape(B, nch, 18, 32), gb_out.reshape(B, nch), vbuf,
-        fdct_idx, poly_idx, coef, nch=nch)
-    return pcm, over, prev_type, prev_win_switch, num_prev, vbuf, ref_undef
+        vindex, nch=nch)
+    vindex = (vindex - 9) & 7   # 9 odd steps per granule advance the phase
+    return pcm, over, prev_type, prev_win_switch, num_prev, vbuf, vindex, ref_undef
 
 
-@functools.partial(jax.jit, static_argnames=("nch", "cutoff"))
-def _granules_scan(huff_gs, side_gs, maps, over, prev_type,
-                   prev_win_switch, num_prev, vbuf,
-                   fdct_gs, poly_gs, coef_gs, *, nch, cutoff):
-    """ALL granules of a run in ONE dispatch: ``lax.scan`` over the leading
-    granule axis of every per-granule input.  Behind a high-latency
-    transport this is the difference between 2 (or 2*n_frames, see
-    ``decode_granules_run``) dispatch+upload round trips and exactly one:
-    the stacked tensors ship together and the carried state never leaves
-    the device between granules.
-
-    ``side_gs`` int32 [G, B, 3*nch + CW] packs every small per-granule
-    input into a single upload (per-transfer latency on a tunneled chip
-    makes each separate host array cost ~a dispatch): columns are
-    nzb [nch] | block_type [nch] | mixed [nch] | compact blob [CW].
-    """
-    B = huff_gs.shape[1]
-    nzb_gs = side_gs[:, :, 0:nch]
-    block_gs = side_gs[:, :, nch:2 * nch].reshape(side_gs.shape[0], -1)
-    mixed_gs = side_gs[:, :, 2 * nch:3 * nch].reshape(side_gs.shape[0], -1)
-    compact_gs = side_gs[:, :, 3 * nch:]
-
-    def step(carry, xs):
-        over, pt, pws, npv, vbuf, ru = carry
-        huff_g, nzb, compact, bt, mx, fdct, poly, coef = xs
-        pcm, over, pt, pws, npv, vbuf, ru = _granule_body(
-            huff_g, nzb, compact, maps, over, pt, pws, npv, vbuf, bt, mx,
-            fdct, poly, coef, ru, nch=nch, cutoff=cutoff)
-        return (over, pt, pws, npv, vbuf, ru), pcm
-
-    carry0 = (over, prev_type, prev_win_switch, num_prev, vbuf,
-              jnp.zeros(B, bool))
-    (over, prev_type, prev_win_switch, num_prev, vbuf, ref_undef), pcm_gs = \
-        jax.lax.scan(step, carry0,
-                     (huff_gs, nzb_gs, compact_gs, block_gs, mixed_gs,
-                      fdct_gs, poly_gs, coef_gs))
-    return pcm_gs, (over, prev_type, prev_win_switch, num_prev, vbuf), ref_undef
+_SCAN_JIT: dict = {}    # (ver, sr_idx, nch, cutoff) -> jitted scan
 
 
-_SCHED_RUN: dict = {}   # (vindex0, G, nch) -> stacked schedule triple + vindex_out
+def _granules_scan_for(ver: int, sr_idx: int, nch: int, cutoff: int):
+    """Per-format jitted whole-run scan.  The per-format maps are baked in
+    as TRACE-TIME numpy constants — expand_hp_device turns their static
+    index structure into one-hot matmuls and threshold arithmetic, which
+    needs concrete values (and saves re-uploading them as arguments)."""
+    key = (ver, sr_idx, nch, cutoff)
+    fn = _SCAN_JIT.get(key)
+    if fn is not None:
+        return fn
+    from .mp3 import format_maps
+    maps = format_maps(ver, sr_idx)   # numpy: becomes compile-time constants
 
+    @jax.jit
+    def scan_fn(huff_gs, side_gs, over, prev_type, prev_win_switch,
+                num_prev, vbuf, vindex0):
+        """ALL granules of a run in ONE dispatch: ``lax.scan`` over the
+        leading granule axis of every per-granule input.  Behind a
+        high-latency transport this is the difference between 2*n_frames
+        dispatch+upload round trips and exactly one: the stacked tensors
+        ship together and the carried state never leaves the device between
+        granules.
 
-def _sched_run_dev(vindex: int, G: int, nch: int):
-    """Device-cached STACKED schedule sequence for a G-granule run starting
-    at ``vindex`` (vindex cycles through 8 values, so steady-state runs hit
-    the cache and ship zero schedule bytes — and dispatch zero stack ops)."""
-    key = (vindex, G, nch)
-    hit = _SCHED_RUN.get(key)
-    if hit is None:
-        scheds = []
-        v = vindex
-        for _ in range(G):
-            fdct, poly, coef, v = _sched_dev(v, nch)
-            scheds.append((fdct, poly, coef))
-        stacked = tuple(jnp.stack([s[i] for s in scheds]) for i in range(3))
-        jax.block_until_ready(stacked)
-        hit = _SCHED_RUN[key] = stacked + (v,)
-    return hit
+        ``side_gs`` int32 [G, B, 3*nch + CW] packs every small per-granule
+        input into a single upload (per-transfer latency on a tunneled chip
+        makes each separate host array cost ~a dispatch): columns are
+        nzb [nch] | block_type [nch] | mixed [nch] | compact blob [CW].
+        """
+        B = huff_gs.shape[1]
+        nzb_gs = side_gs[:, :, 0:nch]
+        block_gs = side_gs[:, :, nch:2 * nch].reshape(side_gs.shape[0], -1)
+        mixed_gs = side_gs[:, :, 2 * nch:3 * nch].reshape(side_gs.shape[0], -1)
+        compact_gs = side_gs[:, :, 3 * nch:]
+
+        def step(carry, xs):
+            over, pt, pws, npv, vbuf, vindex, ru = carry
+            huff_g, nzb, compact, bt, mx = xs
+            pcm, over, pt, pws, npv, vbuf, vindex, ru = _granule_body(
+                huff_g, nzb, compact, maps, over, pt, pws, npv, vbuf, bt, mx,
+                vindex, ru, nch=nch, cutoff=cutoff)
+            return (over, pt, pws, npv, vbuf, vindex, ru), pcm
+
+        carry0 = (over, prev_type, prev_win_switch, num_prev, vbuf,
+                  vindex0.astype(jnp.int32), jnp.zeros(B, bool))
+        (over, prev_type, prev_win_switch, num_prev, vbuf, _, ref_undef), pcm_gs = \
+            jax.lax.scan(step, carry0,
+                         (huff_gs, nzb_gs, compact_gs, block_gs, mixed_gs))
+        return (pcm_gs, (over, prev_type, prev_win_switch, num_prev, vbuf),
+                ref_undef)
+
+    _SCAN_JIT[key] = scan_fn
+    return scan_fn
 
 
 def decode_granules(huff, params, sf, frame, sfjs, state, n_granules=None):
@@ -191,11 +163,9 @@ def decode_granules(huff, params, sf, frame, sfjs, state, n_granules=None):
 
 
 def _advance_vindex(vindex: int, ngr: int) -> int:
-    """vindex after ngr granules (it toggles parity once per granule and
-    steps deterministically — recompute via the schedule builder)."""
-    for _ in range(ngr):
-        vindex = mp3subband.build_subband_schedule(vindex, 1)["vindex_out"]
-    return vindex
+    """FIFO phase after ngr granules: 9 odd steps per granule each decrement
+    the phase mod 8 (== build_subband_schedule's vindex_out chain)."""
+    return (vindex - 9 * ngr) & 7
 
 
 def decode_granules_batch(huff, params, sf, frame, sfjs, states, vindex, ngr):
@@ -278,7 +248,6 @@ def decode_granules_run(huff_g, params_g, sf_g, frame_g, sfjs_g, dev_state,
     ver, sr_idx = int(frame_g[0, 0, 0]), int(frame_g[0, 0, 4])
     T = mp3_tables()
     cutoff = int(T["sfBandLong"][ver][sr_idx][8 if ver == 0 else 6] // 18)
-    maps = _maps_dev(ver, sr_idx)
 
     huff_gs = np.stack([_pack_huff16(huff_g[:, g, :nch]) for g in range(G)])
     # pack every small per-granule input into ONE int32 upload (layout:
@@ -295,12 +264,10 @@ def decode_granules_run(huff_g, params_g, sf_g, frame_g, sfjs_g, dev_state,
         side_gs[g, :, nch:2 * nch] = params_g[:, g, :nch, 5]
         side_gs[g, :, 2 * nch:3 * nch] = params_g[:, g, :nch, 6]
         side_gs[g, :, 3 * nch:] = blobs[g]
-    fdct_gs, poly_gs, coef_gs, vindex = _sched_run_dev(vindex, G, nch)
-
-    pcm_gs, new_state, ref_undef = _granules_scan(
+    pcm_gs, new_state, ref_undef = _granules_scan_for(ver, sr_idx, nch, cutoff)(
         jnp.asarray(huff_gs), jnp.asarray(side_gs),
-        maps, over, prev_type, prev_win_switch, num_prev, vbuf,
-        fdct_gs, poly_gs, coef_gs, nch=nch, cutoff=cutoff)
+        over, prev_type, prev_win_switch, num_prev, vbuf,
+        jnp.int32(vindex))
     # [G, B, 576*nch] -> [B, G*576*nch]
     pcm_all = jnp.swapaxes(pcm_gs, 0, 1).reshape(B, -1).astype(jnp.int16)
     return pcm_all, new_state, ref_undef

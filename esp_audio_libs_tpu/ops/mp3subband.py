@@ -195,34 +195,61 @@ def build_subband_schedule(vindex0: int, nch: int):
     return dict(fdct_idx=fdct_idx, poly_idx=poly_idx, coef=coef, vindex_out=v)
 
 
+def _poly_coefs():
+    """Static tap matrices for the slice-based polyphase: C1/C2 [17, 8] such
+    that (A = window cols 0..7, Bv = cols 23..16 reversed, rows 0..16):
+      sample n (0..16)  = sum_x C1[n,x]*A[n,x] - C2[n,x]*Bv[n,x]
+      sample 32-r (r>0) = sum_x C2[r,x]*A[r,x] + C1[r,x]*Bv[r,x]
+    (reference PolyphaseStereo/Mono tap pairing, :812-1084)."""
+    poly = mp3_tables()["polyCoef"]
+    C1 = np.zeros((17, 8), np.int64)
+    C2 = np.zeros((17, 8), np.int64)
+    for r in range(16):
+        for xx in range(8):
+            C1[r, xx] = np.int64(poly[16 * r + 2 * xx])
+            C2[r, xx] = np.int64(poly[16 * r + 2 * xx + 1])
+    for xx in range(8):
+        C1[16, xx] = np.int64(poly[256 + xx])
+    return C1, C2
+
+
 @functools.partial(jax.jit, static_argnames=("nch",))
-def subband_granule(outbuf, gb, vbuf, fdct_idx, poly_idx, coef, *, nch):
+def subband_granule(outbuf, gb, vbuf, vindex, *, nch):
     """Subband transform for one granule, batched over lanes.
+
+    The FIFO rides as a ``[L, 34, 64]`` view (row = FIFO row, 17 per parity
+    half; column = 8-phase ring slot, with the Helix double copy at +8, the
+    qrows block at +16 and channel 1 at +32).  Every access is then a
+    ``dynamic_slice``/``dynamic_update_slice`` whose start is the traced
+    ``vindex`` phase — contiguous and fast — where a flat index table would
+    lower to TPU gathers/scatters that walk elements (this stage was ~26 ms
+    per granule at B=256 in gather form; slices make it sub-ms).  The 18
+    steps unroll in trace (parity is static per step).
 
     Args:
       outbuf: int32 ``[L, C, 18, 32]`` IMDCT output.
       gb: int32 ``[L, C]`` guard bits.
       vbuf: int32 ``[L, 2176]`` carried FIFO (both channels + parities).
-      fdct_idx/poly_idx/coef: schedule from :func:`build_subband_schedule`.
+      vindex: traced int32 scalar FIFO phase, uniform across the batch
+        (callers group streams by it).
 
     Returns (pcm int16 ``[L, 18*32*nch]`` interleaved, new vbuf).
     """
     T = {k: jnp.asarray(v) for k, v in mp3_tables().items()}
     outbuf = outbuf.astype(jnp.int32)
     gb = gb.astype(jnp.int32)
-    vbuf = vbuf.astype(jnp.int32)
     L = outbuf.shape[0]
+    C1_np, C2_np = _poly_coefs()
+    C1 = jnp.asarray(C1_np)[None]   # [1, 17, 8]
+    C2 = jnp.asarray(C2_np)[None]
 
-    xs = (jnp.asarray(fdct_idx), jnp.asarray(poly_idx),
-          jnp.moveaxis(outbuf, 2, 0))  # [18, L, C, 32]
-
-    def step(vbuf, xs_b):
-        fidx, pidx, xb = xs_b
-        # FDCT32 per channel
+    def one_step(vb, v, xb, odd):
+        """One of the 18 steps; ``odd`` is a static python parity."""
+        row_off, qrow_off = 17 * odd, 17 * (1 - odd)
+        c0 = (v - odd) & 7
         for ch in range(nch):
             buf, es = _fdct32(xb[:, ch, :], gb[:, ch], T)
-            vals = []
-            vals.append(buf[0])
+            vals = [buf[0]]
             for r in range(16):
                 t = buf[_ROWS[r][0]]
                 for k in _ROWS[r][1:]:
@@ -233,18 +260,35 @@ def subband_granule(outbuf, gb, vbuf, fdct_idx, poly_idx, coef, *, nch):
                 for k in _QROWS[q][1:]:
                     t = t + buf[k]
                 vals.append(t)
-            v = jnp.stack(vals, axis=-1)  # [L, 33]
+            v33 = jnp.stack(vals, axis=-1)  # [L, 33]
             # es epilogue (:7981-8005): clip + shift the stored values
             esb = es[..., None]
-            v = jnp.where(esb > 0, _i32(_clip2n(v, 31 - esb) << esb), v)
-            v2 = jnp.concatenate([v, v], axis=-1)  # [L, 66] (d[0] and d[8])
-            vbuf = vbuf.at[:, fidx[ch]].set(v2)
+            v33 = jnp.where(esb > 0, _i32(_clip2n(v33, 31 - esb) << esb), v33)
+            cc = 32 * ch
+            rows16 = v33[:, 1:17, None]     # [L, 16, 1]
+            qrows16 = v33[:, 17:33, None]
+            s0 = v33[:, 0:1, None]          # [L, 1, 1]
+            z = jnp.int32(0)
+            for dcopy in (0, 8):            # Helix double copy
+                vb = jax.lax.dynamic_update_slice(
+                    vb, rows16, (z, jnp.int32(row_off), v + (cc + dcopy)))
+                vb = jax.lax.dynamic_update_slice(
+                    vb, qrows16, (z, jnp.int32(qrow_off), c0 + (16 + cc + dcopy)))
+                vb = jax.lax.dynamic_update_slice(
+                    vb, s0, (z, jnp.int32(qrow_off + 16), c0 + (cc + dcopy)))
 
-        # polyphase: gather [L, 32, 16] and contract in int64
+        # polyphase: one contiguous window per channel, static tap math
         pcm_ch = []
         for ch in range(nch):
-            g = vbuf[:, pidx + 32 * ch].astype(jnp.int64)  # [L, 32, 16]
-            acc = jnp.sum(g * coef[None, :, :], axis=-1) + jnp.int64(RND)
+            sl = jax.lax.dynamic_slice(
+                vb, (jnp.int32(0), jnp.int32(17 * odd), v + 32 * ch),
+                (L, 17, 24)).astype(jnp.int64)
+            A = sl[:, :, 0:8]                       # taps v+0..7
+            Bv = sl[:, :, 16:24][..., ::-1]         # taps v+23..16
+            lo = jnp.sum(C1 * A - C2 * Bv, axis=-1)   # [L, 17] samples 0..16
+            hi = jnp.sum(C2 * A + C1 * Bv, axis=-1)   # [L, 17]; rows 1..15
+            acc = jnp.concatenate([lo, hi[:, 1:16][:, ::-1]], axis=-1)  # [L, 32]
+            acc = acc + jnp.int64(RND)
             s32 = (acc >> (32 - CSHIFT)).astype(jnp.int32)
             x = s32 >> DEF_NFRACBITS
             sign = x >> 31
@@ -254,8 +298,19 @@ def subband_granule(outbuf, gb, vbuf, fdct_idx, poly_idx, coef, *, nch):
             pcm = jnp.stack([pcm_ch[0], pcm_ch[1]], axis=-1).reshape(L, 64)
         else:
             pcm = pcm_ch[0]
-        return vbuf, pcm
+        return vb, (v - odd) & 7, pcm
 
-    vbuf, pcm_steps = jax.lax.scan(step, vbuf, xs)  # pcm_steps [18, L, 32*nch]
-    pcm = jnp.moveaxis(pcm_steps, 0, 1).reshape(L, -1)
-    return pcm, vbuf
+    # scan over the 9 even/odd step pairs: parity is static inside the body
+    # (the phase only moves on odd steps), trace stays 2 steps deep
+    xs = jnp.moveaxis(outbuf, 2, 0).reshape(9, 2, L, nch if nch == 2 else outbuf.shape[1], 32)
+
+    def pair(carry, x2):
+        vb, v = carry
+        vb, v, pcm0 = one_step(vb, v, x2[0], 0)
+        vb, v, pcm1 = one_step(vb, v, x2[1], 1)
+        return (vb, v), jnp.concatenate([pcm0, pcm1], axis=-1)
+
+    vb0 = vbuf.astype(jnp.int32).reshape(L, 34, 64)
+    (vb, _), pcm_pairs = jax.lax.scan(pair, (vb0, vindex.astype(jnp.int32)), xs)
+    pcm = jnp.moveaxis(pcm_pairs, 0, 1).reshape(L, -1)
+    return pcm, vb.reshape(L, 2176)
