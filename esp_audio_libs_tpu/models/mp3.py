@@ -24,7 +24,7 @@ from ..runtime.native import host_lib
 from ..runtime.tables import mp3_tables
 from ..utils.errors import MP3Error
 
-__all__ = ["MP3Decoder", "granule_params", "granule_params_native", "granule_params_batch"]
+__all__ = ["MP3Decoder", "granule_params"]
 
 MAX_NSAMP = 576
 IMDCT_SCALE = 2
@@ -180,130 +180,18 @@ def granule_params(params: np.ndarray, sf: np.ndarray, frame: np.ndarray, sfjs: 
     )
 
 
-_GP_SIZE = 6 * 2 * 576 + 4 * 2 + 7 * 576 + 23 + 14 + 3
-_GP_BLOBS: dict = {}   # B -> persistent [B, _GP_SIZE] output buffer
 
 
-def granule_params_native(params: np.ndarray, sf: np.ndarray, frame: np.ndarray,
-                          sfjs: np.ndarray, nzb: np.ndarray) -> dict:
-    """Native per-sample parameter expansion: same contract as
-    :func:`granule_params`, computed by eal_mp3_granule_params
-    (native/src/mp3_frontend.cpp). The Python version remains the
-    cross-checked reference (tests/test_mp3_decode.py); batched decode uses
-    :func:`granule_params_batch` (one native call for all streams)."""
-    nch = int(frame[5])
-    hp = granule_params_batch(params[None], sf[None], frame, sfjs,
-                              np.asarray(nzb)[None], nch)
-    return {k: (v[0] if getattr(v, "ndim", 0) > 0 else v) for k, v in hp.items()}
-
-
-def _gp_blob_to_dict(out, nch: int) -> dict:
-    """Slice the packed eal_mp3_granule_params blob(s) into the hp dict.
-
-    out: int32 ``[..., _GP_SIZE]`` (any leading batch dims), numpy OR jnp —
-    with a jnp blob the slices lower to device ops, so the batched decoder
-    ships ONE array per granule instead of 22 (transfer latency dominates
-    behind a tunneled chip). All returned arrays are views/slices into the
-    blob except the bool casts.
-    """
-    C2, N = 2, MAX_NSAMP
-    lead = out.shape[:-1]
-    o = 0
-
-    def take(*shape):
-        nonlocal o
-        n = int(np.prod(shape))
-        v = out[..., o:o + n].reshape(*lead, *shape)
-        o += n
-        return v
-
-    gain = take(C2, N)[..., :nch, :]
-    band_in = take(C2, N)[..., :nch, :]
-    win_in = take(C2, N)[..., :nch, :]
-    is_long_in = take(C2, N)[..., :nch, :].astype(bool)
-    processed = take(C2, N)[..., :nch, :].astype(bool)
-    invperm = take(C2, N)[..., :nch, :]
-    cb_start_s = take(C2)[..., :nch]
-    has_short = take(C2)[..., :nch].astype(bool)
-    cb_type = take(C2)[..., :nch]
-    out_nzb_short = take(C2)[..., :nch]
-    band_out_l = take(N)
-    band_out_s = take(N)
-    win_out = take(N)
-    sf_right_l = take(N)
-    sf_right_s = take(N)
-    il_out_l = take(N)
-    il_out_s = take(N)
-    sfb_l = take(23)
-    sfb_s = take(14)
-    scalars = take(3)
-    return dict(
-        gain=gain, band_in=band_in, win_in=win_in, is_long_in=is_long_in,
-        processed=processed, invperm=invperm, cb_start_s=cb_start_s,
-        has_short=has_short, cb_type=cb_type, out_nzb_short=out_nzb_short,
-        band_out_l=band_out_l, band_out_s=band_out_s, win_out=win_out,
-        sf_right_l=sf_right_l, sf_right_s=sf_right_s, il_out_l=il_out_l,
-        il_out_s=il_out_s, sfb_l=sfb_l, sfb_s=sfb_s,
-        mode_ext=scalars[..., 0], ver_is_mpeg1=scalars[..., 1].astype(bool),
-        intensity_scale=scalars[..., 2],
-    )
-
-
-def granule_params_blob(params: np.ndarray, sf: np.ndarray, frame: np.ndarray,
-                        sfjs: np.ndarray, nzb: np.ndarray, nch: int) -> np.ndarray:
-    """Raw packed parameter blob ``[B, _GP_SIZE]`` for B (stream, granule)
-    sets (one native call; see granule_params_batch). The returned array is
-    the persistent per-B buffer — ship it (device_put) before the next call
-    with the same B."""
-    B = params.shape[0]
-    C2 = 2
-    p2 = np.zeros((B, C2, 24), np.int32)
-    p2[:, :nch] = params[:, :nch]
-    s2 = np.zeros((B, C2, 62), np.int32)
-    s2[:, :nch] = sf[:, :nch]
-    n2 = np.zeros((B, C2), np.int32)
-    n2[:, :nch] = nzb[:, :nch]
-    fr = np.ascontiguousarray(frame, np.int32)
-    js = np.ascontiguousarray(sfjs, np.int32)
-    out = _GP_BLOBS.get(B)
-    if out is None:
-        out = _GP_BLOBS[B] = np.empty((B, _GP_SIZE), np.int32)
-    host_lib().eal_mp3_granule_params_batch(
-        B, p2.ctypes.data_as(_i32p), s2.ctypes.data_as(_i32p),
-        fr.ctypes.data_as(_i32p), js.ctypes.data_as(_i32p),
-        n2.ctypes.data_as(_i32p), out.ctypes.data_as(_i32p))
-    return out
-
-
-def granule_params_batch(params: np.ndarray, sf: np.ndarray, frame: np.ndarray,
-                         sfjs: np.ndarray, nzb: np.ndarray, nch: int) -> dict:
-    """Expand per-sample parameters for B (stream, granule) sets in ONE
-    native call; returns the hp dict with a leading [B] axis (what
-    mp3_pipeline.decode_granules_batch feeds the device kernels).
-
-    Args: params ``[B, C, 24]``, sf ``[B, C, 62]``, frame ``[B, 16]``,
-    sfjs ``[B, 8]``, nzb ``[B, C]`` (C = nch entries used).
-
-    NOTE: the int arrays are views into a persistent per-B buffer (fresh
-    page faults dominate on a single-core TPU-VM host) and are overwritten
-    by the NEXT call with the same B — consume (device_put) first.
-    """
-    return _gp_blob_to_dict(
-        granule_params_blob(params, sf, frame, sfjs, nzb, nch), nch)
-
-
-# ---------------------------------------------------------------- compact path
-# Ship ~230 int32 of band-level parameters per (stream, granule) and expand
-# per-sample ON DEVICE from static per-format maps: the 44KB expanded blob
-# is pure transfer weight behind a low-bandwidth transport.
-
-_GPC_SIZE = 2 * 22 + 2 * 39 + 2 * 6 + 23 + 39 + 23 + 13 + 3   # 232
-_GPC_BLOBS: dict = {}
+# compact band-level blob: 2*22 + 2*39 + 2*6 + 23 + 39 + 23 + 13 + 3 words
+# (layout: native/src/mp3_frontend.cpp eal_mp3_granule_params_compact)
+_GPC_SIZE = 2 * 22 + 2 * 39 + 2 * 6 + 23 + 39 + 23 + 13 + 3
+_GPC_BLOBS: dict = {}   # B -> persistent [B, _GPC_SIZE] output buffer
 
 
 def granule_params_compact_blob(params, sf, frame, sfjs, nzb, nch) -> np.ndarray:
-    """Raw compact parameter blob ``[B, _GPC_SIZE]`` (one native call; same
-    persistent-buffer caveat as granule_params_blob)."""
+    """Raw compact parameter blob ``[B, _GPC_SIZE]`` (one native call). The
+    returned array is a persistent per-B buffer — consume or copy it before
+    the next same-B call."""
     B = params.shape[0]
     p2 = np.zeros((B, 2, 24), np.int32)
     p2[:, :nch] = params[:, :nch]

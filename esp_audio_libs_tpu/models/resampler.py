@@ -445,8 +445,31 @@ class Resampler:
                 packed, per_stream = self._quantize_fast(out, gen, out_max)
                 return packed, per_stream, new_hist, oh
 
-            self._chunk_fns[key] = fn
+            self._chunk_fns[key] = self._with_pallas_fallback(
+                fn, use_pallas, lambda: self._get_fast_fn(frames, out_max))
         return self._chunk_fns[key]
+
+    def _with_pallas_fallback(self, fn, use_pallas: bool, rebuild):
+        """Guard a compiled chunk fn: Mosaic lowering can fail at some REAL
+        shapes even when the support probe passed (shape-dependent failures
+        on remote-compile transports). On the first such failure, force the
+        XLA banded path for the whole process and rebuild this fn."""
+        if not use_pallas:
+            return fn
+
+        def guarded(*args):
+            try:
+                return fn(*args)
+            except KeyboardInterrupt:
+                raise
+            except Exception:
+                from ..ops import polyphase_pallas as _pp
+
+                _pp.mark_unsupported()
+                self._chunk_fns.clear()
+                return rebuild()(*args)
+
+        return guarded
 
     # ------------------------------------------------------------ streaming
     def resample_stream(self, input_bytes, chunk_frames: int, num_chunks: int,
@@ -570,7 +593,9 @@ class Resampler:
                     body, init, (gi, gw, gens))
                 return packed, clipped, new_hist, new_oh
 
-            self._chunk_fns[key] = fn
+            self._chunk_fns[key] = self._with_pallas_fallback(
+                fn, use_pallas,
+                lambda: self._get_fast_stream_fn(frames, out_max, num_chunks))
         return self._chunk_fns[key]
 
     def _get_stream_fn(self, frames: int, out_max: int, num_chunks: int):

@@ -30,6 +30,19 @@ from jax.experimental.pallas import tpu as pltpu
 __all__ = ["polyphase_banded_pallas", "pallas_supported"]
 
 
+def mark_unsupported() -> None:
+    """Force the XLA fallback for the rest of the process: called when a
+    REAL kernel instance fails to compile at some shape even though the
+    probe passed (Mosaic lowering has shape-dependent failure modes on
+    remote-compile transports)."""
+    pallas_supported.cache_clear()
+    global _FORCED_OFF
+    _FORCED_OFF = True
+
+
+_FORCED_OFF = False
+
+
 @functools.lru_cache(None)
 def pallas_supported() -> bool:
     """True when Mosaic kernels actually compile on this backend.
@@ -39,15 +52,16 @@ def pallas_supported() -> bool:
     can expose a TPU while being unable to initialize libtpu for Mosaic —
     there the XLA banded path is used instead. Tests exercise this kernel
     via interpret mode on any backend."""
-    if jax.default_backend() != "tpu":
+    if _FORCED_OFF or jax.default_backend() != "tpu":
         return False
     try:
-        def k(x_ref, o_ref):
-            o_ref[...] = x_ref[...] + 1.0
-
-        out = pl.pallas_call(
-            k, out_shape=jax.ShapeDtypeStruct((8, 128), jnp.float32),
-        )(jnp.zeros((8, 128), jnp.float32))
+        # probe the REAL kernel at a minimal shape — a trivial kernel can
+        # compile while the slab-DMA kernel's lowering still fails (observed:
+        # a RecursionError inside Mosaic lowering on some tunnel versions)
+        x = jnp.zeros((1, 1, 256), jnp.float32)
+        wt = jnp.zeros((1, 128, 128), jnp.float32)
+        starts = jnp.zeros((1,), jnp.int32)
+        out = polyphase_banded_pallas(x, wt, starts, T=128)
         jax.block_until_ready(out)
         return True
     except Exception:

@@ -93,10 +93,6 @@ def host_lib() -> C.CDLL:
     lib.eal_mp3_frame_info.argtypes = [C.c_void_p, u8p, i32p]
     lib.eal_mp3_last_frame_info.restype = C.c_int
     lib.eal_mp3_last_frame_info.argtypes = [C.c_void_p, i32p]
-    lib.eal_mp3_granule_params.restype = C.c_int
-    lib.eal_mp3_granule_params.argtypes = [i32p, i32p, i32p, i32p, i32p, i32p]
-    lib.eal_mp3_granule_params_batch.restype = C.c_int
-    lib.eal_mp3_granule_params_batch.argtypes = [C.c_int, i32p, i32p, i32p, i32p, i32p, i32p]
     lib.eal_mp3_granule_params_compact_batch.restype = C.c_int
     lib.eal_mp3_granule_params_compact_batch.argtypes = [C.c_int, i32p, i32p, i32p, i32p, i32p, i32p]
     lib.eal_flac_frame_fits16.restype = C.c_int32

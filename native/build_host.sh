@@ -15,12 +15,23 @@ if [ -f "$OUT" ] && [ "$OUT" -nt "$newest_src" ]; then
 fi
 
 # the MP3 front-end needs the ISO constant tables extracted as a header,
-# plus the project's own Huffman node tables generated from them
+# plus the project's own Huffman node tables generated from them.  When the
+# reference source isn't present (CI runners), use the vendored copies in
+# native/gen/ (same generated artifacts, committed).
+REF="${REF:-/root/reference}"
 if [ ! -f "$OUT_DIR/mp3_tables.h" ]; then
-  python3 "$DIR/../tools/extract_mp3_tables.py"
+  if [ -d "$REF/src" ]; then
+    python3 "$DIR/../tools/extract_mp3_tables.py"
+  else
+    cp "$DIR/gen/mp3_tables.h" "$DIR/gen/mp3_tables.npz" "$OUT_DIR/"
+  fi
 fi
 if [ ! -f "$OUT_DIR/mp3_huff.h" ] || [ "$DIR/../tools/gen_huffman_tables.py" -nt "$OUT_DIR/mp3_huff.h" ]; then
-  python3 "$DIR/../tools/gen_huffman_tables.py"
+  if [ -f "$OUT_DIR/mp3_tables.npz" ]; then
+    python3 "$DIR/../tools/gen_huffman_tables.py"
+  else
+    cp "$DIR/gen/mp3_huff.h" "$DIR/gen/mp3_huff.npz" "$OUT_DIR/"
+  fi
 fi
 
 g++ -O2 -fPIC -shared -std=c++17 -ffp-contract=off -Wall \

@@ -810,173 +810,9 @@ int eal_mp3_parse_frame_batch(int B, void **ctxs, const uint8_t **bufs, const in
   return 0;
 }
 
-// Per-sample dequant/stereo parameter expansion for one granule (all
-// channels). Native transcription of models/mp3.py granule_params (which
-// mirrors DequantChannel's control flow, reference mp3_decoder.cpp:657-795
-// and the stereo band structure of :1139-1422): the batched decoder calls
-// this once per (stream, granule), and on a single-core TPU-VM host the
-// Python/numpy version dominates batched decode time.
-//
-// Output: one packed int32 blob, laid out as (C = 2 channel slots):
-//   [0)      gain        [C][576]
-//   [1)      band_in     [C][576]
-//   [2)      win_in      [C][576]
-//   [3)      is_long_in  [C][576]
-//   [4)      processed   [C][576]
-//   [5)      invperm     [C][576]
-//   then     cb_start_s[C], has_short[C], cb_type[C], out_nzb_short[C]
-//   then     band_out_l[576], band_out_s[576], win_out[576],
-//            sf_right_l[576], sf_right_s[576], il_out_l[576], il_out_s[576]
-//   then     sfb_l[23], sfb_s[14]
-//   then     mode_ext, ver_is_mpeg1, intensity_scale
-// Total: 6*2*576 + 4*2 + 7*576 + 23 + 14 + 3 = 10992 words.
-int eal_mp3_granule_params(const int32_t *params /*[2][24]*/, const int32_t *sf /*[2][62]*/,
-                           const int32_t *frame /*[16]*/, const int32_t *sfjs /*[8]*/,
-                           const int32_t *nzb /*[2]*/, int32_t *out) {
-  const int C = 2, N = 576, IMDCT_SCALE = 2;
-  int ver = frame[0], s_mode = frame[2], mode_ext = frame[3], sr_idx = frame[4];
-  int nch = frame[5];
-  (void) s_mode;
-  const int32_t *sfb_l = eal_sfBandLong[ver][sr_idx];
-  const int32_t *sfb_s = eal_sfBandShort[ver][sr_idx];
-
-  int32_t *gain = out;
-  int32_t *band_in = gain + C * N;
-  int32_t *win_in = band_in + C * N;
-  int32_t *is_long = win_in + C * N;
-  int32_t *processed = is_long + C * N;
-  int32_t *invperm = processed + C * N;
-  int32_t *cb_start_s = invperm + C * N;
-  int32_t *has_short = cb_start_s + C;
-  int32_t *cb_type = has_short + C;
-  int32_t *out_nzb_short = cb_type + C;
-  int32_t *band_out_l = out_nzb_short + C;
-  int32_t *band_out_s = band_out_l + N;
-  int32_t *win_out = band_out_s + N;
-  int32_t *sf_right_l = win_out + N;
-  int32_t *sf_right_s = sf_right_l + N;
-  int32_t *il_out_l = sf_right_s + N;
-  int32_t *il_out_s = il_out_l + N;
-  int32_t *o_sfb_l = il_out_s + N;
-  int32_t *o_sfb_s = o_sfb_l + 23;
-  int32_t *scalars = o_sfb_s + 14;
-
-  for (int i = 0; i < C * N; i++) {
-    gain[i] = 0; win_in[i] = 0; is_long[i] = 0; processed[i] = 0;
-    band_in[i] = -1; invperm[i] = i % N;
-  }
-  for (int c = 0; c < C; c++) {
-    cb_start_s[c] = 0; has_short[c] = 0; cb_type[c] = 0; out_nzb_short[c] = 0;
-  }
-
-  for (int ch = 0; ch < nch; ch++) {
-    const int32_t *p = params + ch * 24;
-    int block_type = p[5], mixed = p[6];
-    int sfact_mult = 2 * (p[16] + 1);
-    int global_gain = p[2];
-    if (mode_ext >> 1) global_gain -= 2;
-    global_gain += IMDCT_SCALE;
-
-    int cb_end_l, cbs, cb_end_s;
-    if (block_type == 2) {
-      if (mixed) { cb_end_l = (ver == 0) ? 8 : 6; cbs = 3; }
-      else       { cb_end_l = 0; cbs = 0; }
-      cb_end_s = 13;
-    } else {
-      cb_end_l = 22; cbs = 13; cb_end_s = 13;
-    }
-    cb_start_s[ch] = cbs;
-    has_short[ch] = cbs < 12;
-    cb_type[ch] = (block_type != 2) ? 0 : (mixed ? 2 : 1);
-
-    const int32_t *sfl = sf + ch * 62;
-    const int32_t *sfs = sf + ch * 62 + 23;  // [13][3]
-    int i = 0;
-    for (int cb = 0; cb < cb_end_l; cb++) {
-      int n = sfb_l[cb + 1] - sfb_l[cb];
-      int g = 210 - global_gain + sfact_mult * (sfl[cb] + (p[15] ? eal_preTab[cb] : 0));
-      for (int k = 0; k < n; k++) {
-        gain[ch * N + i + k] = g;
-        band_in[ch * N + i + k] = cb;
-        is_long[ch * N + i + k] = 1;
-        processed[ch * N + i + k] = 1;
-      }
-      i += n;
-      if (i >= nzb[ch]) break;
-    }
-    if (cbs < 12) {
-      for (int cb = cbs; cb < cb_end_s; cb++) {
-        int n = sfb_s[cb + 1] - sfb_s[cb];
-        for (int w = 0; w < 3; w++) {
-          int g = 210 - global_gain + 8 * p[10 + w] + sfact_mult * sfs[cb * 3 + w];
-          for (int k = 0; k < n; k++) {
-            gain[ch * N + i + n * w + k] = g;
-            band_in[ch * N + i + n * w + k] = cb;
-            win_in[ch * N + i + n * w + k] = w;
-            processed[ch * N + i + n * w + k] = 1;
-          }
-        }
-        for (int w = 0; w < 3; w++)
-          for (int j = 0; j < n; j++)
-            invperm[ch * N + i + 3 * j + w] = i + n * w + j;
-        i += 3 * n;
-        if (i >= nzb[ch]) break;
-      }
-      out_nzb_short[ch] = i;
-    }
-  }
-
-  // output-order structure arrays (stereo stage)
-  for (int t = 0; t < N; t++) { band_out_l[t] = -1; band_out_s[t] = -1; win_out[t] = 0; }
-  for (int cb = 0; cb < 22; cb++)
-    for (int t = sfb_l[cb]; t < sfb_l[cb + 1]; t++) band_out_l[t] = cb;
-  for (int cb = 0; cb < 13; cb++) {
-    int lo = 3 * sfb_s[cb], hi = 3 * sfb_s[cb + 1];
-    for (int t = lo; t < hi && t < N; t++) { band_out_s[t] = cb; win_out[t] = (t - lo) % 3; }
-  }
-
-  for (int t = 0; t < N; t++) { sf_right_l[t] = 0; sf_right_s[t] = 0; il_out_l[t] = 0; il_out_s[t] = 0; }
-  if (nch == 2) {
-    const int32_t *sfl1 = sf + 62;
-    const int32_t *sfs1 = sf + 62 + 23;
-    int32_t il[23];
-    for (int k = 0; k < 23; k++) il[k] = 0;
-    int k = 0;
-    for (int r = 0; r < 4; r++) {
-      int32_t tmp = (1 << sfjs[r]) - 1;
-      for (int c = 0; c < sfjs[4 + r]; c++) {
-        if (k < 23) il[k] = tmp;
-        k++;
-      }
-    }
-    int32_t il_long[23], il_short[23];
-    for (int j = 0; j < 23; j++) { il_long[j] = il[j]; il_short[j] = il[j]; }
-    il_long[21] = il_long[22] = 1;   // reference :1352
-    il_short[12] = 1;                // reference :1391
-    for (int t = 0; t < N; t++) {
-      if (band_out_l[t] >= 0) {
-        sf_right_l[t] = sfl1[band_out_l[t]];
-        il_out_l[t] = il_long[band_out_l[t]];
-      }
-      if (band_out_s[t] >= 0) {
-        sf_right_s[t] = sfs1[band_out_s[t] * 3 + win_out[t]];
-        int b = band_out_s[t] < 0 ? 0 : (band_out_s[t] > 12 ? 12 : band_out_s[t]);
-        il_out_s[t] = il_short[b];
-      }
-    }
-  }
-
-  for (int j = 0; j < 23; j++) o_sfb_l[j] = sfb_l[j];
-  for (int j = 0; j < 14; j++) o_sfb_s[j] = sfb_s[j];
-  scalars[0] = mode_ext;
-  scalars[1] = (ver == 0);
-  scalars[2] = frame[12];
-  return 0;
-}
-
 // COMPACT per-(stream, granule) parameters: band-level values + section
 // bounds only (~230 int32), for DEVICE-side per-sample expansion. The full
-// expanded blob (eal_mp3_granule_params) is 44KB/stream — shipping it
+// expanded blob (44KB/stream; superseded full-expansion path) — shipping it
 // dominates batched decode behind a low-bandwidth transport; everything a
 // device gather can reconstruct from static per-format maps stays compact.
 //
@@ -1102,23 +938,6 @@ int eal_mp3_granule_params_compact_batch(int B, const int32_t *params,
     eal_mp3_granule_params_compact(params + b * 2 * 24, sf + b * 2 * 62,
                                    frame + b * 16, sfjs + b * 8, nzb + b * 2,
                                    out + b * GP);
-  return 0;
-}
-
-// Batched variant: expand B (stream, granule) parameter sets in one call —
-// the batched decoder makes one ctypes crossing per granule for the whole
-// stream group instead of B Python-side calls (the per-call wrapper cost,
-// not the expansion itself, dominates on this host).
-int eal_mp3_granule_params_batch(int B, const int32_t *params /*[B][2][24]*/,
-                                 const int32_t *sf /*[B][2][62]*/,
-                                 const int32_t *frame /*[B][16]*/,
-                                 const int32_t *sfjs /*[B][8]*/,
-                                 const int32_t *nzb /*[B][2]*/,
-                                 int32_t *out /*[B][10992]*/) {
-  const int GP = 6 * 2 * 576 + 4 * 2 + 7 * 576 + 23 + 14 + 3;
-  for (int b = 0; b < B; b++)
-    eal_mp3_granule_params(params + b * 2 * 24, sf + b * 2 * 62, frame + b * 16,
-                           sfjs + b * 8, nzb + b * 2, out + b * GP);
   return 0;
 }
 

