@@ -250,9 +250,12 @@ def main():
         generate_corpus(args.corpus)
 
     oracle_lib = None
-    if not args.no_reference:
+    ref = Path(os.environ.get("REF", "/root/reference"))
+    if not args.no_reference and (ref / "src").is_dir():
         from tests.oracle import load
         oracle_lib = load().lib
+    elif not args.no_reference:
+        print("reference source not found: running with the MD5 oracle only")
 
     from concurrent.futures import ThreadPoolExecutor
     cli_pool = None if args.no_cli else ThreadPoolExecutor(max_workers=4)
