@@ -523,10 +523,11 @@ struct FlacFrontend {
     std::memset(coeffs, 0, 32 * sizeof(int32_t));
 
     if (type == 0) {  // constant: expand on host (shift applied like reference)
-      int32_t value = read_sint(depth) << w;
+      // shift via uint32: << on negative int is UB pre-C++20 (same bits)
+      int32_t value = (int32_t) ((uint32_t) read_sint(depth) << w);
       for (uint32_t i = 0; i < block_size; ++i) data[i] = value;
     } else if (type == 1) {  // verbatim
-      for (uint32_t i = 0; i < block_size; ++i) data[i] = read_sint(depth) << w;
+      for (uint32_t i = 0; i < block_size; ++i) data[i] = (int32_t) ((uint32_t) read_sint(depth) << w);
     } else if (type >= 8 && type <= 12) {  // fixed prediction
       uint32_t pre_order = type - 8;
       if (pre_order > 4) return ERR_BAD_FIXED_PREDICTION_ORDER;
@@ -796,12 +797,15 @@ int eal_flac_state_save(void *d, uint8_t *out, size_t cap) {
   h.n_meta = (uint32_t) f->metadata.size();
   uint8_t *p = out;
   std::memcpy(p, &h, sizeof h); p += sizeof h;
-  std::memcpy(p, f->partial_header_data.data(), h.ph_len); p += h.ph_len;
+  if (h.ph_len) {  // empty vector's data() may be null: UB to pass to memcpy
+    std::memcpy(p, f->partial_header_data.data(), h.ph_len);
+    p += h.ph_len;
+  }
   for (auto &m : f->metadata) {
     uint32_t t = m.first, len = (uint32_t) m.second.size();
     std::memcpy(p, &t, 4); p += 4;
     std::memcpy(p, &len, 4); p += 4;
-    std::memcpy(p, m.second.data(), len); p += len;
+    if (len) { std::memcpy(p, m.second.data(), len); p += len; }
   }
   return 0;
 }

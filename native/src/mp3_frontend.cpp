@@ -652,8 +652,24 @@ int eal_mp3_parse_frame(void *hctx, const uint8_t *inbuf, int bytesLeft, int use
   *clear_out = 0;
   *err_gr = 0;
 
+  // HARDENING DIVERGENCE from the reference: it parses the header and side
+  // info without checking bytesLeft (mp3_decoder.cpp:8720-8733), reading up
+  // to ~38 bytes past a truncated buffer. Reject short input with the error
+  // code and byte accounting the reference's dominant path produces.
+  if (bytesLeft < 4) return ERR_INDATA_UNDERFLOW;
+
   int fhBytes = fe->unpack_frame_header(inbuf);
   if (fhBytes < 0) return ERR_INVALID_FRAMEHEADER;
+
+  {
+    const bool mono = (fe->sMode == Mono);
+    const int siNeed = (fe->ver == MPEG1) ? (mono ? 17 : 32) : (mono ? 9 : 17);
+    if (bytesLeft < fhBytes + siNeed) {
+      *clear_out = 1;
+      *consumed = bytesLeft;   // truncated final frame: consume the tail
+      return ERR_INDATA_UNDERFLOW;
+    }
+  }
   inbuf += fhBytes;
 
   int siBytes = fe->unpack_side_info(inbuf);
@@ -676,7 +692,12 @@ int eal_mp3_parse_frame(void *hctx, const uint8_t *inbuf, int bytesLeft, int use
         return ERR_FREE_BITRATE_SYNC;
       }
       int freeFrameBytes = fe->freeBitrateSlots + fhBytes + siBytes;
-      fe->bitrate = (freeFrameBytes * fe->samprate * 8) / (fe->nGrans * fe->nGranSamps);
+      // the reference computes this in int and overflows (UB) when a false
+      // free-bitrate sync lands far away; compute in 64-bit and wrap to the
+      // two's-complement value its binaries produce in practice (the value
+      // only feeds the frame-info report, not decode math)
+      fe->bitrate = (int32_t) (uint32_t) (((int64_t) freeFrameBytes * fe->samprate * 8) /
+                                          (fe->nGrans * fe->nGranSamps));
     }
     fe->nSlots = fe->freeBitrateSlots + (fe->paddingBit ? 1 : 0);
   }
@@ -697,6 +718,20 @@ int eal_mp3_parse_frame(void *hctx, const uint8_t *inbuf, int bytesLeft, int use
       *clear_out = 1;
       *consumed = (int) (inbuf - in0);
       return ERR_INDATA_UNDERFLOW;
+    }
+    // HARDENING DIVERGENCE from the reference: its equivalent copies are
+    // unguarded (mp3_decoder.cpp:8784-8796) and a crafted stream can make
+    // nSlots exceed the 1940-byte main buffer (free-bitrate false sync far
+    // away) or go negative (header slot arithmetic at degenerate
+    // bitrate/CRC combinations) — heap corruption in the reference, found
+    // by native/sanitize_check.sh. Reject such frames instead.
+    if (fe->nSlots < 0 ||
+        fe->nSlots > MAINBUF_SIZE - (fe->mainDataBytes >= fe->mainDataBegin
+                                         ? fe->mainDataBegin
+                                         : fe->mainDataBytes)) {
+      *clear_out = 1;
+      *consumed = (int) (inbuf - in0);
+      return ERR_INVALID_FRAMEHEADER;
     }
     if (fe->mainDataBytes >= fe->mainDataBegin) {
       memmove(fe->mainBuf, fe->mainBuf + fe->mainDataBytes - fe->mainDataBegin, fe->mainDataBegin);
