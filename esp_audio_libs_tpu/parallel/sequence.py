@@ -33,7 +33,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 from ..ops.polyphase import banded_weights_device, polyphase_banded
 
-__all__ = ["time_mesh", "sequence_parallel_resample"]
+__all__ = ["time_mesh", "sequence_parallel_resample", "sequence_parallel_iir2"]
 
 TIME_AXIS = "time"
 
@@ -125,3 +125,70 @@ def sequence_parallel_resample(x, filters_np, direct_row, grid, mesh: Mesh, *,
     y = kernel(x, jnp.asarray(win0_l), jnp.asarray(g_i1), jnp.asarray(g_i2),
                jnp.asarray(g_w), jnp.asarray(g_m), gens)
     return y.reshape(B, ch, D * To), counts
+
+
+def sequence_parallel_iir2(f, p1, p2, y1, y2, mesh: Mesh):
+    """Exact-mode sequence parallelism for the order-2 IIR recurrence
+    ``y[t] = f[t] - p1*y[t-1] - p2*y[t-2]`` (the biquad denominator form,
+    ops/scan.iir2_sequential): the time axis shards over ``mesh`` and the
+    two-value boundary state hops device-to-device over ICI
+    (``lax.ppermute``), each device replaying the reference's bit-exact
+    sequential op order on its own segment once its true incoming state
+    arrives.
+
+    Output and final state are BIT-IDENTICAL to the single-device
+    sequential solve: every sample's (f - p1*y1) - p2*y2 executes with
+    exactly the operands the global sequential order produces — the
+    decomposition moves WHERE each segment is computed, never the math.
+    The stage loop serializes devices for a single chunk (state passing is
+    inherently sequential in exact mode); a serving loop overlaps
+    successive chunks across stages, pipeline-style. This function is the
+    end-to-end composition of that boundary-state-exchange pattern.
+
+    Args:
+      f: f32 ``[B, T]`` forcing, T divisible by the mesh size.
+      p1, p2: scalar f32 recurrence coefficients.
+      y1, y2: f32 ``[B]`` initial state (y[-1], y[-2]).
+    Returns: (y ``[B, T]``, (y_last ``[B]``, y_prev ``[B]``)).
+    """
+    from ..ops.scan import iir2_sequential
+
+    D = mesh.devices.size
+    B, T = f.shape
+    assert T % D == 0, (T, D)
+    right_perm = [(i, i + 1) for i in range(D - 1)]
+
+    @functools.partial(
+        jax.shard_map, mesh=mesh,
+        in_specs=(P(None, TIME_AXIS), P(None), P(None)),
+        out_specs=(P(None, TIME_AXIS), P(None), P(None)))
+    def run(f_loc, y1_0, y2_0):
+        idx = jax.lax.axis_index(TIME_AXIS)
+        # the carry becomes device-varying after the first stage; mark the
+        # replicated initial state as varying up front so the loop types agree
+        y1_0 = jax.lax.pcast(y1_0, (TIME_AXIS,), to="varying")
+        y2_0 = jax.lax.pcast(y2_0, (TIME_AXIS,), to="varying")
+
+        def stage(s, carry):
+            y1c, y2c, out = carry
+            yseg, (yl, yp) = iir2_sequential(f_loc, p1, p2, y1c, y2c)
+            active = (idx == s)
+            out = jnp.where(active, yseg, out)
+            # hand the exact outgoing state to the next device; inactive
+            # devices send zeros that nobody reads
+            s1 = jax.lax.ppermute(jnp.where(active, yl, 0.0), TIME_AXIS, right_perm)
+            s2 = jax.lax.ppermute(jnp.where(active, yp, 0.0), TIME_AXIS, right_perm)
+            take = (idx == s + 1)
+            return (jnp.where(take, s1, y1c), jnp.where(take, s2, y2c), out)
+
+        out0 = jnp.zeros_like(f_loc)
+        y1c, y2c, out = jax.lax.fori_loop(0, D, stage, (y1_0, y2_0, out0))
+        # replicate the last device's final state (it re-runs the segment —
+        # cheap relative to a collective round trip on small B)
+        _, (yl, yp) = iir2_sequential(f_loc, p1, p2, y1c, y2c)
+        last1 = jax.lax.psum(jnp.where(idx == D - 1, yl, 0.0), TIME_AXIS)
+        last2 = jax.lax.psum(jnp.where(idx == D - 1, yp, 0.0), TIME_AXIS)
+        return out, last1, last2
+
+    y, yl, yp = run(f, y1, y2)
+    return y, (yl, yp)

@@ -96,3 +96,55 @@ def test_time_sharded_matches_single_device(fold):
     # formulations, so the dot's f32 reduction tree groups addends
     # differently: equality holds to reduction-order tolerance, not bitwise
     np.testing.assert_allclose(got, ref[..., :gen], rtol=2e-6, atol=2e-6)
+
+
+def test_exact_iir2_time_sharded_bit_exact():
+    """Exact-mode SP composition: the order-2 IIR recurrence time-sharded
+    over 8 devices with ppermute boundary-state passing is BIT-identical to
+    the single-device sequential solve — including the carried final state
+    across successive chunks."""
+    from esp_audio_libs_tpu.ops.scan import iir2_sequential
+    from esp_audio_libs_tpu.parallel.sequence import sequence_parallel_iir2
+
+    mesh = time_mesh()
+    D = mesh.devices.size
+    rng = np.random.default_rng(7)
+    B, T = 3, 64 * D
+    p1, p2 = jnp.float32(-1.6), jnp.float32(0.81)   # stable resonator poles
+    y1 = jnp.zeros(B, jnp.float32)
+    y2 = jnp.zeros(B, jnp.float32)
+    ys1, ys2 = y1, y2
+    for chunk in range(3):   # carried state across chunks
+        f = jnp.asarray(rng.standard_normal((B, T)).astype(np.float32))
+        ref, (r1, r2) = iir2_sequential(f, p1, p2, ys1, ys2)
+        got, (g1, g2) = sequence_parallel_iir2(f, p1, p2, y1, y2, mesh)
+        np.testing.assert_array_equal(
+            np.asarray(got).view(np.uint32), np.asarray(ref).view(np.uint32),
+            err_msg=f"chunk {chunk}")
+        np.testing.assert_array_equal(np.asarray(g1).view(np.uint32),
+                                      np.asarray(r1).view(np.uint32))
+        np.testing.assert_array_equal(np.asarray(g2).view(np.uint32),
+                                      np.asarray(r2).view(np.uint32))
+        y1, y2, ys1, ys2 = g1, g2, r1, r2
+
+
+def test_exact_iir2_cascade_composes():
+    """Two SP IIR stages chained (the resampler's 2-biquad-cascade shape)
+    stay bit-exact vs the sequential cascade."""
+    from esp_audio_libs_tpu.ops.scan import iir2_sequential
+    from esp_audio_libs_tpu.parallel.sequence import sequence_parallel_iir2
+
+    mesh = time_mesh()
+    D = mesh.devices.size
+    rng = np.random.default_rng(11)
+    B, T = 2, 32 * D
+    p1, p2 = jnp.float32(-1.2), jnp.float32(0.5)
+    f = jnp.asarray(rng.standard_normal((B, T)).astype(np.float32))
+    z = jnp.zeros(B, jnp.float32)
+
+    r1s, _ = iir2_sequential(f, p1, p2, z, z)
+    r2s, _ = iir2_sequential(r1s, p1, p2, z, z)
+    g1s, _ = sequence_parallel_iir2(f, p1, p2, z, z, mesh)
+    g2s, _ = sequence_parallel_iir2(g1s, p1, p2, z, z, mesh)
+    np.testing.assert_array_equal(np.asarray(g2s).view(np.uint32),
+                                  np.asarray(r2s).view(np.uint32))
