@@ -22,7 +22,7 @@ import ctypes as C
 
 from ..runtime.native import host_lib
 from ..utils.errors import FLACDecoderResult, MP3Error
-from .flac import FLACDecoder, _decode_streams
+from .flac import FLACDecoder, _decode_streams, decode_streams_to_device
 from .mp3 import MP3Decoder
 from . import mp3_pipeline
 
@@ -66,6 +66,12 @@ class BatchedFLACDecoder:
           ``FLACDecoder.decode_stream``.
         """
         return _decode_streams(self.decoders, buffers, verify_md5)
+
+    def decode_streams_to_device(self, buffers):
+        """Uniform-fleet decode leaving the packed PCM ON DEVICE — the
+        composition path for decode -> resample chains (see
+        ``models.flac.decode_streams_to_device``)."""
+        return decode_streams_to_device(self.decoders, buffers)
 
 
 class BatchedMP3Decoder:
@@ -272,7 +278,7 @@ class BatchedMP3Decoder:
         nch = 1 if ((b3 >> 6) & 0x03) == 3 else 2
         return (ver, sr_idx, nch)
 
-    def decode_run(self, buffers, n_frames, use_size=False):
+    def decode_run(self, buffers, n_frames, use_size=False, to_device=False):
         """Serving-rate API: decode up to ``n_frames`` sequential frames per
         stream, synthesizing each format group's WHOLE run of granules as a
         single fused device dispatch (mp3_pipeline.decode_granules_run) —
@@ -287,6 +293,11 @@ class BatchedMP3Decoder:
         ``last_frame_reference_defined`` aggregates over the whole run.
 
         Returns: list over streams of lists of (err, pcm|None, consumed).
+        With ``to_device=True`` (uniform error-free fleets only — one
+        format group covering every stream), returns
+        ``(pcm_dev, consumed_list)`` instead: ``pcm_dev`` is jnp int16
+        ``[n_streams, run_samples]`` left ON DEVICE for pipeline
+        composition (bitcast to uint8 = packed PCM bytes).
         """
         n = len(self.decoders)
         assert len(buffers) == n
@@ -343,6 +354,16 @@ class BatchedMP3Decoder:
             key = (int(first[0]), int(first[4]), int(first[5]), self._vindex[s], G)
             work.setdefault(key, []).append(s)
 
+        if to_device:
+            if len(work) != 1:
+                raise ValueError("to_device requires a uniform fleet (one format group)")
+            (key, streams), = work.items()
+            if len(streams) != n:
+                raise ValueError("to_device requires every stream in the group")
+            for s2 in range(n):
+                if any(e != MP3Error.NONE for _, e, *_ in perstream[s2]):
+                    raise ValueError("to_device requires an error-free run")
+
         for (ver, sr_idx, nch, vindex, G), streams in work.items():
             B = len(streams)
             if G > 0:
@@ -366,6 +387,14 @@ class BatchedMP3Decoder:
                     self._gather_state(streams), vindex)
                 self._scatter_state(streams, new_state)
                 new_vindex = mp3_pipeline._advance_vindex(vindex, G)
+                if to_device:
+                    undef = np.asarray(ref_undef)   # tiny [B] bool sync only
+                    for bi, s in enumerate(streams):
+                        self._vindex[s] = new_vindex
+                        self.last_frame_reference_defined[s] = not bool(undef[bi])
+                    consumed_list = [sum(c for *_, c, _k in perstream[s])
+                                     for s in streams]
+                    return pcm, consumed_list
                 pcm_np, undef = jax.device_get((pcm, ref_undef))
             else:
                 pcm_np = undef = None

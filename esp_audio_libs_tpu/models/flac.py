@@ -242,6 +242,80 @@ def _decode_streams(decoders, buffers, verify_md5: bool = True):
     return results
 
 
+def decode_streams_to_device(decoders, buffers):
+    """Fleet decode with the PCM LEFT ON DEVICE: the serving composition
+    path (decode -> resample -> ... chains without any host round trip —
+    on a bandwidth-limited transport the PCM download and re-upload are
+    the dominant cost of a chained pipeline, and this removes both).
+
+    Requires a UNIFORM fleet: every stream must produce the same sequence
+    of frame shapes (same block sizes/depth/width per position — the
+    steady serving case; the general ragged case uses ``_decode_streams``).
+    MD5 verification is unavailable here by construction (the bytes never
+    reach the host).
+
+    Returns ``(pcm_dev, results)``: ``pcm_dev`` is a jnp uint8
+    ``[n_streams, stream_bytes]`` of packed PCM (bitcast-viewable as int16
+    for 16-bit output — exactly the byte layout ``Resampler.resample_stream``
+    consumes), and ``results`` is the per-stream metadata list of
+    ``decode_streams`` minus ``md5_ok``.
+    """
+    n = len(decoders)
+    groups, codes, frames_of = _parse_streams(decoders, buffers)
+
+    F = len(frames_of[0])
+    per_frame_keys = None
+    for s in range(n):
+        m32 = decoders[s]._output_32bit
+        keys = []
+        for key, fi in frames_of[s]:
+            g = groups[key]
+            keys.append((key, int(g.bs[fi]), int(g.depth[fi]), int(g.wide[fi]),
+                         bool(g.use64[fi].any()), m32))
+        if per_frame_keys is None:
+            per_frame_keys = keys
+        elif keys != per_frame_keys:
+            raise ValueError("decode_streams_to_device requires a uniform fleet "
+                             "(same frame-shape sequence per stream)")
+    if per_frame_keys is None or F == 0:
+        raise ValueError("no frames parsed")
+
+    # one kernel dispatch per distinct frame shape; rows stream-major
+    bucket_out = {}
+    for bkey in dict.fromkeys(per_frame_keys):
+        ((nch, mbs), bs, depth, wide, acc64, m32) = bkey
+        g = groups[(nch, mbs)]
+        js = [j for j, k in enumerate(per_frame_keys) if k == bkey]
+        rows = np.fromiter((g.slot[frames_of[s][j][1]] for s in range(n) for j in js),
+                           np.int64, n * len(js))
+        frs = np.fromiter((frames_of[s][j][1] for s in range(n) for j in js),
+                          np.int64, n * len(js))
+        src = g.data32 if wide else g.data16
+        data = src[rows] if bs == mbs else src[rows][:, :, :bs]
+        packed = _frame_kernel(
+            jnp.asarray(data), jnp.asarray(g.coeffs[frs]),
+            jnp.asarray(g.order[frs]), jnp.asarray(g.shift[frs]),
+            jnp.asarray(g.wasted[frs]), jnp.asarray(g.ca[frs]),
+            depth=depth, nch=nch, mode32=m32, use64=acc64)
+        # [n * len(js), bytes] stream-major -> [n, len(js), bytes]
+        bucket_out[bkey] = (packed.reshape(n, len(js), -1), js)
+
+    # stitch per-frame-position segments back into j order on device
+    segs = [None] * F
+    for bkey, (dev, js) in bucket_out.items():
+        for k, j in enumerate(js):
+            segs[j] = dev[:, k]
+    pcm_dev = jnp.concatenate(segs, axis=1) if F > 1 else segs[0]
+
+    results = []
+    for s in range(n):
+        total = int(sum(groups[key].bs[fi] for key, fi in frames_of[s])) \
+            * decoders[s].num_channels
+        results.append({"frame_results": codes[s], "num_samples": total,
+                        "num_frames": F})
+    return pcm_dev, results
+
+
 class FLACDecoder:
     """Drop-in equivalent of the reference decoder class, device-accelerated."""
 
