@@ -279,11 +279,49 @@ def bench_mp3(B=256, n_frames=8):
                       "realtime_streams": int(dev_samples / dev_dt / (RT * 2))}))
 
 
+def bench_flac_resample_composed(B=256, n_frames=16, block=4096):
+    """Composed serving pipeline: FLAC fleet decode -> 44.1k->16k resample,
+    PCM staying ON DEVICE between stages (decode_streams_to_device).  The
+    north-star serving chain: only the compressed FLAC goes up and only the
+    resampled PCM comes down."""
+    import jax
+    jax.config.update("jax_enable_x64", True)
+    from flacgen import SubframePlan, make_flac
+    from esp_audio_libs_tpu.models.batch import BatchedFLACDecoder
+    from esp_audio_libs_tpu.models.resampler import Resampler, ResamplerConfiguration
+
+    blob, _ = make_flac(rng_seed=1, depth=16, channels=2, block_size=block,
+                        n_frames=n_frames,
+                        plans=[[SubframePlan("lpc", order=8, fit=True)] * 2] * n_frames)
+    bat = BatchedFLACDecoder(B)
+    bat.read_headers([blob] * B)
+    bodies = [blob[d.get_bytes_index():] for d in bat.decoders]
+    frames = n_frames * block
+    cfg = ResamplerConfiguration(44100.0, 16000.0, 16, 16, 2, True, True, 64, 32)
+    r = Resampler(batch=B, exact=False)
+    r.initialize(cfg)
+
+    def run():
+        pcm_dev, res = bat.decode_streams_to_device(bodies)
+        out, gens, _ = r.resample_stream(pcm_dev, frames, 1)
+        return out, res
+
+    out, res = run()
+    jax.block_until_ready(out)   # warm compiles
+    t0 = time.perf_counter()
+    out, res = run()
+    jax.block_until_ready(out)   # resampled PCM ready on device
+    dt = time.perf_counter() - t0
+    samples = sum(x["num_samples"] for x in res)
+    report("flac_decode_resample_composed", samples / dt)
+
+
 def main():
     bench_resample()
     bench_wav_quant()
     bench_biquad()
     bench_flac_e2e()
+    bench_flac_resample_composed()
     bench_mp3()
 
 
