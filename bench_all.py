@@ -83,13 +83,20 @@ def bench_flac_e2e(B=256, n_frames=16, block=4096):
     print(json.dumps({"metric": "flac_host_parse", "value": round(samples / host_dt / 1e6, 2),
                       "unit": "Msamples/s (host leg)"}))
 
-    # device-only leg: residuals resident, PCM left on device
+    # device-only leg: residuals resident, PCM left on device (dominant
+    # width class of the corpus: int8 for fitted-LPC residuals)
     g = next(iter(groups.values()))
-    n16 = int(g.cursors[0])
-    dev = [jnp.asarray(x) for x in (g.data16[:n16], g.coeffs[:n16], g.order[:n16],
-                                    g.shift[:n16], g.wasted[:n16], g.ca[:n16])]
+    widths = (g.data8, g.data16, g.data32)
+    wsel = int(np.bincount(g.wide[: g.nf], minlength=3).argmax())
+    rows = np.nonzero(g.wide[: g.nf] == wsel)[0]
+    slots = g.slot[rows]
+    nw = len(rows)
+    dev = [jnp.asarray(x) for x in (widths[wsel][slots], g.coeffs[rows],
+                                    g.order[rows], g.shift[rows],
+                                    g.wasted[rows], g.ca[rows])]
     jax.block_until_ready(dev)
-    acc64 = bool(g.use64[:n16].any())
+    acc64 = bool(g.use64[rows].any())
+    n16 = nw
     out = _frame_kernel(*dev, depth=16, nch=2, mode32=False, use64=acc64)
     jax.block_until_ready(out)
     t0 = time.perf_counter()

@@ -88,18 +88,20 @@ class _ParseGroup:
 
     The native front-end appends every parsed frame of every stream directly
     into these batch-major arrays (``eal_flac_parse_stream``), so the Python
-    layer never touches individual frames: residuals land pre-narrowed in
-    ``data16`` when the frame's words fit int16 (halving the device upload),
-    else in ``data32``; predictor metadata is row-indexed by frame slot.
-    Arrays double when full (amortized O(total)).
+    layer never touches individual frames: residuals land pre-narrowed to
+    the NARROWEST width the frame's words fit — int8 (well-predicted real
+    audio: residual std is tens of LSBs), int16, or int32 — each step
+    halving the device upload; predictor metadata is row-indexed by frame
+    slot.  Arrays double when full (amortized O(total)).
     """
 
     def __init__(self, nch: int, mbs: int, cap: int = 256):
         self.nch, self.mbs, self.cap = nch, mbs, cap
         self.nf = 0
+        self.data8 = np.empty((cap, nch, mbs), np.int8)
         self.data16 = np.empty((cap, nch, mbs), np.int16)
         self.data32 = np.empty((cap, nch, mbs), np.int32)
-        self.cursors = np.zeros(2, np.int32)  # [slot16, slot32]
+        self.cursors = np.zeros(3, np.int32)  # [slot8, slot16, slot32]
         self.wide = np.empty(cap, np.int32)
         self.slot = np.empty(cap, np.int32)
         self.order = np.empty((cap, nch), np.int32)
@@ -114,12 +116,11 @@ class _ParseGroup:
         self.consumed = np.empty(cap, np.int32)
 
     def room(self) -> int:
-        s16, s32 = int(self.cursors[0]), int(self.cursors[1])
-        return min(self.cap - self.nf, self.cap - s16, self.cap - s32)
+        return min([self.cap - self.nf] + [self.cap - int(c) for c in self.cursors])
 
     def grow(self) -> None:
         new_cap = self.cap * 2
-        for name in ("data16", "data32", "wide", "slot", "order", "shift",
+        for name in ("data8", "data16", "data32", "wide", "slot", "order", "shift",
                      "wasted", "use64", "coeffs", "bs", "ca", "depth",
                      "crc_ok", "consumed"):
             old = getattr(self, name)
@@ -163,8 +164,10 @@ def _parse_streams(decoders, buffers):
             f0 = g.nf
             nf = lib.eal_flac_parse_stream(
                 dec._ctx, sub.ctypes.data_as(u8p), sub.size, room, mbs,
+                g.data8.ctypes.data_as(C.POINTER(C.c_int8)),
                 g.data16.ctypes.data_as(i16p), g.data32.ctypes.data_as(_i32p),
                 g.cursors[0:].ctypes.data_as(_i32p), g.cursors[1:].ctypes.data_as(_i32p),
+                g.cursors[2:].ctypes.data_as(_i32p),
                 g.wide[f0:].ctypes.data_as(_i32p), g.slot[f0:].ctypes.data_as(_i32p),
                 g.order[f0:].ctypes.data_as(_i32p), g.shift[f0:].ctypes.data_as(_i32p),
                 g.wasted[f0:].ctypes.data_as(_i32p), g.use64[f0:].ctypes.data_as(_i32p),
@@ -214,7 +217,7 @@ def _decode_streams(decoders, buffers, verify_md5: bool = True):
         g = groups[(nch, mbs)]
         rows = np.fromiter((g.slot[fi] for _, _, fi in idxs), np.int64, len(idxs))
         frs = np.fromiter((fi for _, _, fi in idxs), np.int64, len(idxs))
-        src = g.data32 if wide else g.data16
+        src = (g.data8, g.data16, g.data32)[wide]
         data = src[rows] if bs == mbs else src[rows][:, :, :bs]
         packed = _frame_kernel(
             jnp.asarray(data), jnp.asarray(g.coeffs[frs]),
@@ -290,7 +293,7 @@ def decode_streams_to_device(decoders, buffers):
                            np.int64, n * len(js))
         frs = np.fromiter((frames_of[s][j][1] for s in range(n) for j in js),
                           np.int64, n * len(js))
-        src = g.data32 if wide else g.data16
+        src = (g.data8, g.data16, g.data32)[wide]
         data = src[rows] if bs == mbs else src[rows][:, :, :bs]
         packed = _frame_kernel(
             jnp.asarray(data), jnp.asarray(g.coeffs[frs]),

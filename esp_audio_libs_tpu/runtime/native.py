@@ -72,7 +72,7 @@ def host_lib() -> C.CDLL:
     lib.eal_flac_parse_stream.restype = C.c_int32
     lib.eal_flac_parse_stream.argtypes = [
         C.c_void_p, u8p, C.c_size_t, C.c_int32, C.c_int32,
-        i16p, i32p, i32p, i32p, i32p, i32p,
+        i8p, i16p, i32p, i32p, i32p, i32p, i32p,
         i32p, i32p, i32p, i32p, i32p,
         i32p, i32p, i32p, i32p, i32p, i32p]
 

@@ -700,7 +700,8 @@ int32_t eal_flac_frame_fits16(const int32_t *data, size_t data_stride, int32_t n
 // when max_frames is reached (caller grows its arrays and continues from
 // the consumed-bytes position).
 int32_t eal_flac_parse_stream(void *d, const uint8_t *buf, size_t len, int32_t max_frames, int32_t frame_cap,
-                              int16_t *data16, int32_t *data32, int32_t *slot16, int32_t *slot32, int32_t *wide,
+                              int8_t *data8, int16_t *data16, int32_t *data32, int32_t *slot8, int32_t *slot16,
+                              int32_t *slot32, int32_t *wide,
                               int32_t *slot, int32_t *order, int32_t *shift, int32_t *wasted, int32_t *use64,
                               int32_t *coeffs, int32_t *bs, int32_t *ca, int32_t *depth, int32_t *crc_ok,
                               int32_t *consumed, int32_t *last_rc) {
@@ -726,20 +727,39 @@ int32_t eal_flac_parse_stream(void *d, const uint8_t *buf, size_t len, int32_t m
       return nf;
     }
     const int32_t fbs = bs[nf];
-    int32_t f16 = eal_flac_frame_fits16(scratch.data(), frame_cap, nch, fbs);
-    if (f16) {
+    // narrowest width the frame's warmup+residual words fit: int8 covers
+    // most well-predicted real audio (residual std is tens of LSBs), int16
+    // nearly everything else — each step halves the device upload
+    int32_t mn = 0, mx = 0;
+    for (int32_t c = 0; c < nch; c++) {
+      const int32_t *row = scratch.data() + (size_t) c * frame_cap;
+      for (int32_t i = 0; i < fbs; i++) {
+        if (row[i] < mn) mn = row[i];
+        if (row[i] > mx) mx = row[i];
+      }
+    }
+    if (mn >= -128 && mx <= 127) {
+      int8_t *dst = data8 + (size_t) (*slot8) * nch * frame_cap;
+      for (int32_t c = 0; c < nch; c++) {
+        const int32_t *src = scratch.data() + (size_t) c * frame_cap;
+        int8_t *row = dst + (size_t) c * frame_cap;
+        for (int32_t i = 0; i < fbs; i++) row[i] = (int8_t) src[i];
+      }
+      wide[nf] = 0;
+      slot[nf] = (*slot8)++;
+    } else if (mn >= -32768 && mx <= 32767) {
       int16_t *dst = data16 + (size_t) (*slot16) * nch * frame_cap;
       for (int32_t c = 0; c < nch; c++) {
         const int32_t *src = scratch.data() + (size_t) c * frame_cap;
         int16_t *row = dst + (size_t) c * frame_cap;
         for (int32_t i = 0; i < fbs; i++) row[i] = (int16_t) src[i];
       }
-      wide[nf] = 0;
+      wide[nf] = 1;
       slot[nf] = (*slot16)++;
     } else {
       std::memcpy(data32 + (size_t) (*slot32) * nch * frame_cap, scratch.data(),
                   (size_t) nch * frame_cap * sizeof(int32_t));
-      wide[nf] = 1;
+      wide[nf] = 2;
       slot[nf] = (*slot32)++;
     }
     pos += fe->buffer_index;
