@@ -299,11 +299,21 @@ class BatchedMP3Decoder:
         ``[n_streams, run_samples]`` left ON DEVICE for pipeline
         composition (bitcast to uint8 = packed PCM bytes).
         """
-        n = len(self.decoders)
-        assert len(buffers) == n
         views = [self._as_view(b) for b in buffers]
-        pos = [0] * n
-        active = [v is not None and v.size > 0 for v in views]
+        parsed = self._parse_run(views, [0] * len(self.decoders), n_frames, use_size)
+        return self._dispatch_run(parsed, to_device)
+
+    def _parse_run(self, views, pos, n_frames, use_size=False):
+        """Host phase of a run: parse up to n_frames per stream from ``pos``.
+
+        Mutates only native front-end state (reservoirs) — never device
+        state — so a worker thread can parse run k+1 while run k's device
+        work is in flight (``decode_run_pipelined``). Returns a dict with
+        the parses, per-stream frame plans, and advanced positions.
+        """
+        n = len(self.decoders)
+        pos = list(pos)
+        active = [v is not None and v.size > pos[i] for i, v in enumerate(views)]
         fmt0 = [None] * n
         perstream = [[] for _ in range(n)]   # (frame_idx, err, clear, consumed, ngr_run)
         parses = []
@@ -341,6 +351,17 @@ class BatchedMP3Decoder:
                 perstream[s].append((fi, err, bool(pa["clear"][s]), consumed, ngr_run))
                 if active[s] and pos[s] >= views[s].size:
                     active[s] = False
+
+        return {"parses": parses, "perstream": perstream, "pos": pos}
+
+    def _dispatch_run(self, parsed, to_device=False):
+        """Device phase of a run: group, synthesize, and assemble results.
+
+        Mutates device-side carried state and per-stream vindex — call in
+        run order (the pipelined driver serializes this phase).
+        """
+        n = len(self.decoders)
+        parses, perstream = parsed["parses"], parsed["perstream"]
 
         # group streams by (format, starting vindex, total granules) — the
         # schedule sequence is then identical lane-to-lane
@@ -416,3 +437,30 @@ class BatchedMP3Decoder:
                             (err, np.zeros(ntot, np.int16) if clear else None, consumed))
                     off += k * 576 * nch
         return results
+
+    def decode_run_pipelined(self, buffers, n_frames, n_runs, use_size=False,
+                             to_device=False):
+        """Generator over ``n_runs`` successive decode_run outputs with the
+        host and device phases OVERLAPPED: a worker thread parses run k+1's
+        frames (the native batch parse releases the GIL) while run k's
+        granules synthesize on device — the host<->device pipeline the
+        reference's serial loop can't express (SURVEY.md §2 PP row).
+
+        Per-run outputs are identical to sequential :meth:`decode_run`
+        calls (pinned by test); runs end early when every stream is
+        exhausted or stopped.
+        """
+        from concurrent.futures import ThreadPoolExecutor
+
+        views = [self._as_view(b) for b in buffers]
+        pos = [0] * len(self.decoders)
+        with ThreadPoolExecutor(max_workers=1) as ex:
+            fut = ex.submit(self._parse_run, views, pos, n_frames, use_size)
+            for r in range(n_runs):
+                parsed = fut.result()
+                if not any(parsed["perstream"]):
+                    break
+                if r + 1 < n_runs:
+                    fut = ex.submit(self._parse_run, views, parsed["pos"],
+                                    n_frames, use_size)
+                yield self._dispatch_run(parsed, to_device)

@@ -192,3 +192,35 @@ def test_mp3_decode_run_matches_decode(homogeneous):
                 np.testing.assert_array_equal(np.asarray(tail_got[i2][1]),
                                               np.asarray(tail_ref[i2][1]))
         break  # tail check once
+
+
+def test_mp3_pipelined_runs_match_sequential():
+    """decode_run_pipelined (host parse of run k+1 overlapped with run k's
+    device phase) yields per-run outputs identical to sequential
+    decode_run calls."""
+    cfgs = [MP3_CFGS[1]] * 4
+    streams = [_mp3_stream(c, seed=90 + i, n_frames=9)[0] for i, c in enumerate(cfgs)]
+    n = len(streams)
+    n_frames, n_runs = 3, 3
+
+    ref = BatchedMP3Decoder(n)
+    pos = [0] * n
+    expected = []
+    for _ in range(n_runs):
+        r = ref.decode_run([s[p:] for s, p in zip(streams, pos)], n_frames)
+        expected.append(r)
+        pos = [p + sum(x[2] for x in rr) for p, rr in zip(pos, r)]
+
+    bat = BatchedMP3Decoder(n)
+    got = list(bat.decode_run_pipelined(streams, n_frames, n_runs))
+    assert len(got) == len(expected)
+    for run, (erun, grun) in enumerate(zip(expected, got)):
+        for s, (err_rr, got_rr) in enumerate(zip(erun, grun)):
+            assert len(got_rr) == len(err_rr), f"run {run} stream {s}"
+            for f, ((ee, ep, ec), (ge, gp, gc)) in enumerate(zip(err_rr, got_rr)):
+                assert (ge, gc) == (ee, ec), f"run {run} stream {s} frame {f}"
+                if ep is None:
+                    assert gp is None
+                else:
+                    np.testing.assert_array_equal(np.asarray(gp), np.asarray(ep),
+                                                  err_msg=f"run {run} stream {s} frame {f}")
