@@ -252,15 +252,18 @@ def bench_mp3(B=256, n_frames=8):
     reps_g = [pa["huff"][:, g % 2] for g in range(G)]
     huff_gs = jnp.asarray(np.stack([mp3_pipeline._pack_huff16(h[:, :2]) for h in reps_g]))
     nch = 2
-    blobs = [mp3_pipeline.granule_params_compact_blob(
-        pa["params"][:, g % 2], pa["sf"][:, g % 2], pa["frame"], pa["sfjs"],
-        pa["params"][:, g % 2, :nch, 18].astype(np.int32), nch) for g in range(G)]
-    side = np.empty((G, B, 3 * nch + blobs[0].shape[-1]), np.int32)
+    side = None
     for g in range(G):
+        # the compact blob is a persistent per-B buffer: consume per call
+        blob = mp3_pipeline.granule_params_compact_blob(
+            pa["params"][:, g % 2], pa["sf"][:, g % 2], pa["frame"], pa["sfjs"],
+            pa["params"][:, g % 2, :nch, 18].astype(np.int32), nch)
+        if side is None:
+            side = np.empty((G, B, 3 * nch + blob.shape[-1]), np.int32)
         side[g, :, 0:nch] = pa["params"][:, g % 2, :nch, 18]
         side[g, :, nch:2 * nch] = pa["params"][:, g % 2, :nch, 5]
         side[g, :, 2 * nch:3 * nch] = pa["params"][:, g % 2, :nch, 6]
-        side[g, :, 3 * nch:] = blobs[g]
+        side[g, :, 3 * nch:] = blob
     side_gs = jnp.asarray(side)
     state = bat._gather_state(list(range(B)))
     T0 = mp3_tables()

@@ -189,9 +189,10 @@ _GPC_BLOBS: dict = {}   # B -> persistent [B, _GPC_SIZE] output buffer
 
 
 def granule_params_compact_blob(params, sf, frame, sfjs, nzb, nch) -> np.ndarray:
-    """Raw compact parameter blob ``[B, _GPC_SIZE]`` (one native call). The
-    returned array is a persistent per-B buffer — consume or copy it before
-    the next same-B call."""
+    """Raw compact parameter blob ``[B, _GPC_SIZE]`` (one native call;
+    layout: native/src/mp3_frontend.cpp eal_mp3_granule_params_compact).
+    The returned array is a PERSISTENT per-B buffer — consume or copy it
+    before the next same-B call."""
     B = params.shape[0]
     p2 = np.zeros((B, 2, 24), np.int32)
     p2[:, :nch] = params[:, :nch]
@@ -331,12 +332,16 @@ def expand_hp_device(compact, maps, nch: int) -> dict:
     lband = maps["long_band"][None, None, :]
     band_in = jnp.where(long_proc, lband,
                         jnp.where(short_proc, sband, jnp.int32(-1)))
-    # static-index expansions ride the MXU as one-hot f32 matmuls (values are
-    # small integers, exact in f32; a device gather here walks elements)
+    # static-index expansions ride the MXU as one-hot f32 matmuls (a device
+    # gather here walks elements).  Precision.HIGHEST is REQUIRED: values
+    # like gains (-300..+500) and il masks (up to 2^15-1) are f32-exact but
+    # NOT bf16-exact, and TPU default matmul precision is bf16-based
+    import jax.lax as _lax
+    HI = _lax.Precision.HIGHEST
     long_band_np = np.asarray(maps["long_band"])
     oh_l22 = jnp.asarray(np.eye(22, dtype=np.float32)[long_band_np].T)  # [22,N]
     g_long = jnp.einsum("bcj,jt->bct", gain_l.astype(jnp.float32),
-                        oh_l22).astype(jnp.int32)
+                        oh_l22, precision=HI).astype(jnp.int32)
     gain = jnp.where(long_proc, g_long, jnp.where(short_proc, g_short, 0))
     win_in = jnp.where(short_proc, swin, 0)
     processed = long_proc | short_proc
@@ -358,10 +363,10 @@ def expand_hp_device(compact, maps, nch: int) -> dict:
     oh13 = np.zeros((13, N), np.float32)
     oh13[np.clip(bo_s_np, 0, 12), np.arange(N)] = (bo_s_np >= 0)
     f32 = jnp.float32
-    sf_right_l = jnp.einsum("bj,jt->bt", sfl1.astype(f32), jnp.asarray(oh23)).astype(jnp.int32)
-    sf_right_s = jnp.einsum("bj,jt->bt", sfs1.astype(f32), jnp.asarray(oh39)).astype(jnp.int32)
-    il_out_l = jnp.einsum("bj,jt->bt", il_long.astype(f32), jnp.asarray(oh23)).astype(jnp.int32)
-    il_out_s = jnp.einsum("bj,jt->bt", il_short.astype(f32), jnp.asarray(oh13)).astype(jnp.int32)
+    sf_right_l = jnp.einsum("bj,jt->bt", sfl1.astype(f32), jnp.asarray(oh23), precision=HI).astype(jnp.int32)
+    sf_right_s = jnp.einsum("bj,jt->bt", sfs1.astype(f32), jnp.asarray(oh39), precision=HI).astype(jnp.int32)
+    il_out_l = jnp.einsum("bj,jt->bt", il_long.astype(f32), jnp.asarray(oh23), precision=HI).astype(jnp.int32)
+    il_out_s = jnp.einsum("bj,jt->bt", il_short.astype(f32), jnp.asarray(oh13), precision=HI).astype(jnp.int32)
 
     bc = lambda a: jnp.broadcast_to(a[None], (B,) + a.shape)
     return dict(

@@ -253,17 +253,21 @@ def decode_granules_run(huff_g, params_g, sf_g, frame_g, sfjs_g, dev_state,
     # pack every small per-granule input into ONE int32 upload (layout:
     # see _granules_scan); the compact blob comes from ONE native call per
     # granule (~930B/stream), expanded per-sample on device
-    blobs = []
+    side_gs = None
     for g in range(G):
         nzb = params_g[:, g, :nch, 18].astype(np.int32)
-        blobs.append(granule_params_compact_blob(
-            params_g[:, g], sf_g[:, g], frame_g[:, g], sfjs_g[:, g], nzb, nch))
-    side_gs = np.empty((G, B, 3 * nch + blobs[0].shape[-1]), np.int32)
-    for g in range(G):
+        # granule_params_compact_blob returns a PERSISTENT per-B buffer —
+        # it must be consumed (copied into side_gs) before the next call,
+        # not collected: holding G references would alias one buffer and
+        # synthesize every granule with the last granule's params
+        blob = granule_params_compact_blob(
+            params_g[:, g], sf_g[:, g], frame_g[:, g], sfjs_g[:, g], nzb, nch)
+        if side_gs is None:
+            side_gs = np.empty((G, B, 3 * nch + blob.shape[-1]), np.int32)
         side_gs[g, :, 0:nch] = params_g[:, g, :nch, 18]
         side_gs[g, :, nch:2 * nch] = params_g[:, g, :nch, 5]
         side_gs[g, :, 2 * nch:3 * nch] = params_g[:, g, :nch, 6]
-        side_gs[g, :, 3 * nch:] = blobs[g]
+        side_gs[g, :, 3 * nch:] = blob
     pcm_gs, new_state, ref_undef = _granules_scan_for(ver, sr_idx, nch, cutoff)(
         jnp.asarray(huff_gs), jnp.asarray(side_gs),
         over, prev_type, prev_win_switch, num_prev, vbuf,

@@ -72,9 +72,10 @@ def host_lib() -> C.CDLL:
     lib.eal_flac_parse_stream.restype = C.c_int32
     lib.eal_flac_parse_stream.argtypes = [
         C.c_void_p, u8p, C.c_size_t, C.c_int32, C.c_int32,
-        i8p, i16p, i32p, i32p, i32p, i32p, i32p,
+        i8p, i16p, i32p, i32p, i32p, i32p,
+        i32p, i32p, i32p, i32p, i32p, i32p,
         i32p, i32p, i32p, i32p, i32p,
-        i32p, i32p, i32p, i32p, i32p, i32p]
+        C.POINTER(C.c_int32)]
 
     # ---- MP3 front-end ----
     lib.eal_mp3_create.restype = C.c_void_p
@@ -95,8 +96,6 @@ def host_lib() -> C.CDLL:
     lib.eal_mp3_last_frame_info.argtypes = [C.c_void_p, i32p]
     lib.eal_mp3_granule_params_compact_batch.restype = C.c_int
     lib.eal_mp3_granule_params_compact_batch.argtypes = [C.c_int, i32p, i32p, i32p, i32p, i32p, i32p]
-    lib.eal_flac_frame_fits16.restype = C.c_int32
-    lib.eal_flac_frame_fits16.argtypes = [i32p, C.c_size_t, C.c_int32, C.c_int32]
     for codec in ("flac", "mp3"):
         getattr(lib, f"eal_{codec}_state_size").restype = C.c_size_t
         getattr(lib, f"eal_{codec}_state_size").argtypes = [C.c_void_p]

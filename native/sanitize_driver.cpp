@@ -23,10 +23,10 @@ void *eal_flac_create();
 void eal_flac_destroy(void *);
 int32_t eal_flac_read_header(void *, const uint8_t *, size_t);
 int32_t eal_flac_parse_stream(void *, const uint8_t *, size_t, int32_t, int32_t,
-                              int16_t *, int32_t *, int32_t *, int32_t *, int32_t *,
+                              int8_t *, int16_t *, int32_t *, int32_t *, int32_t *,
                               int32_t *, int32_t *, int32_t *, int32_t *, int32_t *,
                               int32_t *, int32_t *, int32_t *, int32_t *, int32_t *,
-                              int32_t *, int32_t *);
+                              int32_t *, int32_t *, int32_t *, int32_t *);
 uint32_t eal_flac_num_channels(void *);
 uint32_t eal_flac_max_block_size(void *);
 size_t eal_flac_state_size(void *);
@@ -63,17 +63,18 @@ static void flac_stream_case(const uint8_t *data, size_t len) {
     int32_t mbs = (int32_t) eal_flac_max_block_size(d);
     if (nch >= 1 && nch <= 8 && mbs >= 16 && mbs <= 65535) {
       const int32_t cap = 8;
+      std::vector<int8_t> d8((size_t) cap * nch * mbs);
       std::vector<int16_t> d16((size_t) cap * nch * mbs);
       std::vector<int32_t> d32((size_t) cap * nch * mbs);
-      int32_t cur[2] = {0, 0};
+      int32_t cur[3] = {0, 0, 0};
       std::vector<int32_t> wide(cap), slot(cap), bs(cap), ca(cap), depth(cap),
           crc(cap), cons(cap);
       std::vector<int32_t> order((size_t) cap * nch), shift((size_t) cap * nch),
           wasted((size_t) cap * nch), use64((size_t) cap * nch),
           coeffs((size_t) cap * nch * 32);
       int32_t last_rc = 0;
-      eal_flac_parse_stream(d, data, len, cap, mbs, d16.data(), d32.data(),
-                            &cur[0], &cur[1], wide.data(), slot.data(),
+      eal_flac_parse_stream(d, data, len, cap, mbs, d8.data(), d16.data(), d32.data(),
+                            &cur[0], &cur[1], &cur[2], wide.data(), slot.data(),
                             order.data(), shift.data(), wasted.data(), use64.data(),
                             coeffs.data(), bs.data(), ca.data(), depth.data(),
                             crc.data(), cons.data(), &last_rc);

@@ -671,18 +671,6 @@ int32_t eal_flac_parse_frame(void *d, const uint8_t *buf, size_t len, int32_t *d
                                            block_size, chan_assign, depth, crc_ok);
 }
 
-// True when every emitted residual/warmup word of the frame fits int16 —
-// lets the batched decoder ship the dominant tensor at half width (device
-// widens back to int32; exact round trip).
-int32_t eal_flac_frame_fits16(const int32_t *data, size_t data_stride, int32_t nch, int32_t block_size) {
-  for (int32_t c = 0; c < nch; c++) {
-    const int32_t *row = data + (size_t) c * data_stride;
-    for (int32_t i = 0; i < block_size; i++)
-      if (row[i] < -32768 || row[i] > 32767) return 0;
-  }
-  return 1;
-}
-
 // Parse every frame of a stream section in ONE call (the serving front-end:
 // SURVEY.md §7 hard part (d) — at fleet batch sizes the per-frame
 // Python<->C crossing, not the bit parsing, dominates the host leg).

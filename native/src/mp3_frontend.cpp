@@ -710,7 +710,13 @@ int eal_mp3_parse_frame(void *hctx, const uint8_t *inbuf, int bytesLeft, int use
       *consumed = (int) (inbuf - in0);
       return ERR_INVALID_FRAMEHEADER;
     }
-    fe->mainDataBytes = fe->nSlots;
+    // HARDENING DIVERGENCE: the reference stores nSlots unbounded here
+    // (mp3_decoder.cpp:8770) and the NEXT useSize=0 frame's reservoir
+    // memmove then reads mainBuf + mainDataBytes - mainDataBegin — far
+    // past the 1940-byte buffer for a large useSize frame. Clamp the
+    // carried accounting to the buffer (the useSize frame itself decodes
+    // in place from inbuf and is unaffected).
+    fe->mainDataBytes = fe->nSlots < MAINBUF_SIZE ? fe->nSlots : MAINBUF_SIZE;
     mainPtr = inbuf;
     inbuf += fe->nSlots;
   } else {
