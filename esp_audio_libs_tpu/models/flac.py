@@ -152,7 +152,9 @@ def _parse_streams(decoders, buffers):
         buf = np.frombuffer(buffer, np.uint8) if isinstance(buffer, (bytes, bytearray)) else np.ascontiguousarray(buffer)
         nch, mbs = dec.num_channels, dec.max_block_size
         key = (nch, mbs)
-        g = groups.setdefault(key, _ParseGroup(nch, mbs))
+        g = groups.get(key)
+        if g is None:   # setdefault would CONSTRUCT the group per stream
+            g = groups[key] = _ParseGroup(nch, mbs)
         pos = 0
         while pos < buf.size:
             room = g.room()
@@ -188,6 +190,28 @@ def _parse_streams(decoders, buffers):
     return groups, codes, frames_of
 
 
+
+def _frame_shape_key(g, fi, m32):
+    """Kernel static-shape key for one frame row (shared by the host and
+    device-resident decode paths — a new width tier or static param must
+    change only here)."""
+    return ((g.nch, g.mbs), int(g.bs[fi]), int(g.depth[fi]), int(g.wide[fi]),
+            bool(g.use64[fi].any()), m32)
+
+
+def _run_frame_bucket(g, rows, frs, bkey):
+    """Dispatch one shape bucket through the frame kernel; returns the
+    device output [len(rows), bytes]."""
+    ((nch, mbs), bs, depth, wide, acc64, m32) = bkey
+    src = (g.data8, g.data16, g.data32)[wide]
+    data = src[rows] if bs == mbs else src[rows][:, :, :bs]
+    return _frame_kernel(
+        jnp.asarray(data), jnp.asarray(g.coeffs[frs]),
+        jnp.asarray(g.order[frs]), jnp.asarray(g.shift[frs]),
+        jnp.asarray(g.wasted[frs]), jnp.asarray(g.ca[frs]),
+        depth=depth, nch=nch, mode32=m32, use64=acc64)
+
+
 def _decode_streams(decoders, buffers, verify_md5: bool = True):
     """Shared end-to-end path for 1..N streams: native batched host parse,
     cross-stream shape-bucketed device kernels, per-stream reassembly.
@@ -207,24 +231,15 @@ def _decode_streams(decoders, buffers, verify_md5: bool = True):
     for s in range(n):
         m32 = decoders[s]._output_32bit
         for j, (key, fi) in enumerate(frames_of[s]):
-            g = groups[key]
-            bkey = (key, int(g.bs[fi]), int(g.depth[fi]), int(g.wide[fi]),
-                    bool(g.use64[fi].any()), m32)
-            buckets.setdefault(bkey, []).append((s, j, fi))
+            buckets.setdefault(_frame_shape_key(groups[key], fi, m32),
+                               []).append((s, j, fi))
 
     out_chunks = [[None] * len(frames_of[s]) for s in range(n)]
-    for ((nch, mbs), bs, depth, wide, acc64, m32), idxs in buckets.items():
-        g = groups[(nch, mbs)]
+    for bkey, idxs in buckets.items():
+        g = groups[bkey[0]]
         rows = np.fromiter((g.slot[fi] for _, _, fi in idxs), np.int64, len(idxs))
         frs = np.fromiter((fi for _, _, fi in idxs), np.int64, len(idxs))
-        src = (g.data8, g.data16, g.data32)[wide]
-        data = src[rows] if bs == mbs else src[rows][:, :, :bs]
-        packed = _frame_kernel(
-            jnp.asarray(data), jnp.asarray(g.coeffs[frs]),
-            jnp.asarray(g.order[frs]), jnp.asarray(g.shift[frs]),
-            jnp.asarray(g.wasted[frs]), jnp.asarray(g.ca[frs]),
-            depth=depth, nch=nch, mode32=m32, use64=acc64)
-        packed_np = np.asarray(packed)
+        packed_np = np.asarray(_run_frame_bucket(g, rows, frs, bkey))
         for k, (s, j, _) in enumerate(idxs):
             out_chunks[s][j] = packed_np[k]
 
@@ -270,11 +285,8 @@ def decode_streams_to_device(decoders, buffers):
     per_frame_keys = None
     for s in range(n):
         m32 = decoders[s]._output_32bit
-        keys = []
-        for key, fi in frames_of[s]:
-            g = groups[key]
-            keys.append((key, int(g.bs[fi]), int(g.depth[fi]), int(g.wide[fi]),
-                         bool(g.use64[fi].any()), m32))
+        keys = [_frame_shape_key(groups[key], fi, m32)
+                for key, fi in frames_of[s]]
         if per_frame_keys is None:
             per_frame_keys = keys
         elif keys != per_frame_keys:

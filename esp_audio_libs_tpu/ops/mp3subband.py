@@ -6,12 +6,11 @@ src/decode/mp3_decoder.cpp :7732-8019 FDCT32, :798-810 ClipToShort,
 
 The reference runs 18 serial iterations per granule, each doing a 32-point
 DCT per channel into a double-sized vbuf FIFO followed by a 64-bit-MAC
-polyphase filter.  Here the granule is a ``lax.scan`` over those 18 steps
-with the vbuf as carried state; within a step everything is batched across
-lanes.  The FIFO's pointer gymnastics reduce to static index tables per step
-(the vindex sequence is deterministic), and because the polyphase accumulates
-in int64 — exact integer arithmetic — the MAC order is free, so the filter
-becomes a flat gather + int64 contraction, bit-identical to the serial MACs.
+polyphase filter.  Here the FIFO rides as a [L, 34, 64] view whose accesses
+are dynamic slices at the traced phase index (see subband_granule), the 18
+steps scan as 9 even/odd pairs with all lanes batched, and because the
+polyphase accumulates in int64 — exact integer arithmetic — the MAC order
+is free, so the tap math is bit-identical to the serial MACs.
 """
 
 from __future__ import annotations
@@ -25,7 +24,7 @@ import numpy as np
 from ..runtime.tables import mp3_tables
 from .mp3dsp import mulshift32
 
-__all__ = ["subband_granule", "build_subband_schedule"]
+__all__ = ["subband_granule"]
 
 VB = 1088  # VBUF_LENGTH
 DEF_NFRACBITS = 25 - 2 - 2 - 15  # = 6 (reference :791-795)
@@ -124,75 +123,6 @@ _ROWS = [(1,), (17, 25, 29), (9, 13), (21, 25, 29), (5,), (21, 29, 27), (13, 11)
          (3,), (19, 27, 31), (11, 15), (23, 27, 31), (7,), (23, 31), (15,), (31,)]
 _QROWS = [(1,), (17, 30, 25), (14, 9), (22, 30, 25), (6,), (22, 26, 30), (10, 14), (18, 26, 30),
           (2,), (18, 28, 26), (12, 10), (20, 28, 26), (4,), (20, 24, 28), (8, 12), (16, 24, 28)]
-
-
-def build_subband_schedule(vindex0: int, nch: int):
-    """Static per-step index tables for one granule (18 steps).
-
-    Returns dict of numpy arrays:
-      fdct_idx [18, nch, 66]  — vbuf write positions (33 values x 2 copies)
-      poly_idx [18, 32, 16]   — vbuf read positions for channel 0
-      vindex_seq, vindex_out
-    """
-    T = mp3_tables()
-    poly = T["polyCoef"]
-    fdct_idx = np.zeros((18, nch, 66), np.int64)
-    poly_idx = np.zeros((18, 32, 16), np.int64)
-    v = vindex0
-    for b in range(18):
-        odd = b & 1
-        base0 = 64 * 16 + ((v - odd) & 7) + (0 if odd else VB)
-        base1 = v + (VB if odd else 0)
-        base2 = 16 + ((v - odd) & 7) + (0 if odd else VB)
-        pos = []
-        pos.append(base0)                     # sample 0 slot
-        for r in range(16):
-            pos.append(base1 + 64 * r)        # rows block
-        for q in range(16):
-            pos.append(base2 + 64 * q)        # qrows block
-        pos = np.asarray(pos, np.int64)
-        for ch in range(nch):
-            p = pos + 32 * ch
-            fdct_idx[b, ch, :33] = p
-            fdct_idx[b, ch, 33:] = p + 8
-
-        # polyphase reads at THIS step's vindex (Subband calls Polyphase
-        # with vbuf + vindex + VB*(b&1) before updating vindex, :1102-1106)
-        pbase = v + (VB if odd else 0)
-        # n = 0 (row 0)
-        for xx in range(8):
-            poly_idx[b, 0, 2 * xx] = pbase + xx
-            poly_idx[b, 0, 2 * xx + 1] = pbase + 23 - xx
-        # n = 16 (row 16): 8 taps, pad the rest pointing at tap 0 with coef 0
-        for xx in range(8):
-            poly_idx[b, 16, 2 * xx] = pbase + 64 * 16 + xx
-            poly_idx[b, 16, 2 * xx + 1] = pbase + 64 * 16 + xx  # coef 0
-        # rows r = 1..15 -> samples r and 32 - r
-        for r in range(1, 16):
-            for xx in range(8):
-                lo = pbase + 64 * r + xx
-                hi = pbase + 64 * r + 23 - xx
-                poly_idx[b, r, 2 * xx] = lo
-                poly_idx[b, r, 2 * xx + 1] = hi
-                poly_idx[b, 32 - r, 2 * xx] = lo
-                poly_idx[b, 32 - r, 2 * xx + 1] = hi
-        v = (v - odd) & 7
-    # polyphase coefficient matrix [32, 16] (static, shared across steps)
-    coef = np.zeros((32, 16), np.int64)
-    for xx in range(8):
-        coef[0, 2 * xx] = poly[2 * xx]
-        coef[0, 2 * xx + 1] = -np.int64(poly[2 * xx + 1])
-        coef[16, 2 * xx] = poly[256 + xx]
-        coef[16, 2 * xx + 1] = 0
-    for r in range(1, 16):
-        for xx in range(8):
-            c1 = np.int64(poly[16 * r + 2 * xx])
-            c2 = np.int64(poly[16 * r + 2 * xx + 1])
-            coef[r, 2 * xx] = c1
-            coef[r, 2 * xx + 1] = -c2
-            coef[32 - r, 2 * xx] = c2
-            coef[32 - r, 2 * xx + 1] = c1
-    return dict(fdct_idx=fdct_idx, poly_idx=poly_idx, coef=coef, vindex_out=v)
 
 
 def _poly_coefs():

@@ -172,9 +172,12 @@ def drive_cli(path: Path, out_dir: Path, expect_fail: bool, ref_pcm):
     code, the MD5 PASS report, and (when the reference decoded the file) the
     WAV data payload byte-for-byte."""
     out_wav = out_dir / (path.stem + ".wav")
-    proc = subprocess.run(
-        [sys.executable, str(REPO / "examples" / "flac_to_wav.py"), str(path), str(out_wav)],
-        capture_output=True, text=True, timeout=900, env=os.environ.copy())
+    try:
+        proc = subprocess.run(
+            [sys.executable, str(REPO / "examples" / "flac_to_wav.py"), str(path), str(out_wav)],
+            capture_output=True, text=True, timeout=900, env=os.environ.copy())
+    except Exception:
+        return False   # a hung/failed CLI marks THIS file failed, not the run
     if expect_fail:
         return proc.returncode != 0
     if proc.returncode != 0:

@@ -478,6 +478,13 @@ struct FlacFrontend {
     uint32_t partition_order = read_uint(4);
     uint32_t num_partitions = 1u << partition_order;
     if (block_size % num_partitions) return ERR_BLOCK_SIZE_NOT_DIVISIBLE_RICE;
+    // HARDENING DIVERGENCE: the reference computes the first partition's
+    // count as unsigned (block_size>>po) - warm_up with no bound
+    // (flac_decoder.cpp:865) — when the predictor order exceeds the
+    // partition size the subtraction wraps and the write loop runs ~2^32
+    // iterations (heap corruption). A valid stream always has
+    // warm_up <= block_size >> partition_order; reject otherwise.
+    if (warm_up > (block_size >> partition_order)) return ERR_BLOCK_SIZE_NOT_DIVISIBLE_RICE;
 
     int32_t *p = out + warm_up;
     uint32_t count0 = (block_size >> partition_order) - warm_up;
@@ -541,6 +548,11 @@ struct FlacFrontend {
       *use64 = can_use_32bit_lpc(depth, coeffs, pre_order, 0) ? 0 : 1;
     } else if (type >= 32 && type <= 63) {  // LPC
       uint32_t lpc_order = type - 31;
+      // HARDENING DIVERGENCE: the reference reads `order` warm-up samples
+      // unchecked; with block_size (and the output row) smaller than the
+      // order this overruns the buffer. More warm-ups than samples is an
+      // invalid stream.
+      if (lpc_order > block_size) return ERR_BAD_HEADER;
       for (uint32_t i = 0; i < lpc_order; ++i) data[i] = read_sint(depth);
       uint32_t precision = read_uint(4) + 1;
       int32_t sh = read_sint(5);
