@@ -173,8 +173,18 @@ def subband_granule(outbuf, gb, vbuf, vindex, *, nch):
     C1 = jnp.asarray(C1_np)[None]   # [1, 17, 8]
     C2 = jnp.asarray(C2_np)[None]
 
+    row_idx = jnp.arange(34, dtype=jnp.int32)[None, :, None]   # [1, 34, 1]
+    col_idx = jnp.arange(64, dtype=jnp.int32)[None, None, :]   # [1, 1, 64]
+
     def one_step(vb, v, xb, odd):
-        """One of the 18 steps; ``odd`` is a static python parity."""
+        """One of the 18 steps; ``odd`` is a static python parity.
+
+        Writes land as fused masked selects, NOT dynamic_update_slice: each
+        DUS on the carried [L,34,64] FIFO lowers to a full-buffer copy
+        inside the scan (432 copies/granule measured ~23 ms at B=256); the
+        three write blocks have disjoint (row, column) masks, so one
+        elementwise where-pass per channel replaces them all.
+        """
         row_off, qrow_off = 17 * odd, 17 * (1 - odd)
         c0 = (v - odd) & 7
         for ch in range(nch):
@@ -195,17 +205,19 @@ def subband_granule(outbuf, gb, vbuf, vindex, *, nch):
             esb = es[..., None]
             v33 = jnp.where(esb > 0, _i32(_clip2n(v33, 31 - esb) << esb), v33)
             cc = 32 * ch
-            rows16 = v33[:, 1:17, None]     # [L, 16, 1]
-            qrows16 = v33[:, 17:33, None]
-            s0 = v33[:, 0:1, None]          # [L, 1, 1]
-            z = jnp.int32(0)
-            for dcopy in (0, 8):            # Helix double copy
-                vb = jax.lax.dynamic_update_slice(
-                    vb, rows16, (z, jnp.int32(row_off), v + (cc + dcopy)))
-                vb = jax.lax.dynamic_update_slice(
-                    vb, qrows16, (z, jnp.int32(qrow_off), c0 + (16 + cc + dcopy)))
-                vb = jax.lax.dynamic_update_slice(
-                    vb, s0, (z, jnp.int32(qrow_off + 16), c0 + (cc + dcopy)))
+
+            def place(vals2, r0, nrows, col_a, col_b):
+                # vals2 [L, nrows] written at rows r0..r0+nrows-1 (static)
+                # and columns col_a / col_b (traced Helix double copy)
+                rmask = (row_idx >= r0) & (row_idx < r0 + nrows)
+                cmask = (col_idx == col_a) | (col_idx == col_b)
+                vfull = vals2[:, np.clip(np.arange(34) - r0, 0, nrows - 1)]
+                return rmask & cmask, vfull[:, :, None]
+
+            m1, v1 = place(v33[:, 1:17], row_off, 16, v + cc, v + cc + 8)
+            m2, v2 = place(v33[:, 17:33], qrow_off, 16, c0 + 16 + cc, c0 + 24 + cc)
+            m3, v3 = place(v33[:, 0:1], qrow_off + 16, 1, c0 + cc, c0 + cc + 8)
+            vb = jnp.where(m1, v1, jnp.where(m2, v2, jnp.where(m3, v3, vb)))
 
         # polyphase: one contiguous window per channel, static tap math
         pcm_ch = []
