@@ -20,6 +20,7 @@ import numpy as np
 
 import ctypes as C
 
+from ..parallel import mesh as mesh_mod
 from ..runtime.native import host_lib
 from ..utils.errors import FLACDecoderResult, MP3Error
 from .flac import FLACDecoder, _decode_streams, decode_streams_to_device
@@ -45,8 +46,13 @@ class BatchedFLACDecoder:
     bit-identical to decoding each stream alone.
     """
 
-    def __init__(self, n_streams: int):
+    def __init__(self, n_streams: int, mesh=None):
+        """``mesh``: optional ``parallel.mesh.stream_mesh`` — when given, the
+        frame buckets' residual uploads land sharded across the mesh and the
+        frame kernel runs SPMD (one shard of frames per chip); ragged buckets
+        whose size doesn't divide the mesh fall back to single-device."""
         self.decoders = [FLACDecoder() for _ in range(n_streams)]
+        self.mesh = mesh
 
     def read_headers(self, blobs):
         """Parse headers for all streams; returns list of FLACDecoderResult."""
@@ -65,13 +71,15 @@ class BatchedFLACDecoder:
         Returns: list of per-stream (pcm_bytes, results-dict) like
           ``FLACDecoder.decode_stream``.
         """
-        return _decode_streams(self.decoders, buffers, verify_md5)
+        return _decode_streams(self.decoders, buffers, verify_md5,
+                               mesh=self.mesh)
 
     def decode_streams_to_device(self, buffers):
         """Uniform-fleet decode leaving the packed PCM ON DEVICE — the
         composition path for decode -> resample chains (see
-        ``models.flac.decode_streams_to_device``)."""
-        return decode_streams_to_device(self.decoders, buffers)
+        ``models.flac.decode_streams_to_device``).  With a mesh, the PCM
+        comes back stream-sharded, ready for a sharded resample stage."""
+        return decode_streams_to_device(self.decoders, buffers, mesh=self.mesh)
 
 
 class BatchedMP3Decoder:
@@ -85,26 +93,50 @@ class BatchedMP3Decoder:
     dispatch; outputs are bit-identical to per-stream decoding.
     """
 
-    def __init__(self, n_streams: int):
+    def __init__(self, n_streams: int, mesh=None):
+        """``mesh``: optional ``parallel.mesh.stream_mesh`` — when given, the
+        fleet's carried device state and every per-run upload are placed
+        stream-sharded across the mesh, so the fused granule scan runs SPMD
+        (one shard of streams per chip).  ``n_streams`` should be a multiple
+        of the mesh size (XLA requires evenly divisible shardings)."""
         self.decoders = [MP3Decoder() for _ in range(n_streams)]
         self.last_frame_reference_defined = [True] * n_streams
+        self.mesh = mesh
+        if mesh is not None and n_streams % mesh.size != 0:
+            raise ValueError(
+                f"n_streams={n_streams} must be a multiple of the mesh size "
+                f"({mesh.size}) for even stream sharding")
         # carried numeric state lives ON DEVICE, batch-stacked (the SoA
         # batch-major layout of SURVEY.md §2 #17): a tunneled chip makes
         # per-frame host round-trips of state the dominant cost otherwise.
         N = n_streams
-        self._over = jnp.zeros((N, 2, 288), jnp.int32)
-        self._pt = jnp.zeros((N, 2), jnp.int32)
-        self._pws = jnp.zeros((N, 2), jnp.int32)
-        self._npv = jnp.zeros((N, 2), jnp.int32)
-        self._vbuf = jnp.zeros((N, 2176), jnp.int32)
+        place = ((lambda x: x) if mesh is None
+                 else (lambda x: mesh_mod.shard_streams(x, mesh)))
+        self._over = place(jnp.zeros((N, 2, 288), jnp.int32))
+        self._pt = place(jnp.zeros((N, 2), jnp.int32))
+        self._pws = place(jnp.zeros((N, 2), jnp.int32))
+        self._npv = place(jnp.zeros((N, 2), jnp.int32))
+        self._vbuf = place(jnp.zeros((N, 2176), jnp.int32))
         self._vindex = [0] * N
+
+    def _group_mesh(self, n_group: int):
+        """The mesh for a dispatch group, or None when the group can't shard
+        evenly (ragged sub-fleets fall back to unsharded dispatch — only the
+        uniform serving case rides the mesh)."""
+        if self.mesh is not None and n_group % self.mesh.size == 0:
+            return self.mesh
+        return None
 
     def _gather_state(self, streams):
         arrs = (self._over, self._pt, self._pws, self._npv, self._vbuf)
         if len(streams) == len(self.decoders) and streams == list(range(len(streams))):
             return arrs                      # whole-batch fast path: no gather
         idx = jnp.asarray(np.asarray(streams, np.int32))
-        return tuple(jnp.take(a, idx, axis=0) for a in arrs)
+        picked = tuple(jnp.take(a, idx, axis=0) for a in arrs)
+        gmesh = self._group_mesh(len(streams))
+        if gmesh is not None:   # keep sub-fleet state evenly stream-sharded
+            picked = tuple(mesh_mod.shard_streams(a, gmesh) for a in picked)
+        return picked
 
     def _scatter_state(self, streams, new_state):
         if len(streams) == len(self.decoders) and streams == list(range(len(streams))):
@@ -145,11 +177,13 @@ class BatchedMP3Decoder:
             if d._lib.eal_mp3_state_load(
                     d._ctx, data.ctypes.data_as(C.POINTER(C.c_uint8)), data.size) != 0:
                 raise RuntimeError("MP3 state load failed (bad/incompatible blob)")
-        self._over = jnp.asarray(np.asarray(state["over"], np.int32))
-        self._pt = jnp.asarray(np.asarray(state["pt"], np.int32))
-        self._pws = jnp.asarray(np.asarray(state["pws"], np.int32))
-        self._npv = jnp.asarray(np.asarray(state["npv"], np.int32))
-        self._vbuf = jnp.asarray(np.asarray(state["vbuf"], np.int32))
+        place = ((lambda x: jnp.asarray(x)) if self.mesh is None
+                 else (lambda x: mesh_mod.shard_streams(x, self.mesh)))
+        self._over = place(np.asarray(state["over"], np.int32))
+        self._pt = place(np.asarray(state["pt"], np.int32))
+        self._pws = place(np.asarray(state["pws"], np.int32))
+        self._npv = place(np.asarray(state["npv"], np.int32))
+        self._vbuf = place(np.asarray(state["vbuf"], np.int32))
         self._vindex = list(state["vindex"])
         self.last_frame_reference_defined = list(state["ref_defined"])
 
@@ -198,6 +232,21 @@ class BatchedMP3Decoder:
             return None
         return (np.frombuffer(buf, np.uint8)
                 if isinstance(buf, (bytes, bytearray)) else np.ascontiguousarray(buf))
+
+    @staticmethod
+    def _sync_ahead(view, pos: int) -> int:
+        """Advance ``pos`` to the next frame sync word (the reference caller
+        protocol: MP3Decode consumes only the main data it used, so real
+        streams leave reservoir slack bytes before the next header and the
+        caller runs MP3FindSyncWord each iteration — reference
+        mp3_decoder.cpp:8533-8568).  Returns ``view.size`` when no further
+        sync exists (clean end of stream)."""
+        if pos >= view.size:
+            return view.size
+        sub = view[pos:]
+        off = host_lib().eal_mp3_find_sync_word(
+            sub.ctypes.data_as(C.POINTER(C.c_uint8)), sub.size)
+        return pos + off if off >= 0 else view.size
 
     def decode(self, buffers, use_size=False):
         """One frame per stream: returns list of (err, pcm|None, consumed).
@@ -249,7 +298,7 @@ class BatchedMP3Decoder:
             sfjs = np.stack([p[5] for _, p, _ in items])
             pcm, new_state, ref_undef = mp3_pipeline.decode_granules_batch_dev(
                 huff, params, sf, frame, sfjs, self._gather_state(streams),
-                vindex, ngr_run)
+                vindex, ngr_run, mesh=self._group_mesh(len(streams)))
             self._scatter_state(streams, new_state)
             new_vindex = mp3_pipeline._advance_vindex(vindex, ngr_run)
             # the ONLY per-group sync: PCM + the reference-UB flags, pulled
@@ -285,11 +334,15 @@ class BatchedMP3Decoder:
         behind a high-latency transport this amortizes the per-step
         upload/dispatch/sync round trips that dominate :meth:`decode`.
 
-        Per-frame semantics are identical to repeated :meth:`decode` calls.
-        A stream's run ends early at its first error frame (the error entry
-        is included and carried state reflects the reference's
-        partial-granule synthesis), at end of buffer, or before a mid-stream
-        format change (rare; the next call picks it up).
+        Per-frame semantics are identical to repeated :meth:`decode` calls
+        with the reference caller protocol between frames: after each
+        successful frame the run skips reservoir slack to the next sync word
+        (MP3FindSyncWord, reference mp3_decoder.cpp:8533) — real streams
+        under-consume their frame slot whenever the next frame's reservoir
+        backreference covers it.  A stream's run ends early at its first
+        error frame (the error entry is included and carried state reflects
+        the reference's partial-granule synthesis), at end of buffer, or
+        before a mid-stream format change (rare; the next call picks it up).
         ``last_frame_reference_defined`` aggregates over the whole run.
 
         Returns: list over streams of lists of (err, pcm|None, consumed).
@@ -300,6 +353,23 @@ class BatchedMP3Decoder:
         composition (bitcast to uint8 = packed PCM bytes).
         """
         views = [self._as_view(b) for b in buffers]
+        if to_device:
+            # the to_device preconditions (uniform error-free fleet) are only
+            # knowable after parsing, but the parse advances every stream's
+            # native bit reservoir — snapshot so a precondition failure
+            # leaves the fleet exactly as it was (no silent corruption of
+            # subsequent decodes)
+            snaps = [(d._native_snapshot(), d._last_frame)
+                     for d in self.decoders]
+            try:
+                parsed = self._parse_run(views, [0] * len(self.decoders),
+                                         n_frames, use_size)
+                return self._dispatch_run(parsed, to_device)
+            except ValueError:
+                for d, (blob, lf) in zip(self.decoders, snaps):
+                    d._native_restore(blob)
+                    d._last_frame = lf
+                raise
         parsed = self._parse_run(views, [0] * len(self.decoders), n_frames, use_size)
         return self._dispatch_run(parsed, to_device)
 
@@ -343,6 +413,9 @@ class BatchedMP3Decoder:
                 self.decoders[s]._last_frame = pa["frame"][s]
                 frame = pa["frame"][s]
                 if err == MP3Error.NONE:
+                    # reference caller protocol: skip reservoir slack to the
+                    # next sync word before the next frame
+                    pos[s] = self._sync_ahead(views[s], pos[s])
                     ngr_run = int(frame[6])
                     fmt0[s] = (int(frame[0]), int(frame[4]), int(frame[5]))
                 else:
@@ -405,7 +478,8 @@ class BatchedMP3Decoder:
                         g += k
                 pcm, new_state, ref_undef = mp3_pipeline.decode_granules_run(
                     huff_g, params_g, sf_g, frame_g, sfjs_g,
-                    self._gather_state(streams), vindex)
+                    self._gather_state(streams), vindex,
+                    mesh=self._group_mesh(len(streams)))
                 self._scatter_state(streams, new_state)
                 new_vindex = mp3_pipeline._advance_vindex(vindex, G)
                 if to_device:

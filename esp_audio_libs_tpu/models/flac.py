@@ -199,22 +199,37 @@ def _frame_shape_key(g, fi, m32):
             bool(g.use64[fi].any()), m32)
 
 
-def _run_frame_bucket(g, rows, frs, bkey):
+def _run_frame_bucket(g, rows, frs, bkey, mesh=None):
     """Dispatch one shape bucket through the frame kernel; returns the
-    device output [len(rows), bytes]."""
+    device output [len(rows), bytes].
+
+    With ``mesh`` (and a bucket size divisible by it), the residual upload —
+    the dominant tensor — and the per-frame params land lane-sharded across
+    the mesh and the kernel runs SPMD, one shard of frames per chip (frames
+    are independent; no collectives in the math)."""
     ((nch, mbs), bs, depth, wide, acc64, m32) = bkey
     src = (g.data8, g.data16, g.data32)[wide]
     data = src[rows] if bs == mbs else src[rows][:, :, :bs]
+    if mesh is not None and len(rows) % mesh.size == 0:
+        from ..parallel.mesh import shard_streams as _shard
+
+        put = lambda x: _shard(np.ascontiguousarray(x), mesh)
+    else:
+        put = jnp.asarray
     return _frame_kernel(
-        jnp.asarray(data), jnp.asarray(g.coeffs[frs]),
-        jnp.asarray(g.order[frs]), jnp.asarray(g.shift[frs]),
-        jnp.asarray(g.wasted[frs]), jnp.asarray(g.ca[frs]),
+        put(data), put(g.coeffs[frs]),
+        put(g.order[frs]), put(g.shift[frs]),
+        put(g.wasted[frs]), put(g.ca[frs]),
         depth=depth, nch=nch, mode32=m32, use64=acc64)
 
 
-def _decode_streams(decoders, buffers, verify_md5: bool = True):
+def _decode_streams(decoders, buffers, verify_md5: bool = True, mesh=None):
     """Shared end-to-end path for 1..N streams: native batched host parse,
     cross-stream shape-bucketed device kernels, per-stream reassembly.
+
+    ``mesh``: optional stream mesh — buckets whose frame count divides the
+    mesh size dispatch SPMD with the frame axis sharded (see
+    ``_run_frame_bucket``); ragged buckets fall back to single-device.
 
     Returns the per-stream (pcm_bytes, results-dict) list of
     ``FLACDecoder.decode_stream`` / ``BatchedFLACDecoder.decode_streams``.
@@ -239,7 +254,7 @@ def _decode_streams(decoders, buffers, verify_md5: bool = True):
         g = groups[bkey[0]]
         rows = np.fromiter((g.slot[fi] for _, _, fi in idxs), np.int64, len(idxs))
         frs = np.fromiter((fi for _, _, fi in idxs), np.int64, len(idxs))
-        packed_np = np.asarray(_run_frame_bucket(g, rows, frs, bkey))
+        packed_np = np.asarray(_run_frame_bucket(g, rows, frs, bkey, mesh=mesh))
         for k, (s, j, _) in enumerate(idxs):
             out_chunks[s][j] = packed_np[k]
 
@@ -260,7 +275,7 @@ def _decode_streams(decoders, buffers, verify_md5: bool = True):
     return results
 
 
-def decode_streams_to_device(decoders, buffers):
+def decode_streams_to_device(decoders, buffers, mesh=None):
     """Fleet decode with the PCM LEFT ON DEVICE: the serving composition
     path (decode -> resample -> ... chains without any host round trip —
     on a bandwidth-limited transport the PCM download and re-upload are
@@ -277,6 +292,12 @@ def decode_streams_to_device(decoders, buffers):
     for 16-bit output — exactly the byte layout ``Resampler.resample_stream``
     consumes), and ``results`` is the per-stream metadata list of
     ``decode_streams`` minus ``md5_ok``.
+
+    With ``mesh`` the residual uploads arrive stream-sharded (rows are
+    stream-major, so sharding the leading axis IS stream sharding when
+    n_streams divides the mesh) and ``pcm_dev`` is returned batch-sharded —
+    ready to feed a sharded ``Resampler.resample_stream`` without any
+    resharding collective.
     """
     n = len(decoders)
     groups, codes, frames_of = _parse_streams(decoders, buffers)
@@ -305,13 +326,7 @@ def decode_streams_to_device(decoders, buffers):
                            np.int64, n * len(js))
         frs = np.fromiter((frames_of[s][j][1] for s in range(n) for j in js),
                           np.int64, n * len(js))
-        src = (g.data8, g.data16, g.data32)[wide]
-        data = src[rows] if bs == mbs else src[rows][:, :, :bs]
-        packed = _frame_kernel(
-            jnp.asarray(data), jnp.asarray(g.coeffs[frs]),
-            jnp.asarray(g.order[frs]), jnp.asarray(g.shift[frs]),
-            jnp.asarray(g.wasted[frs]), jnp.asarray(g.ca[frs]),
-            depth=depth, nch=nch, mode32=m32, use64=acc64)
+        packed = _run_frame_bucket(g, rows, frs, bkey, mesh=mesh)
         # [n * len(js), bytes] stream-major -> [n, len(js), bytes]
         bucket_out[bkey] = (packed.reshape(n, len(js), -1), js)
 
@@ -321,6 +336,11 @@ def decode_streams_to_device(decoders, buffers):
         for k, j in enumerate(js):
             segs[j] = dev[:, k]
     pcm_dev = jnp.concatenate(segs, axis=1) if F > 1 else segs[0]
+    if mesh is not None and n % mesh.size == 0:
+        # pin the composition handoff layout: stream-sharded PCM
+        from ..parallel.mesh import batch_sharding
+
+        pcm_dev = jax.device_put(pcm_dev, batch_sharding(mesh, pcm_dev.ndim))
 
     results = []
     for s in range(n):

@@ -429,6 +429,23 @@ class MP3Decoder:
                 "vbuf": np.asarray(self._vbuf).copy(),
                 "vindex": self._vindex}
 
+    def _native_snapshot(self) -> bytes:
+        """Native front-end image only (reservoir, headers) — the part of
+        state a host parse mutates; used to roll back a parse whose results
+        turn out unusable (see BatchedMP3Decoder.decode_run to_device)."""
+        n = self._lib.eal_mp3_state_size(self._ctx)
+        buf = np.zeros(n, np.uint8)
+        if self._lib.eal_mp3_state_save(
+                self._ctx, buf.ctypes.data_as(C.POINTER(C.c_uint8)), n) != 0:
+            raise RuntimeError("MP3 state save failed")
+        return buf.tobytes()
+
+    def _native_restore(self, blob: bytes) -> None:
+        data = np.frombuffer(blob, np.uint8)
+        if self._lib.eal_mp3_state_load(
+                self._ctx, data.ctypes.data_as(C.POINTER(C.c_uint8)), data.size) != 0:
+            raise RuntimeError("MP3 state load failed (bad/incompatible blob)")
+
     def set_state(self, state: dict) -> None:
         data = np.frombuffer(state["native"], np.uint8)
         if self._lib.eal_mp3_state_load(

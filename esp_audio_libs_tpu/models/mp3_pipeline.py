@@ -198,7 +198,7 @@ def decode_granules_batch(huff, params, sf, frame, sfjs, states, vindex, ngr):
 
 
 def decode_granules_batch_dev(huff, params, sf, frame, sfjs, dev_state,
-                              vindex, ngr):
+                              vindex, ngr, mesh=None):
     """Device-resident variant: carried state stays on device across frames.
 
     Args are as decode_granules_batch except ``dev_state`` — a tuple of
@@ -218,11 +218,12 @@ def decode_granules_batch_dev(huff, params, sf, frame, sfjs, dev_state,
     frame_g = np.repeat(np.asarray(frame)[:, None], max(G, 1), axis=1)
     sfjs_g = np.repeat(np.asarray(sfjs)[:, None], max(G, 1), axis=1)
     return decode_granules_run(huff[:, :G], params[:, :G], sf[:, :G],
-                               frame_g[:, :G], sfjs_g[:, :G], dev_state, vindex)
+                               frame_g[:, :G], sfjs_g[:, :G], dev_state, vindex,
+                               mesh=mesh)
 
 
 def decode_granules_run(huff_g, params_g, sf_g, frame_g, sfjs_g, dev_state,
-                        vindex):
+                        vindex, mesh=None):
     """Synthesize an arbitrary RUN of G granules (any mix of frames) for B
     format-uniform streams in ONE upload + ONE fused scan dispatch.
 
@@ -234,6 +235,14 @@ def decode_granules_run(huff_g, params_g, sf_g, frame_g, sfjs_g, dev_state,
     frame_g [B, G, 16], sfjs_g [B, G, 8].  Streams must share
     (version, samplerate index, nChans) and the starting ``vindex``; the
     subband schedule sequence then advances identically for every stream.
+
+    With ``mesh`` (a ``parallel.mesh.stream_mesh``), the stacked per-granule
+    uploads land stream-sharded across the mesh (their stream axis is 1 —
+    the tensors are granule-major) and the fused scan runs SPMD: each chip
+    synthesizes its shard of streams with no collectives in the math (the
+    reference has no cross-stream coupling, SURVEY.md §2 DP row).  Carried
+    ``dev_state`` should already be batch-sharded (``BatchedMP3Decoder``
+    initializes it so); outputs and new state inherit the sharding.
 
     Returns (pcm device [B, G*576*nch], new dev_state, ref_undef [B]).
     """
@@ -268,8 +277,15 @@ def decode_granules_run(huff_g, params_g, sf_g, frame_g, sfjs_g, dev_state,
         side_gs[g, :, nch:2 * nch] = params_g[:, g, :nch, 5]
         side_gs[g, :, 2 * nch:3 * nch] = params_g[:, g, :nch, 6]
         side_gs[g, :, 3 * nch:] = blob
+    if mesh is not None:
+        from ..parallel.mesh import shard_streams_axis
+
+        huff_dev = shard_streams_axis(huff_gs, 1, mesh)
+        side_dev = shard_streams_axis(side_gs, 1, mesh)
+    else:
+        huff_dev, side_dev = jnp.asarray(huff_gs), jnp.asarray(side_gs)
     pcm_gs, new_state, ref_undef = _granules_scan_for(ver, sr_idx, nch, cutoff)(
-        jnp.asarray(huff_gs), jnp.asarray(side_gs),
+        huff_dev, side_dev,
         over, prev_type, prev_win_switch, num_prev, vbuf,
         jnp.int32(vindex))
     # [G, B, 576*nch] -> [B, G*576*nch]

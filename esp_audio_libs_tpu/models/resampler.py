@@ -462,9 +462,24 @@ class Resampler:
                 return fn(*args)
             except KeyboardInterrupt:
                 raise
-            except Exception:
+            except Exception as e:
+                # Only a compile/lowering failure justifies disabling Pallas;
+                # a data/transport/OOM error must surface, not silently
+                # re-dispatch (and certainly not poison the whole process).
+                msg = f"{type(e).__name__}: {e}"
+                lowering_failure = (
+                    "Mosaic" in msg or "mosaic" in msg or "lowering" in msg
+                    or "Unsupported" in msg or isinstance(e, (NotImplementedError,
+                                                              RecursionError)))
+                if not lowering_failure:
+                    raise
+                import warnings
+
                 from ..ops import polyphase_pallas as _pp
 
+                warnings.warn(
+                    f"Pallas polyphase kernel failed to compile ({msg}); "
+                    "falling back to the XLA banded path for this process.")
                 _pp.mark_unsupported()
                 self._chunk_fns.clear()
                 return rebuild()(*args)

@@ -15,7 +15,8 @@ import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-__all__ = ["stream_mesh", "batch_sharding", "shard_streams"]
+__all__ = ["stream_mesh", "batch_sharding", "axis_sharding", "shard_streams",
+           "shard_streams_axis"]
 
 STREAM_AXIS = "streams"
 
@@ -37,6 +38,14 @@ def batch_sharding(mesh: Mesh, ndim: int = 2) -> NamedSharding:
     return NamedSharding(mesh, P(STREAM_AXIS, *([None] * (ndim - 1))))
 
 
+def axis_sharding(mesh: Mesh, ndim: int, axis: int) -> NamedSharding:
+    """Sharding that splits dimension ``axis`` across the mesh (the MP3 run
+    tensors are granule-major ``[G, B, ...]``, so their stream axis is 1)."""
+    spec = [None] * ndim
+    spec[axis] = STREAM_AXIS
+    return NamedSharding(mesh, P(*spec))
+
+
 def shard_streams(x: jax.Array, mesh: Mesh | None = None) -> jax.Array:
     """Place ``x`` with its leading dim sharded over the stream mesh.
 
@@ -46,3 +55,8 @@ def shard_streams(x: jax.Array, mesh: Mesh | None = None) -> jax.Array:
     if mesh is None:
         mesh = stream_mesh()
     return jax.device_put(x, batch_sharding(mesh, x.ndim))
+
+
+def shard_streams_axis(x, axis: int, mesh: Mesh) -> jax.Array:
+    """Place ``x`` with dimension ``axis`` sharded over the stream mesh."""
+    return jax.device_put(x, axis_sharding(mesh, np.ndim(x), axis))

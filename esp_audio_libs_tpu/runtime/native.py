@@ -71,11 +71,13 @@ def host_lib() -> C.CDLL:
     i16p = C.POINTER(C.c_int16)
     lib.eal_flac_parse_stream.restype = C.c_int32
     lib.eal_flac_parse_stream.argtypes = [
-        C.c_void_p, u8p, C.c_size_t, C.c_int32, C.c_int32,
-        i8p, i16p, i32p, i32p, i32p, i32p,
-        i32p, i32p, i32p, i32p, i32p, i32p,
-        i32p, i32p, i32p, i32p, i32p,
-        C.POINTER(C.c_int32)]
+        C.c_void_p, u8p, C.c_size_t, C.c_int32, C.c_int32,   # ctx, buf, len, max_frames, frame_cap
+        i8p, i16p, i32p,                                     # data8/16/32
+        i32p, i32p, i32p,                                    # slot8/16/32 cursors
+        i32p, i32p,                                          # wide, slot
+        i32p, i32p, i32p, i32p, i32p,                        # order, shift, wasted, use64, coeffs
+        i32p, i32p, i32p, i32p, i32p,                        # bs, ca, depth, crc_ok, consumed
+        i32p]                                                # last_rc (24 args total)
 
     # ---- MP3 front-end ----
     lib.eal_mp3_create.restype = C.c_void_p
