@@ -205,9 +205,12 @@ struct Mp3Frontend {
       bitrate = (int) eal_bitrateTab[ver][layer - 1][brIdx] * 1000;
       nSlots = (int) eal_slotTab[ver][srIdx][brIdx] - (int) eal_sideBytesTab[ver][(sMode == Mono ? 0 : 1)] - 4 -
                (crc ? 2 : 0) + (paddingBit ? 1 : 0);
-    } else {
-      bitrate = 0;
     }
+    // brIdx == 0 (free mode): deliberately leave `bitrate` untouched — the
+    // frame driver stores the DISCOVERED free bitrate there on the first
+    // frame and later frames must keep reporting it (the reference's
+    // UnpackFrameHeader has the same contract, mp3_decoder.cpp:8349-8353;
+    // the member starts at 0, which is what arms the discovery branch).
     return crc ? 6 : 4;
   }
 
