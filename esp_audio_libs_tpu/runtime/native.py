@@ -109,10 +109,15 @@ def host_lib() -> C.CDLL:
 
 
 def design_filterbank_native(num_taps: int, num_filters: int, lowpass_ratio: float, flags: int) -> np.ndarray:
-    """Bit-exact filterbank design via the native library.
+    """Bit-exact filterbank design via the native library — the PRODUCTION
+    path (pinned bit-for-bit against the reference by
+    tests/test_art_resampler.py::test_filterbank_bitexact).
 
-    (The pure-numpy fallback in ops/sinc.py agrees to <=1 ulp; it differs
-    only where numpy's vectorized sinf/cosf round differently from glibc's.)
+    ops/sinc.py re-derives the same math in vectorized numpy as an
+    independent cross-check (test_filterbank_native_vs_numpy_crosscheck):
+    absolute agreement <= ~4e-7 across the envelope; per-tap ulp distance is
+    unbounded at near-zero tail taps because the error diffusion
+    redistributes the sin/cos rounding differences.
     """
     out = np.zeros((num_filters + 1, num_taps), np.float32)
     rc = host_lib().eal_design_filterbank(

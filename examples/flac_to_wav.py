@@ -14,14 +14,27 @@ Usage: flac_to_wav.py input.flac output.wav [--no-verify]
 from __future__ import annotations
 
 import argparse
+import os
 import struct
 import sys
 from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
+# persistent XLA compile cache: without it every CLI invocation pays a fresh
+# multi-second (tunnel: multi-minute) compile for its frame shapes — this is
+# what kept the conformance suite from finishing inside one driver window
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR",
+    str(Path(__file__).resolve().parent.parent / "build" / "jax_cache"))
+
 import jax
 
+# honor an explicit JAX_PLATFORMS choice even where a site plugin pins a
+# different backend (the env var alone loses to plugin re-registration —
+# same lesson as tests/conftest.py)
+if os.environ.get("JAX_PLATFORMS"):
+    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
 jax.config.update("jax_enable_x64", True)
 
 from esp_audio_libs_tpu.models.flac import FLACDecoder  # noqa: E402

@@ -43,6 +43,10 @@ os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 
 import jax  # noqa: E402
 
+# honor an explicit JAX_PLATFORMS choice even where a site plugin pins a
+# different backend (env var alone loses to plugin re-registration)
+if os.environ.get("JAX_PLATFORMS"):
+    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
 jax.config.update("jax_enable_x64", True)
 import numpy as np  # noqa: E402
 
@@ -114,15 +118,71 @@ def generate_corpus(root: Path):
     for i, cfg in enumerate(uncommon):
         blob, _ = mk(**cfg)
         (root / "uncommon" / f"uncommon_{i:02d}.flac").write_bytes(blob)
-    # faulty: corrupted variants
+    # faulty: corrupted variants, mirroring the reference corpus's failure
+    # classes (TESTING.md:98-104).  Reject-class files must fail in BOTH
+    # decoders; "accept_" files carry errors both decoders tolerate
+    # gracefully (garbage skipped by sync search, unvalidated header fields)
+    # and must decode with verified MD5 — the reference corpus has both
+    # kinds ("some files may be accepted if the error is in metadata we
+    # don't validate").
+    from flacgen import STANDARD_RATES, SubframePlan as SP
     blob, _ = mk(**subset[0])
-    bad1 = b"fLaX" + blob[4:]
-    (root / "faulty" / "bad_magic.flac").write_bytes(bad1)
+    (root / "faulty" / "bad_magic.flac").write_bytes(b"fLaX" + blob[4:])
     bad2 = bytearray(blob)
     bad2[-3] ^= 0xFF  # corrupt last frame CRC region
     (root / "faulty" / "crc_mismatch.flac").write_bytes(bytes(bad2))
-    bad3 = blob[: len(blob) // 2]  # truncated
-    (root / "faulty" / "truncated.flac").write_bytes(bad3)
+    (root / "faulty" / "truncated.flac").write_bytes(blob[: len(blob) // 2])
+    # mid-frame truncation: cut inside the LAST frame's payload
+    (root / "faulty" / "mid_frame_truncated.flac").write_bytes(blob[:-9])
+    # mid-header truncation: cut inside the metadata region
+    (root / "faulty" / "mid_header_truncated.flac").write_bytes(blob[:20])
+    # reserved subframe type code (spec §9.2.1)
+    b6, _ = mk(rng_seed=70, depth=16, channels=2, block_size=256, n_frames=1,
+               plans=[[SP("reserved"), SP("fixed", order=1)]])
+    (root / "faulty" / "reserved_subframe.flac").write_bytes(b6)
+    # reserved residual coding method (spec §9.2.7)
+    b7, _ = mk(rng_seed=71, depth=16, channels=2, block_size=256, n_frames=1,
+               plans=[[SP("lpc", order=4, bad_residual_method=True),
+                       SP("fixed", order=1)]])
+    (root / "faulty" / "reserved_residual_method.flac").write_bytes(b7)
+    # rice partition order that does not divide the block size.  "hardened_"
+    # class: the reference DISCARDS decode_subframes' return value
+    # (flac_decoder.cpp:220 — no `ret =`), so with a structurally-valid
+    # CRC16 it reports SUCCESS and emits uninitialized memory as PCM; its
+    # output is nondeterministic and not a usable oracle here.  This repo
+    # propagates BLOCK_SIZE_NOT_DIVISIBLE_RICE (the check the reference has
+    # at :858-861 but loses).  Pass = our decoder and CLI reject.
+    b8, _ = mk(rng_seed=72, depth=16, channels=1, block_size=1000, n_frames=1,
+               plans=[[SP("lpc", order=4, bad_partition_order=True)]])
+    (root / "faulty" / "hardened_bad_partition_order.flac").write_bytes(b8)
+    # frame channel assignment contradicting STREAMINFO (validated, :634-645)
+    b9, _ = mk(rng_seed=73, depth=16, channels=2, block_size=256, n_frames=1,
+               plans=[[SP("fixed", order=1), SP("fixed", order=1)]],
+               ca_override=0)
+    (root / "faulty" / "channel_mismatch.flac").write_bytes(b9)
+    # reserved frame sample-rate code 15 (spec: invalid)
+    b10, _ = mk(rng_seed=74, depth=16, channels=1, block_size=256, n_frames=1,
+                plans=[[SP("fixed", order=1)]], sr_code_override=15)
+    (root / "faulty" / "reserved_sample_rate.flac").write_bytes(b10)
+    # accept-class: metadata block length field overflowing the file — both
+    # decoders read STREAMINFO's fixed 34 bytes and tolerate the bogus
+    # declared length identically ("errors in metadata we don't validate",
+    # reference TESTING.md:102-104); output stays MD5-verified
+    b11 = bytearray(blob)
+    b11[5:8] = (0xFFFFFF).to_bytes(3, "big")  # STREAMINFO length -> 16 MB
+    (root / "faulty" / "accept_metadata_overflow.flac").write_bytes(bytes(b11))
+    # accept-class: junk between frames is skipped by frame sync search
+    b12, _ = mk(rng_seed=75, depth=16, channels=2, block_size=1024, n_frames=3,
+                plans=[[SP("lpc", order=6), SP("fixed", order=2)]] * 3,
+                inter_frame_garbage=23)
+    (root / "faulty" / "accept_interframe_garbage.flac").write_bytes(b12)
+    # wrong (but valid) sample-rate code in the frame header: both decoders
+    # validate it against STREAMINFO (reference flac_decoder.cpp:655-659;
+    # no mid-stream rate changes) -> reject class
+    b13, _ = mk(rng_seed=76, depth=16, channels=2, block_size=256, n_frames=2,
+                plans=[[SP("fixed", order=2), SP("lpc", order=4)]] * 2,
+                sr_code_override=STANDARD_RATES[48000])
+    (root / "faulty" / "wrong_sample_rate.flac").write_bytes(b13)
 
 
 def reference_decode(oracle_lib, blob: bytes):
@@ -192,7 +252,14 @@ def drive_cli(path: Path, out_dir: Path, expect_fail: bool, ref_pcm):
 def test_single_file(path: Path, oracle_lib, expect_fail: bool, cli_out: Path | None = None,
                      cli_pool=None):
     """Run both oracles on one file (mirrors the reference runner's
-    test_single_file, host_examples/.../test_flac_decoder.py:152-259)."""
+    test_single_file, host_examples/.../test_flac_decoder.py:152-259).
+
+    ``hardened_`` faulty files skip the reference oracle: on those inputs
+    the reference reports SUCCESS while emitting uninitialized memory
+    (decode_frame drops decode_subframes' return value,
+    flac_decoder.cpp:220, and a structurally-valid CRC16 hides it), so its
+    output is nondeterministic; pass = this repo's decoder and CLI reject.
+    """
     blob = path.read_bytes()
     t0 = time.perf_counter()
     result = {"file": path.name, "md5": None, "reference_match": None,
@@ -208,7 +275,7 @@ def test_single_file(path: Path, oracle_lib, expect_fail: bool, cli_out: Path | 
         result["md5"] = bool(r["md5_ok"]) if r["md5_ok"] is not None else None
 
     ref_ok, ref_pcm = (None, None)
-    if oracle_lib is not None:
+    if oracle_lib is not None and not path.name.startswith("hardened_"):
         ref_ok, ref_pcm = reference_decode(oracle_lib, blob)
         result["reference_match"] = (decode_ok == ref_ok) and (not decode_ok or pcm == ref_pcm)
 
@@ -277,7 +344,9 @@ def main():
             cli_out = args.out / "wav" / cat
             cli_out.mkdir(parents=True, exist_ok=True)
         for f in sorted(d.glob("*.flac")):
-            r = test_single_file(f, oracle_lib, expect_fail=(cat == "faulty"),
+            r = test_single_file(f, oracle_lib,
+                                 expect_fail=(cat == "faulty"
+                                              and not f.name.startswith("accept_")),
                                  cli_out=cli_out, cli_pool=cli_pool)
             results.append(r)
         report["categories"][cat] = results

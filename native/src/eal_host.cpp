@@ -37,43 +37,71 @@ extern "C" {
 // Returns 0 on success, nonzero on invalid parameters
 // (envelope: taps multiple of 4 in [4,1024], filters in [2,1024] —
 // reference art_resampler.cpp:89-97).
+// The design has two phases per filterbank row, both bit-pinned to the
+// reference's observable f32 results (parity: tests/test_art_resampler.py
+// over the whole 4-1024 envelope; ops/sinc.py re-derives the same math in
+// vectorized numpy as an independent cross-check):
+//   (a) tap magnitudes: sinc(dist * lowpass) windowed by 4-term
+//       Blackman-Harris or Hann.  C++ float overloads of sin/cos/fabs are
+//       load-bearing: float args stay in f32 libm, while the M_PI product
+//       promotes to double and truncates on store.
+//   (b) unity-DC normalization with error diffusion.  The diffusion is
+//       ORDER-DEPENDENT, so the tap visit order is part of the bit-exact
+//       contract: center tap first, then alternating center-1, center+1,
+//       center-2, ... and tap 0 last.  The order is materialized explicitly
+//       (same construction as ops/sinc.py) rather than computed by index
+//       arithmetic inside the loop.
 int eal_design_filterbank(int num_taps, int num_filters, float lowpass_ratio, int flags, float *out) {
   if ((num_taps & 3) || num_taps <= 0 || num_taps > 1024) return 1;
   if (num_filters < 2 || num_filters > 1024) return 2;
 
-  const float a0 = 0.35875f, a1 = 0.48829f, a2 = 0.14128f, a3 = 0.01168f;
-  const int half = num_taps / 2;
+  const int center = num_taps / 2;
 
-  for (int f = 0; f <= num_filters; ++f) {
-    float fraction = (float) f / num_filters;
-    float *filter = out + (size_t) f * num_taps;
-    float temp[1024];
-    float filter_sum = 0.0f;
+  // (b)'s tap visit order, shared by every row
+  int visit[1024];
+  int nv = 0;
+  visit[nv++] = center;
+  for (int k = 1; k < center; ++k) {
+    visit[nv++] = center - k;
+    visit[nv++] = center + k;
+  }
+  visit[nv++] = 0;
 
-    for (int i = 0; i < num_taps; ++i) {
-      // fabs/sin/cos bind to the float overloads in C++; the M_PI scaling is
-      // float*double -> double, truncated to f32 on store
-      float dist = fabsf((half - 1) + fraction - i) * M_PI;
-      float ratio = dist / half;
-      float value;
+  const float bh0 = 0.35875f, bh1 = 0.48829f, bh2 = 0.14128f, bh3 = 0.01168f;
+
+  for (int row = 0; row <= num_filters; ++row) {
+    const float frac = (float) row / num_filters;
+    float *bank_row = out + (size_t) row * num_taps;
+
+    // (a) magnitudes + running f32 DC sum
+    float magnitude[1024];
+    float dc_sum = 0.0f;
+    for (int t = 0; t < num_taps; ++t) {
+      const float dist = fabsf((center - 1) + frac - t) * M_PI;
+      float m = 1.0f;
       if (dist != 0.0f) {
-        value = sinf(dist * lowpass_ratio) / (dist * lowpass_ratio);
+        const float arg = dist * lowpass_ratio;
+        m = sinf(arg) / arg;
+        const float u = dist / center;
         if (flags & EAL_BLACKMAN_HARRIS)
-          value *= a0 + a1 * cosf(ratio) + a2 * cosf(2 * ratio) + a3 * cosf(3 * ratio);
+          m *= bh0 + bh1 * cosf(u) + bh2 * cosf(2 * u) + bh3 * cosf(3 * u);
         else
-          value *= 0.5f * (1.0f + cosf(ratio));  // Hann
-      } else {
-        value = 1.0f;
+          m *= 0.5f * (1.0f + cosf(u));  // Hann
       }
-      filter_sum += temp[i] = value;
+      magnitude[t] = m;
+      dc_sum += m;
     }
 
-    // unity-DC normalization with error diffusion, ping-pong order from the
-    // center tap outward
-    float scaler = 1.0f / filter_sum, error = 0.0f;
-    for (int i = half; i < num_taps; i = num_taps - i - (i >= half)) {
-      filter[i] = (temp[i] *= scaler) - error;
-      error += filter[i] - temp[i];
+    // (b) normalize to unity DC gain, diffusing the f32 rounding error of
+    // each emitted tap into the next visit
+    const float dc_scale = 1.0f / dc_sum;
+    float diffusion = 0.0f;
+    for (int k = 0; k < nv; ++k) {
+      const int t = visit[k];
+      const float scaled = magnitude[t] * dc_scale;
+      const float emitted = scaled - diffusion;
+      bank_row[t] = emitted;
+      diffusion += emitted - scaled;
     }
   }
   return 0;

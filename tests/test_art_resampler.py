@@ -53,6 +53,27 @@ def test_filterbank_bitexact(oracle, taps, nf, lp, flags, ratio):
 
 
 @pytest.mark.parametrize("taps,nf,lp,flags,ratio", CONFIGS)
+def test_filterbank_native_vs_numpy_crosscheck(taps, nf, lp, flags, ratio):
+    """The numpy re-derivation (ops/sinc.py) is the independent cross-check
+    of the production native design (native/src/eal_host.cpp): a structural
+    bug in either shows up as a gross mismatch here, no oracle needed (so
+    this also runs where the reference tree isn't mounted).
+
+    Tolerance note: numpy's f64-then-truncate sin/cos round differently from
+    glibc's true-f32 calls by ~1 ulp per tap magnitude, and the sequential
+    error diffusion then REDISTRIBUTES that difference across the row — tiny
+    tail taps can differ by many of their own ulps while the absolute design
+    agreement stays at a few 1e-7 (measured: <= 3.6e-7 across the whole
+    4-1024 envelope).  Assert the absolute envelope; the oracle bit-exact
+    test above is the normative check."""
+    lpn, fl = sinc.normalize_lowpass(lp, flags)
+    native = design_filterbank_native(taps, nf, lpn, fl)
+    numpy_ = sinc.design_filterbank(taps, nf, lpn, fl)
+    d = np.abs(native - numpy_).max()
+    assert d <= 1e-6, f"native/numpy filterbank drift: max abs diff {d}"
+
+
+@pytest.mark.parametrize("taps,nf,lp,flags,ratio", CONFIGS)
 def test_process_bitexact_mono(oracle, taps, nf, lp, flags, ratio):
     rng = np.random.default_rng(taps + nf)
     n_in_total = 700

@@ -117,8 +117,9 @@ class SubframePlan:
     """How to encode one channel of one frame."""
 
     def __init__(self, kind="lpc", order=8, wasted=0, precision=12, shift=10,
-                 partition_order=0, escape=False, escape_bits=None, fit=False):
-        self.kind = kind            # constant | verbatim | fixed | lpc
+                 partition_order=0, escape=False, escape_bits=None, fit=False,
+                 bad_residual_method=False, bad_partition_order=False):
+        self.kind = kind            # constant | verbatim | fixed | lpc | reserved
         self.order = order
         self.wasted = wasted
         self.precision = precision
@@ -131,6 +132,11 @@ class SubframePlan:
         # realistically small residuals; fit=False keeps adversarial random
         # coefficients (stress decode correctness, huge residuals).
         self.fit = fit
+        # fault injection (conformance faulty corpus): emit a reserved
+        # residual coding method (2), or a partition order whose first
+        # partition has fewer samples than the predictor order
+        self.bad_residual_method = bad_residual_method
+        self.bad_partition_order = bad_partition_order
 
 
 def _fit_lpc_coeffs(x: np.ndarray, order: int, precision: int, shift: int) -> np.ndarray:
@@ -178,6 +184,13 @@ def encode_subframe(w: BitWriter, samples: np.ndarray, depth: int, plan: Subfram
         w.write(0, 6)
     elif kind == "verbatim":
         w.write(1, 6)
+    elif kind == "reserved":
+        # fault injection: subframe type 000010 is reserved (FLAC spec §9.2.1;
+        # reference rejects with BAD_SUBFRAME_TYPE) — emit it then stop, the
+        # decoder must not read further
+        w.write(2, 6)
+        w.write(0, 1)
+        return samples
     elif kind == "fixed":
         w.write(8 + plan.order, 6)
     else:
@@ -223,6 +236,22 @@ def encode_subframe(w: BitWriter, samples: np.ndarray, depth: int, plan: Subfram
         res[m] = int(enc[m]) - pred
 
     # residual coding (method 0 = 4-bit Rice)
+    if plan.bad_residual_method:
+        # fault injection: methods 2/3 are reserved (spec §9.2.7) — emit and
+        # stop; the decoder must reject without consuming residuals
+        w.write(2, 2)
+        return samples
+    if plan.bad_partition_order:
+        # fault injection: a partition order that does not divide the block
+        # size (reference rejects with BLOCK_SIZE_NOT_DIVISIBLE_RICE,
+        # flac_decoder.cpp:858-861).  NOTE: the other invalid-po class —
+        # divisible but first partition smaller than the predictor order —
+        # underflows an unsigned count in the reference (memory-unsafe), so
+        # it lives in the ASan corpus only, never the differential one.
+        po = next(p for p in range(1, 16) if bs % (1 << p) != 0)
+        w.write(0, 2)
+        w.write(po, 4)
+        return samples
     w.write(0, 2)
     po = plan.partition_order
     w.write(po, 4)
@@ -283,6 +312,9 @@ def make_flac(
     metadata=(),             # list of (type, bytes)
     last_block_size=None,    # uncommon trailing block
     uncommon_bs_code=False,  # force 8/16-bit explicit block size codes
+    sr_code_override=None,   # fault/uncommon: force the frame sample-rate code
+    ca_override=None,        # fault: force the frame channel-assignment code
+    inter_frame_garbage=0,   # bytes of non-sync junk inserted between frames
 ):
     """Build a complete FLAC stream + return (bytes, original PCM [N, ch])."""
     rng = np.random.default_rng(rng_seed)
@@ -321,6 +353,8 @@ def make_flac(
             bs_code, bs_extra = 7, bs - 1
         hdr.write(bs_code, 4)
         sr_code = STANDARD_RATES.get(sample_rate, 0)
+        if sr_code_override is not None:
+            sr_code = sr_code_override
         hdr.write(sr_code, 4)
         # channel assignment
         if mode == "ls":
@@ -331,7 +365,7 @@ def make_flac(
             ca = 10
         else:
             ca = channels - 1
-        hdr.write(ca, 4)
+        hdr.write(ca if ca_override is None else ca_override, 4)
         depth_codes = {8: 1, 12: 2, 16: 4, 20: 5, 24: 6, 32: 7}
         hdr.write(depth_codes.get(depth, 0), 3)
         hdr.write(0, 1)  # reserved
@@ -421,6 +455,11 @@ def make_flac(
         out.append((last << 7) | btype)
         out += len(bdata).to_bytes(3, "big")
         out += bdata
-    for fb in frame_bits:
+    for fi, fb in enumerate(frame_bits):
+        if inter_frame_garbage and fi > 0:
+            # junk that can't alias a frame sync (no 0xFF bytes): both
+            # decoders skip it via find_frame_sync and decode on —
+            # "sync garbage between frames" is an ACCEPT-class faulty case
+            out += bytes((37 * (fi + k)) % 0xFF for k in range(inter_frame_garbage))
         out += fb
     return bytes(out), pcm
