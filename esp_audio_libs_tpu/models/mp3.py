@@ -66,6 +66,7 @@ def granule_params(params: np.ndarray, sf: np.ndarray, frame: np.ndarray, sfjs: 
     is_long_in = np.zeros((Cn, MAX_NSAMP), bool)
     processed = np.zeros((Cn, MAX_NSAMP), bool)
     invperm = np.tile(np.arange(MAX_NSAMP, dtype=np.int32), (Cn, 1))
+    short_base = np.zeros(Cn, np.int32)
     cb_start_s = np.zeros(Cn, np.int32)
     has_short = np.zeros(Cn, bool)
     cb_type = np.zeros(Cn, np.int32)
@@ -99,6 +100,7 @@ def granule_params(params: np.ndarray, sf: np.ndarray, frame: np.ndarray, sfjs: 
         sfl = sf[ch, :23]
         sfs = sf[ch, 23:].reshape(13, 3)
         i = 0
+        short_base[ch] = 0
         for cb in range(cb_end_l):
             n = int(sfb_l[cb + 1] - sfb_l[cb])
             g = 210 - global_gain + sfact_mult * (int(sfl[cb]) + (int(pre_tab[cb]) if p[15] else 0))
@@ -109,6 +111,7 @@ def granule_params(params: np.ndarray, sf: np.ndarray, frame: np.ndarray, sfjs: 
             i += n
             if i >= nzb[ch]:
                 break
+        short_base[ch] = i
 
         if cbs < 12:
             for cb in range(cbs, cb_end_s):
@@ -170,7 +173,8 @@ def granule_params(params: np.ndarray, sf: np.ndarray, frame: np.ndarray, sfjs: 
 
     return dict(
         gain=gain, band_in=band_in, win_in=win_in, is_long_in=is_long_in,
-        processed=processed, invperm=invperm, cb_start_s=cb_start_s,
+        processed=processed, invperm=invperm, short_base=short_base,
+        cb_start_s=cb_start_s,
         has_short=has_short, cb_type=cb_type, out_nzb_short=out_nzb_short,
         band_out_l=band_out_l, band_out_s=band_out_s, win_out=win_out,
         sf_right_l=sf_r_l, sf_right_s=sf_r_s, il_out_l=il_l, il_out_s=il_s,
@@ -371,7 +375,8 @@ def expand_hp_device(compact, maps, nch: int) -> dict:
     bc = lambda a: jnp.broadcast_to(a[None], (B,) + a.shape)
     return dict(
         gain=gain, band_in=band_in, win_in=win_in, is_long_in=long_proc,
-        processed=processed, invperm=invperm, cb_start_s=cb_start_s,
+        processed=processed, invperm=invperm, short_base=short_base,
+        cb_start_s=cb_start_s,
         has_short=has_short, cb_type=cb_type, out_nzb_short=pe_s,
         band_out_l=bc(bo_l), band_out_s=bc(bo_s), win_out=bc(wo),
         sf_right_l=sf_right_l, sf_right_s=sf_right_s, il_out_l=il_out_l,

@@ -53,7 +53,8 @@ def _granule_body(huff_g, nzb_in, compact, maps, over, prev_type,
     mag = v & 0x7FFF
     huff_g = jnp.where(v < 0, mag | jnp.int32(-(2 ** 31)), mag)
     hp = expand_hp_device(compact, maps, nch)
-    dq = mp3dsp.dequantize_granule(huff_g, nzb_in, hp, nch=nch)
+    sfb_s_key = tuple(int(v) for v in np.asarray(maps["sfb_s"]))
+    dq = mp3dsp.dequantize_granule(huff_g, nzb_in, hp, nch=nch, sfb_s=sfb_s_key)
     x = dq["x"].reshape(B * nch, 576)
     gb_in = dq["gb"][:, :nch]                                  # [B, nch]
     undef = (gb_in == 31) & (jnp.any(dq["x"][:, :nch] != 0, axis=-1)

@@ -41,6 +41,34 @@ def mulshift32(x, y):
     return ((x.astype(jnp.int64) * y.astype(jnp.int64)) >> 32).astype(jnp.int32)
 
 
+def const_lookup(idx, table) -> jax.Array:
+    """Bit-exact ``table[idx]`` for a small COMPILE-TIME table without a
+    device gather: a binary select tree over the bits of ``idx`` with scalar
+    constant leaves.  A per-element minor-axis gather walks elements on TPU
+    (~400x the cost of vector math on these shapes — the round-1 lesson
+    that rebuilt expand_hp_device); the tree is pure elementwise selects
+    that XLA fuses into one VPU pass.  ``idx`` must already be clipped to
+    [0, len(table)).
+    """
+    vals = np.asarray(table).ravel()
+    n = vals.size
+    assert n >= 1
+    nbits = max(1, int(n - 1).bit_length())
+    dt = jnp.int64 if vals.dtype.kind == "i" and vals.itemsize == 8 else jnp.int32
+
+    def build(base: int, bit: int):
+        if bit < 0:
+            return dt(int(vals[min(base, n - 1)]))
+        lo = build(base, bit - 1)
+        if base + (1 << bit) < n:
+            hi = build(base + (1 << bit), bit - 1)
+        else:
+            return lo   # upper half out of range: idx can't select it
+        return jnp.where((idx >> bit) & 1 == 1, hi, lo)
+
+    return build(0, nbits - 1)
+
+
 def _clz32(x):
     """__builtin_clz with lzcnt semantics (clz(0) = 32); x is int32."""
     return jax.lax.clz(x.astype(jnp.int32))
@@ -59,21 +87,28 @@ def dequant_block_math(sx, scale, T):
     i32 = jnp.int32
     x = sx & 0x7FFFFFFF
 
+    # per-sample small-table lookups run as constant select trees, never
+    # device gathers: a [.., 576] minor-axis gather walks elements on TPU
+    # and dominated this stage (in-scan ablation: ~15 ms/granule at B=256
+    # before this rewrite)
+    Tnp = mp3_tables()
     scale_low = scale & 0x3
-    tab16_row = T["pow43_14"][scale_low]                      # [..., 16]
-    scalef = T["pow14"][scale_low]
+    scalef = const_lookup(scale_low, Tnp["pow14"]).astype(i32)
     scalei = jnp.minimum(scale >> 2, 31)
+
+    # tab16[scale_low][x] over the flattened [4*16] table
+    tab16_x = const_lookup((scale_low << 4) | jnp.clip(x, 0, 15),
+                           Tnp["pow43_14"]).astype(i32)
 
     # x < 4 (tab4 cache): tab4[x] = x==0 ? 0 : tab16[x] >> shift
     shift4 = jnp.clip(scalei + 3, 0, 31)
-    tab16_x = jnp.take_along_axis(tab16_row, jnp.clip(x, 0, 15)[..., None], axis=-1)[..., 0]
     y_lt4 = jnp.where(x == 0, 0, tab16_x >> shift4)
 
     # 4 <= x < 16
     y_lt16 = jnp.where(scalei < 0, tab16_x << jnp.clip(-scalei, 0, 31), tab16_x >> jnp.clip(scalei, 0, 31))
 
     # 16 <= x < 64: pow43 table + fractional scale
-    y_p43 = T["pow43"][jnp.clip(x - 16, 0, 47)]
+    y_p43 = const_lookup(jnp.clip(x - 16, 0, 47), Tnp["pow43"]).astype(i32)
     y_p43 = mulshift32(y_p43, scalef)
     shift_p43 = scalei - 3
 
@@ -96,9 +131,9 @@ def dequant_block_math(sx, scale, T):
     for k in range(1, 5):
         ck = jnp.where(use_lo, poly_lo[k], poly_hi[k])
         y_poly = mulshift32(y_poly, xn) + ck
-    y_poly = (mulshift32(y_poly, T["pow2frac"][sh]) << 3).astype(i32)
+    y_poly = (mulshift32(y_poly, const_lookup(sh, Tnp["pow2frac"]).astype(i32)) << 3).astype(i32)
     y_poly = mulshift32(y_poly, scalef)
-    shift_poly = scalei - T["pow2exp"][sh]
+    shift_poly = scalei - const_lookup(sh, Tnp["pow2exp"]).astype(i32)
 
     # merge the two "integer scale" paths (x in [16,64) and x >= 64)
     y_big = jnp.where(x < 64, y_p43, y_poly)
@@ -117,8 +152,8 @@ def dequant_block_math(sx, scale, T):
     return out, y
 
 
-@functools.partial(jax.jit, static_argnames=("nch",))
-def dequantize_granule(huff, nzb, hp, *, nch):
+@functools.partial(jax.jit, static_argnames=("nch", "sfb_s"))
+def dequantize_granule(huff, nzb, hp, *, nch, sfb_s):
     """Dequantize + stereo for a batch of granules.
 
     Args:
@@ -165,8 +200,46 @@ def dequantize_granule(huff, nzb, hp, *, nch):
     cb_end_smax = jnp.max(cb_end_s, axis=-1)
     cb_type = hp["cb_type"]  # [L, C]
 
-    # short-block reorder (gather by inverse permutation; identity when long)
-    x = jnp.take_along_axis(dq, hp["invperm"], axis=-1)
+    # Short-block reorder (reference :714-760 window-major -> sample-major)
+    # WITHOUT a dynamic gather (a per-element [.., 576] take_along_axis
+    # walks elements on TPU): the in-section permutation is STATIC per row
+    # type — within each short critical band it is a [3, n] -> [n, 3]
+    # transpose — and only the section's absolute start (short_base, which
+    # nzb can truncate) is data-dependent.  So: barrel-shift each lane's
+    # section to offset 0 (log2 static rolls + selects), apply the static
+    # band transposes for both row types, select, and shift back.
+    sfb_s_np = np.asarray(sfb_s)             # static per-format band table [14]
+    sb = hp["short_base"]               # [L, C]
+    row_mixed = (hp["cb_start_s"] == 3)[..., None]
+
+    def _section_perm(seg, base_band):
+        base = int(sfb_s_np[base_band])
+        parts = []
+        for cb in range(base_band, 13):
+            s0 = 3 * (int(sfb_s_np[cb]) - base)
+            n = int(sfb_s_np[cb + 1] - sfb_s_np[cb])
+            piece = seg[..., s0:s0 + 3 * n]
+            parts.append(piece.reshape(*piece.shape[:-1], 3, n)
+                         .swapaxes(-1, -2).reshape(*piece.shape[:-1], 3 * n))
+        out = jnp.concatenate(parts, axis=-1)
+        if out.shape[-1] < seg.shape[-1]:   # mixed section is 576-3*sfb_s[3]
+            out = jnp.concatenate([out, seg[..., out.shape[-1]:]], axis=-1)
+        return out
+
+    seg = dq
+    for k in range(10):                  # short_base < 576 fits 10 bits
+        hit = (((sb >> k) & 1) == 1)[..., None]
+        seg = jnp.where(hit, jnp.roll(seg, -(1 << k), axis=-1), seg)
+    sec = jnp.where(row_mixed, _section_perm(seg, 3), _section_perm(seg, 0))
+    for k in range(10):
+        hit = (((sb >> k) & 1) == 1)[..., None]
+        sec = jnp.where(hit, jnp.roll(sec, (1 << k), axis=-1), sec)
+
+    idx576 = jnp.arange(MAX_NSAMP, dtype=jnp.int32)[None, None, :]
+    short_mask = ((idx576 >= sb[..., None])
+                  & (idx576 < hp["out_nzb_short"][..., None])
+                  & has_short[..., None])
+    x = jnp.where(short_mask, sec, dq)
     new_nzb = jnp.where(has_short, hp["out_nzb_short"], nzb)
 
     if nch == 1:

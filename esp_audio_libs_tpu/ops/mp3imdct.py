@@ -23,6 +23,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..runtime.tables import mp3_tables
 from .mp3dsp import mulshift32, _clz32, _fastabs
@@ -127,10 +128,21 @@ def _win_previous(xprev, bt_prev, T):
     Computes both the short (btPrev==2) and long layouts, selected per lane.
     """
     win = T["imdctWin"]  # [4, 36] int32
-    winf = win.reshape(-1)
-    # long layout: wpLo = imdctWin[bt]+18, wpHi = wpLo+17 (descending)
-    wlo = jnp.take(winf, bt_prev[..., None] * 36 + 18 + jnp.arange(9))
-    whi = jnp.take(winf, bt_prev[..., None] * 36 + 35 - jnp.arange(9))
+    # long layout: wpLo = imdctWin[bt]+18, wpHi = wpLo+17 (descending).
+    # bt_prev has 4 possible values: select static rows instead of a device
+    # gather (per-lane minor-axis gathers walk elements on TPU)
+    win_np = np.asarray(mp3_tables()["imdctWin"])
+    lo_rows = [jnp.asarray(win_np[bt, 18:27]) for bt in range(4)]
+    hi_rows = [jnp.asarray(win_np[bt, 35:26:-1].copy()) for bt in range(4)]
+    btb = bt_prev[..., None]
+
+    def _sel4(rows):
+        return jnp.where(btb == 0, rows[0],
+                         jnp.where(btb == 1, rows[1],
+                                   jnp.where(btb == 2, rows[2], rows[3])))
+
+    wlo = _sel4(lo_rows)
+    whi = _sel4(hi_rows)
     x = xprev
     lo = mulshift32(wlo, x)            # xPrevWin[0..8]
     hi = mulshift32(whi, x)            # xPrevWin[17..9] (descending)
@@ -195,7 +207,7 @@ def _imdct36(xcur, xprev, bt_curr, bt_prev, blk, gb, T):
     fast = (bt_prev == 0) & (bt_curr == 0)
     fast_win = T["fastWin36"]
     win_prev = _win_previous(xprev, bt_prev, T)
-    imdct_win = T["imdctWin"]
+    win_np = np.asarray(mp3_tables()["imdctWin"])
 
     y = [None] * 18
     new_prev = [None] * 9
@@ -212,10 +224,17 @@ def _imdct36(xcur, xprev, bt_curr, bt_prev, blk, gb, T):
         ylo_f = d_f + _i32(mulshift32(t, fast_win[2 * i]) << 2)
         yhi_f = s_f + _i32(mulshift32(t, fast_win[2 * i + 1]) << 2)
 
-        # slow path (:2252-2275)
+        # slow path (:2252-2275); bt_curr selects among 4 static window
+        # scalars — select chain, not a per-lane gather
         d_s = xe - xo
-        wlo = jnp.take(imdct_win.reshape(-1), bt_curr * 36 + i)
-        whi = jnp.take(imdct_win.reshape(-1), bt_curr * 36 + 17 - i)
+        wlo = jnp.where(bt_curr == 0, int(win_np[0, i]),
+                        jnp.where(bt_curr == 1, int(win_np[1, i]),
+                                  jnp.where(bt_curr == 2, int(win_np[2, i]),
+                                            int(win_np[3, i])))).astype(jnp.int32)
+        whi = jnp.where(bt_curr == 0, int(win_np[0, 17 - i]),
+                        jnp.where(bt_curr == 1, int(win_np[1, 17 - i]),
+                                  jnp.where(bt_curr == 2, int(win_np[2, 17 - i]),
+                                            int(win_np[3, 17 - i])))).astype(jnp.int32)
         ylo_s = _i32((win_prev[..., i] + mulshift32(d_s, wlo)) << 2)
         yhi_s = _i32((win_prev[..., 17 - i] + mulshift32(d_s, whi)) << 2)
 

@@ -121,9 +121,12 @@ def test_dequant_stage(oracle, case, seed):
 
     # --- ours ---
     hp_np = granule_params(params, sf, frame, sfjs, nzb)
-    hp = {k: jnp.asarray(np.asarray(v)[None, ...]) for k, v in hp_np.items()}
+    hp = {k: (v if k.startswith("_")   # "_"-keys are static trace constants
+              else jnp.asarray(np.asarray(v)[None, ...]))
+          for k, v in hp_np.items()}
     res = mp3dsp.dequantize_granule(
-        jnp.asarray(huff[None]), jnp.asarray(nzb[None]), hp, nch=nch)
+        jnp.asarray(huff[None]), jnp.asarray(nzb[None]), hp, nch=nch,
+        sfb_s=tuple(int(v) for v in np.asarray(hp_np["sfb_s"])))
 
     got_x = np.asarray(res["x"])[0]
     got_nzb = np.asarray(res["nzb"])[0].reshape(-1)
