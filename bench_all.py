@@ -271,22 +271,33 @@ def bench_mp3(B=256, n_frames=8):
     scan_fn = mp3_pipeline._granules_scan_for(0, 0, nch, cutoff)
     jax.block_until_ready((huff_gs, side_gs))
 
-    def dev_call():
-        return scan_fn(huff_gs, side_gs, state[0], state[1], state[2],
-                       state[3], state[4], jnp.int32(0))
-    jax.block_until_ready(dev_call()[0])
-    jax.block_until_ready(dev_call()[0])   # second warm call settles retraces
-    t0 = time.perf_counter()
-    reps = 20
-    for _ in range(reps):
-        out = dev_call()
-    jax.block_until_ready(out[0])
-    dev_dt = (time.perf_counter() - t0) / reps
-    dev_samples = B * G * 576 * nch
+    # Time-vs-G slope with a per-rep D2H completion barrier: on this box
+    # block_until_ready is NOT a trustworthy completion signal (PROFILES.md
+    # measurement notes: the same program read 0.16 ms for G=32 and G=512
+    # alike in one process state), but a D2H of real output bytes cannot
+    # return early; the per-rep fetch latency is a fixed cost the slope
+    # cancels.  Method: tools/mp3_device_leg.py.
+    def time_at(glen, reps=6):
+        h = jnp.asarray(np.ascontiguousarray(
+            np.broadcast_to(np.asarray(huff_gs)[:1], (glen,) + huff_gs.shape[1:])))
+        s = jnp.asarray(np.ascontiguousarray(
+            np.broadcast_to(side[:1], (glen,) + side.shape[1:])))
+        st = state
+        out = scan_fn(h, s, *st, jnp.int32(0))
+        _ = np.asarray(out[2])   # warm + barrier
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            pcm, st, ru = scan_fn(h, s, *st, jnp.int32(0))
+            _ = np.asarray(ru)
+        return (time.perf_counter() - t0) / reps
+
+    g_lo, g_hi = 48, 144
+    slope = (time_at(g_hi) - time_at(g_lo)) / (g_hi - g_lo)   # s/granule
+    dev_rate = B * 576 * nch / slope
     print(json.dumps({"metric": "mp3_decode_device_only",
-                      "value": round(dev_samples / dev_dt / 1e6, 2),
-                      "unit": "Msamples/s/chip (device leg)",
-                      "realtime_streams": int(dev_samples / dev_dt / (RT * 2))}))
+                      "value": round(dev_rate / 1e6, 2),
+                      "unit": "Msamples/s/chip (device leg, G-slope method)",
+                      "realtime_streams": int(dev_rate / (RT * 2))}))
 
 
 def bench_flac_resample_composed(B=256, n_frames=16, block=4096):
@@ -326,6 +337,95 @@ def bench_flac_resample_composed(B=256, n_frames=16, block=4096):
     report("flac_decode_resample_composed", samples / dt)
 
 
+def bench_host_reference(n_reps=3):
+    """Decode the SAME corpora with the reference C library compiled on THIS
+    host (single core) — so matching-or-beating is measured where the
+    machines actually are, not against the ESP32 numbers in BASELINE.md.
+    Skips silently when /root/reference isn't mounted (CI)."""
+    from pathlib import Path as _P
+    import ctypes as C
+
+    if not (_P(_os.environ.get("REF", "/root/reference")) / "src").is_dir():
+        return
+    sys.path.insert(0, str(_P(__file__).resolve().parent))
+    from tests.oracle import load
+    lib = load().lib
+
+    # ---- FLAC: same fitted-LPC stream as bench_flac_e2e ----
+    from flacgen import SubframePlan, make_flac
+    blob, _ = make_flac(rng_seed=1, depth=16, channels=2, block_size=4096,
+                        n_frames=16,
+                        plans=[[SubframePlan("lpc", order=8, fit=True)] * 2] * 16)
+    buf = np.frombuffer(blob, np.uint8)
+    u8p = C.POINTER(C.c_uint8)
+
+    def flac_once():
+        d = lib.ref_flac_create()
+        try:
+            rc = lib.ref_flac_read_header(d, buf.ctypes.data_as(u8p), buf.size)
+            assert rc == 0
+            pos = lib.ref_flac_bytes_index(d)
+            out = np.zeros(lib.ref_flac_output_buffer_size_bytes(d) + 64, np.uint8)
+            ns_total = 0
+            while pos < buf.size:
+                ns = C.c_uint32(0)
+                chunk = buf[pos:]
+                rc = lib.ref_flac_decode_frame(
+                    d, chunk.ctypes.data_as(u8p), chunk.size,
+                    out.ctypes.data_as(u8p), C.byref(ns))
+                if rc != 0:
+                    break
+                ns_total += ns.value
+                pos += lib.ref_flac_bytes_index(d)
+            return ns_total
+        finally:
+            lib.ref_flac_destroy(d)
+
+    ns = flac_once()   # warm page cache
+    t0 = time.perf_counter()
+    for _ in range(n_reps):
+        ns = flac_once()
+    flac_rate = ns * n_reps / (time.perf_counter() - t0)
+    print(json.dumps({"metric": "flac_decode_host_reference",
+                      "value": round(flac_rate / 1e6, 2),
+                      "unit": "Msamples/s (reference C, 1 host core)",
+                      "realtime_streams": int(flac_rate / (RT * 2))}))
+
+    # ---- MP3: same silence-frame stream as bench_mp3 ----
+    from esp_audio_libs_tpu.runtime.tables import mp3_tables
+    total = int(mp3_tables()["slotTab"][0][0][11])
+    frame = bytes([0xFF, 0xE0 | (3 << 3) | 2 | 1, 11 << 4, 0]) + bytes(total - 4)
+    mbuf = np.frombuffer(frame * 28, np.uint8)
+
+    def mp3_once():
+        h = lib.ref_mp3_init()
+        try:
+            pcm = np.zeros(1152 * 2, np.int16)
+            consumed = C.c_int(0)
+            pos, n = 0, 0
+            while pos + total <= mbuf.size:
+                err = lib.ref_mp3_decode(
+                    h, mbuf[pos:].ctypes.data_as(u8p), mbuf.size - pos,
+                    pcm.ctypes.data_as(C.POINTER(C.c_int16)), 0, C.byref(consumed))
+                if err != 0:
+                    break
+                n += 1152 * 2
+                pos += consumed.value
+            return n
+        finally:
+            lib.ref_mp3_free(h)
+
+    n = mp3_once()
+    t0 = time.perf_counter()
+    for _ in range(n_reps * 3):
+        n = mp3_once()
+    mp3_rate = n * n_reps * 3 / (time.perf_counter() - t0)
+    print(json.dumps({"metric": "mp3_decode_host_reference",
+                      "value": round(mp3_rate / 1e6, 2),
+                      "unit": "Msamples/s (reference C, 1 host core)",
+                      "realtime_streams": int(mp3_rate / (RT * 2))}))
+
+
 def main():
     bench_resample()
     bench_wav_quant()
@@ -333,6 +433,7 @@ def main():
     bench_flac_e2e()
     bench_flac_resample_composed()
     bench_mp3()
+    bench_host_reference()
 
 
 if __name__ == "__main__":

@@ -307,37 +307,59 @@ def dequantize_granule(huff, nzb, hp, *, nch, sfb_s):
     i0_1 = 3 * jnp.take_along_axis(sfb_s, jnp.clip(cb_end_smax[:, 1] + 1, 0, 13)[:, None], axis=-1)
     trip_lim = i0_1 + 3 * ((nsamps_in[:, None] - i0_1) // 3)
     in_short_1 = in_short_1 & (idx[None, :] < trip_lim) & (idx[None, :] >= i0_1)
-    # MPEG2: per-window bounds, no sample limit (:1389-1419)
+    # MPEG2: per-window bounds, no sample limit (:1389-1419).  ow has 3
+    # values: per-window bound selection is a 3-way select, not a
+    # per-sample gather (minor-axis gathers walk elements on TPU)
     s_lo_2 = (cb_end_s[:, 1, :] + 1)   # [L, 3]
     s_hi_2 = (cb_end_s[:, 0, :] + 1)
-    lo_w = jnp.take_along_axis(s_lo_2, jnp.clip(ow, 0, 2), axis=-1)
-    hi_w = jnp.take_along_axis(s_hi_2, jnp.clip(ow, 0, 2), axis=-1)
+
+    def _sel3(tab, w):
+        return jnp.where(w == 0, tab[:, 0:1],
+                         jnp.where(w == 1, tab[:, 1:2], tab[:, 2:3]))
+
+    lo_w = _sel3(s_lo_2, ow)
+    hi_w = _sel3(s_hi_2, ow)
     in_short_2 = (ob_s >= lo_w) & (ob_s < hi_w) & (ob_s >= 0)
     in_short = jnp.where(ver_is_m1[:, None], in_short_1, in_short_2)
 
     region = jnp.where(use_long, in_long, in_short)
     int_active = (intensity_flag == 1)[:, None] & region
 
-    # factors fl/fr per sample (structure-dependent scalefactor / il)
+    # factors fl/fr per sample (structure-dependent scalefactor / il).
+    # The intensity tables are tiny and the row choice is binary
+    # (midside/intensity_scale flags), so every per-sample lookup runs as a
+    # constant select tree over the flattened static table — never a
+    # per-sample gather.
     sf_r = jnp.where(use_long, sf_r_l, sf_r_s)
     il = jnp.where(use_long, il_l, il_s)
-    isf_tab_m1 = T["ISFMpeg1"][jnp.clip(midside_flag, 0, 1)]  # [L, 7]
-    iip = T["ISFIIP"][jnp.clip(midside_flag, 0, 1)]           # [L, 2]
+    Tnp = mp3_tables()
+    isf_m1_np = np.asarray(Tnp["ISFMpeg1"])           # [2, 7]
+    iip_np = np.asarray(Tnp["ISFIIP"])                # [2, 2]
+    ms1 = (jnp.clip(midside_flag, 0, 1) == 1)[:, None]
+    iip0 = jnp.where(ms1, int(iip_np[1, 0]), int(iip_np[0, 0]))
+    iip1 = jnp.where(ms1, int(iip_np[1, 1]), int(iip_np[0, 1]))
     sf_c = jnp.clip(sf_r, 0, 6)
-    fl_m1 = jnp.take_along_axis(isf_tab_m1, sf_c, axis=-1)
-    fr_m1 = isf_tab_m1[:, 6:7] - fl_m1
+    fl_m1 = jnp.where(ms1, const_lookup(sf_c, isf_m1_np[1]),
+                      const_lookup(sf_c, isf_m1_np[0])).astype(jnp.int32)
+    isf6 = jnp.where(ms1, int(isf_m1_np[1, 6]), int(isf_m1_np[0, 6]))
+    fr_m1 = isf6 - fl_m1
     is_iip_m1 = sf_r == 7
-    fl_1 = jnp.where(is_iip_m1, iip[:, 0:1], fl_m1)
-    fr_1 = jnp.where(is_iip_m1, iip[:, 1:2], fr_m1)
+    fl_1 = jnp.where(is_iip_m1, iip0, fl_m1)
+    fr_1 = jnp.where(is_iip_m1, iip1, fr_m1)
 
-    isf_tab_m2 = T["ISFMpeg2"][jnp.clip(hp["intensity_scale"], 0, 1), jnp.clip(midside_flag, 0, 1)]  # [L, 16]
+    # MPEG2: one 64-entry tree over (intensity_scale, midside, isf2)
+    isf_m2_flat = np.asarray(Tnp["ISFMpeg2"]).reshape(4, 16).ravel()   # [64]
+    m2_row = ((jnp.clip(hp["intensity_scale"], 0, 1) << 1)
+              | jnp.clip(midside_flag, 0, 1))[:, None] << 4            # [L,1]
     isf2 = (sf_r + 1) >> 1
     odd = (sf_r & 1) == 1
-    fl_m2 = jnp.take_along_axis(isf_tab_m2, jnp.where(odd, jnp.clip(isf2, 0, 15), 0), axis=-1)
-    fr_m2 = jnp.take_along_axis(isf_tab_m2, jnp.where(odd, 0, jnp.clip(isf2, 0, 15)), axis=-1)
+    fl_m2 = const_lookup(m2_row | jnp.where(odd, jnp.clip(isf2, 0, 15), 0),
+                         isf_m2_flat).astype(jnp.int32)
+    fr_m2 = const_lookup(m2_row | jnp.where(odd, 0, jnp.clip(isf2, 0, 15)),
+                         isf_m2_flat).astype(jnp.int32)
     is_iip_m2 = sf_r == il
-    fl_2 = jnp.where(is_iip_m2, iip[:, 0:1], fl_m2)
-    fr_2 = jnp.where(is_iip_m2, iip[:, 1:2], fr_m2)
+    fl_2 = jnp.where(is_iip_m2, iip0, fl_m2)
+    fr_2 = jnp.where(is_iip_m2, iip1, fr_m2)
 
     fl = jnp.where(ver_is_m1[:, None], fl_1, fl_2)
     fr = jnp.where(ver_is_m1[:, None], fr_1, fr_2)
