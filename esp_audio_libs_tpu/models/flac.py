@@ -35,9 +35,8 @@ __all__ = ["FLACDecoder"]
 _i32p = C.POINTER(C.c_int32)
 
 
-@functools.partial(jax.jit, static_argnames=("depth", "nch", "mode32", "use64"))
-def _frame_kernel(data, coeffs, order, shift, wasted, chan_assign, *, depth, nch, mode32,
-                  use64=True):
+def _frame_kernel_body(data, coeffs, order, shift, wasted, chan_assign, *, depth, nch,
+                       mode32, use64=True):
     """Device back-end for a batch of frames.
 
     data: int ``[..., C, T]`` (warm-ups + residuals; may arrive int16 when
@@ -67,6 +66,31 @@ def _frame_kernel(data, coeffs, order, shift, wasted, chan_assign, *, depth, nch
     parts = [((samples >> (8 * k)) & 0xFF).astype(jnp.uint8) for k in range(nbytes)]
     stacked = jnp.stack(parts, axis=-1)
     return stacked.reshape(*stacked.shape[:-2], -1)
+
+
+_frame_kernel = functools.partial(jax.jit, static_argnames=(
+    "depth", "nch", "mode32", "use64"))(_frame_kernel_body)
+
+
+@functools.partial(jax.jit, static_argnames=("depth", "nch", "mode32", "use64"))
+def _frame_kernel_esc(data8, esc_pos, esc_val, coeffs, order, shift, wasted,
+                      chan_assign, *, depth, nch, mode32, use64=True):
+    """Sideband variant of the frame kernel: residual words ship as int8
+    plus a sparse escape sideband (flat position, int32 value) for the rare
+    words that don't fit — well-predicted real audio has escape densities of
+    ~0.1-0.2% (mostly warm-up samples), so this halves the dominant
+    transport tensor vs the int16 tier.  Padding entries carry an
+    out-of-range position and are dropped by the scatter.
+    """
+    wide = data8.astype(jnp.int32).reshape(-1)
+    fixed = wide.at[esc_pos].set(esc_val, mode="drop").reshape(data8.shape)
+    return _frame_kernel_body(fixed, coeffs, order, shift, wasted, chan_assign,
+                              depth=depth, nch=nch, mode32=mode32, use64=use64)
+
+
+# escape-density ceiling for choosing the int8+sideband transport tier
+# (beyond this the sideband stops paying for itself); tests force it to 1.0
+ESC_MAX_DENSITY = 1.0 / 64.0
 
 
 def _require_x64(what: str) -> None:
@@ -210,12 +234,36 @@ def _run_frame_bucket(g, rows, frs, bkey, mesh=None):
     ((nch, mbs), bs, depth, wide, acc64, m32) = bkey
     src = (g.data8, g.data16, g.data32)[wide]
     data = src[rows] if bs == mbs else src[rows][:, :, :bs]
-    if mesh is not None and len(rows) % mesh.size == 0:
+    sharded = mesh is not None and len(rows) % mesh.size == 0
+    if sharded:
         from ..parallel.mesh import shard_streams as _shard
 
         put = lambda x: _shard(np.ascontiguousarray(x), mesh)
     else:
         put = jnp.asarray
+
+    # int8 + escape-sideband transport tier: int16 frames whose words are
+    # int8-sized except for rare escapes ship at half width plus a sparse
+    # fixup (see _frame_kernel_esc).  Skipped under a mesh: the escape
+    # positions index the whole bucket tensor and a cross-shard scatter
+    # would insert collectives into an otherwise collective-free kernel.
+    if wide == 1 and not sharded:
+        esc_mask = np.abs(data.astype(np.int32)) > 127
+        n_esc = int(esc_mask.sum())
+        if n_esc <= ESC_MAX_DENSITY * data.size:
+            cap = max(16, 1 << int(n_esc - 1).bit_length()) if n_esc else 16
+            pos = np.full(cap, data.size, np.int32)       # OOB -> dropped
+            val = np.zeros(cap, np.int32)
+            flat = np.flatnonzero(esc_mask)
+            pos[: n_esc] = flat
+            val[: n_esc] = data.reshape(-1)[flat]
+            return _frame_kernel_esc(
+                jnp.asarray(data.astype(np.int8)), jnp.asarray(pos),
+                jnp.asarray(val), jnp.asarray(g.coeffs[frs]),
+                jnp.asarray(g.order[frs]), jnp.asarray(g.shift[frs]),
+                jnp.asarray(g.wasted[frs]), jnp.asarray(g.ca[frs]),
+                depth=depth, nch=nch, mode32=m32, use64=acc64)
+
     return _frame_kernel(
         put(data), put(g.coeffs[frs]),
         put(g.order[frs]), put(g.shift[frs]),

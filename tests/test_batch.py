@@ -224,3 +224,36 @@ def test_mp3_pipelined_runs_match_sequential():
                 else:
                     np.testing.assert_array_equal(np.asarray(gp), np.asarray(ep),
                                                   err_msg=f"run {run} stream {s} frame {f}")
+
+
+def test_flac_int8_escape_sideband_bitexact(monkeypatch):
+    """The int8+escape-sideband transport tier (models/flac._frame_kernel_esc)
+    must be byte-identical to the int16 tier it replaces: force it on for
+    every int16 bucket and off, and compare whole-stream decodes (fitted-LPC
+    corpus = the realistic escape statistics, plus a verbatim-heavy one so
+    dense-escape buckets exercise the density cutoff)."""
+    from flacgen import SubframePlan, make_flac
+    from esp_audio_libs_tpu.models import flac as flac_model
+
+    cfgs = [
+        dict(rng_seed=91, depth=16, channels=2, block_size=2048, n_frames=3,
+             plans=[[SubframePlan("lpc", order=8, fit=True),
+                     SubframePlan("lpc", order=12, fit=True)]] * 3),
+        dict(rng_seed=92, depth=16, channels=1, block_size=1024, n_frames=2,
+             plans=[[SubframePlan("fixed", order=2)], [SubframePlan("lpc", order=4)]]),
+    ]
+    blobs = [make_flac(**c)[0] for c in cfgs]
+
+    def run():
+        bat = BatchedFLACDecoder(len(blobs))
+        bat.read_headers(blobs)
+        return bat.decode_streams(
+            [b[d.get_bytes_index():] for b, d in zip(blobs, bat.decoders)])
+
+    monkeypatch.setattr(flac_model, "ESC_MAX_DENSITY", 0.0)   # tier disabled
+    want = run()
+    monkeypatch.setattr(flac_model, "ESC_MAX_DENSITY", 1.0)   # tier forced
+    got = run()
+    for s in range(len(blobs)):
+        assert got[s][0] == want[s][0], f"stream {s}: sideband tier changed PCM"
+        assert got[s][1]["md5_ok"] and want[s][1]["md5_ok"]
