@@ -34,6 +34,6 @@ if [ ! -f "$OUT_DIR/mp3_huff.h" ] || [ "$DIR/../tools/gen_huffman_tables.py" -nt
   fi
 fi
 
-g++ -O2 -fPIC -shared -std=c++17 -ffp-contract=off -Wall \
+g++ -O2 -fPIC -shared -std=c++17 -ffp-contract=off -Wall -pthread \
   "$DIR"/src/*.cpp -o "$OUT"
 echo "built $OUT"

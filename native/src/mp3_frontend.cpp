@@ -27,6 +27,8 @@
 #include <cstdlib>
 #include <cstring>
 #include <cstdio>
+#include <thread>
+#include <vector>
 
 #include "../../build/mp3_tables.h"
 #include "../../build/mp3_huff.h"
@@ -842,14 +844,46 @@ int eal_mp3_parse_frame_batch(int B, void **ctxs, const uint8_t **bufs, const in
   const size_t NH = (size_t) MAX_NGRAN * MAX_NCHAN * MAX_NSAMP;
   const size_t NP = (size_t) MAX_NGRAN * MAX_NCHAN * 24;
   const size_t NS = (size_t) MAX_NGRAN * MAX_NCHAN * 62;
-  for (int b = 0; b < B; b++) {
-    if (!ctxs[b]) {
-      rc[b] = INT32_MIN;
-      continue;
+  auto run_range = [&](int b0, int b1) {
+    for (int b = b0; b < b1; b++) {
+      if (!ctxs[b]) {
+        rc[b] = INT32_MIN;
+        continue;
+      }
+      rc[b] = eal_mp3_parse_frame(ctxs[b], bufs[b], lens[b], useSize, huff + (size_t) b * NH,
+                                  params + (size_t) b * NP, sf + (size_t) b * NS, frame + (size_t) b * 16,
+                                  sfjs + (size_t) b * 8, consumed + b, clear_out + b, err_gr + b);
     }
-    rc[b] = eal_mp3_parse_frame(ctxs[b], bufs[b], lens[b], useSize, huff + (size_t) b * NH,
-                                params + (size_t) b * NP, sf + (size_t) b * NS, frame + (size_t) b * 16,
-                                sfjs + (size_t) b * 8, consumed + b, clear_out + b, err_gr + b);
+  };
+  // Streams are independent (one context + disjoint output rows each), so
+  // the serial per-stream entropy decode parallelizes across host cores —
+  // SURVEY.md §7 hard part (d): keep the host front-end from starving the
+  // device at serving fleet sizes.  Threading only pays above a minimum
+  // fleet; the caller already holds no Python state (the ctypes call
+  // releases the GIL).
+  // EAL_PARSE_THREADS overrides the core-count heuristic (0/unset = auto);
+  // lets tests exercise the pool on single-core boxes and deployments pin
+  // the parse fleet's footprint next to the transport threads.
+  int forced = 0;
+  if (const char *env = std::getenv("EAL_PARSE_THREADS")) forced = atoi(env);
+  unsigned hw = std::thread::hardware_concurrency();
+  int n_threads = forced > 0 ? forced : (int) (hw ? hw : 1);
+  bool engage = forced > 0 ? (n_threads > 1 && B >= 2)
+                           : (n_threads > 1 && B >= 2 * n_threads && B >= 64);
+  if (engage) {
+    if (forced <= 0 && n_threads > B / 32) n_threads = B / 32;   // >=32 streams per thread when auto-sized
+    if (n_threads > B) n_threads = B;
+    std::vector<std::thread> pool;
+    pool.reserve((size_t) n_threads);
+    int per = (B + n_threads - 1) / n_threads;
+    for (int t = 0; t < n_threads; t++) {
+      int b0 = t * per, b1 = b0 + per < B ? b0 + per : B;
+      if (b0 >= b1) break;
+      pool.emplace_back(run_range, b0, b1);
+    }
+    for (auto &th : pool) th.join();
+  } else {
+    run_range(0, B);
   }
   return 0;
 }

@@ -257,3 +257,24 @@ def test_flac_int8_escape_sideband_bitexact(monkeypatch):
     for s in range(len(blobs)):
         assert got[s][0] == want[s][0], f"stream {s}: sideband tier changed PCM"
         assert got[s][1]["md5_ok"] and want[s][1]["md5_ok"]
+
+
+def test_mp3_parallel_batch_parse_deterministic(monkeypatch):
+    """The native batch parse's thread pool (streams are independent
+    contexts with disjoint output rows) must produce results identical to
+    per-stream parsing regardless of thread scheduling.  EAL_PARSE_THREADS
+    forces the pool on even on single-core CI boxes."""
+    monkeypatch.setenv("EAL_PARSE_THREADS", "4")
+    cfg = MP3_CFGS[1]
+    streams = [_mp3_stream(cfg, seed=500 + i, n_frames=1)[0] for i in range(128)]
+    bat = BatchedMP3Decoder(128)
+    views = [np.frombuffer(s, np.uint8) for s in streams]
+    pa = bat._parse_batch(views)
+    monkeypatch.delenv("EAL_PARSE_THREADS")
+
+    single = BatchedMP3Decoder(1)
+    for i in (0, 1, 63, 64, 127):   # spot-check across thread ranges
+        ps = single._parse_batch([views[i]])
+        np.testing.assert_array_equal(pa["huff"][i], ps["huff"][0], err_msg=f"s{i}")
+        np.testing.assert_array_equal(pa["frame"][i], ps["frame"][0])
+        assert pa["rc"][i] == ps["rc"][0] and pa["consumed"][i] == ps["consumed"][0]
