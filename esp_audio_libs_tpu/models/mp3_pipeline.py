@@ -34,6 +34,42 @@ def _pack_huff16(huff_np: np.ndarray) -> np.ndarray:
     return (((h & 0x7FFF) | ((h >> 16) & 0x8000)).astype(np.uint16)).view(np.int16)
 
 
+# escape-density ceiling for the int8+sideband spectral transport tier
+# (same rationale as models/flac.py ESC_MAX_DENSITY: each escape costs
+# 6 sideband bytes vs the 1 byte/word the narrower plane saves, so the
+# break-even is 1/6; 1/64 keeps the tier safely profitable).  Typical
+# audio rarely quantizes spectral magnitudes past 127 — linbits escapes
+# (ISO/IEC 11172-3 Table B.7) are sparse — so real content engages it.
+ESC_MAX_DENSITY = 1.0 / 64.0
+
+
+def _pack_huff8(huff16: np.ndarray):
+    """Try to narrow an int16-packed spectral plane (see ``_pack_huff16``)
+    to int8 + a sparse escape sideband.
+
+    Sign moves from bit 15 to bit 7; magnitudes > 127 ship as (flat
+    position, packed-int16 value) pairs scattered back on device
+    (``_granules_scan_esc_for``).  Returns ``(plane8, esc_pos, esc_val)``
+    or ``None`` when the escape density makes the tier unprofitable.
+    Lossless by construction either way.
+    """
+    u = huff16.view(np.uint16)
+    mag = u & 0x7FFF
+    esc = mag > 127
+    n_esc = int(np.count_nonzero(esc))
+    if n_esc > ESC_MAX_DENSITY * huff16.size:
+        return None
+    plane8 = ((mag & 0x7F) | ((u >> 8) & 0x80)).astype(np.uint8).view(np.int8)
+    # pad the sideband to a pow2 cap so escape-count jitter doesn't recompile
+    cap = max(16, 1 << int(n_esc - 1).bit_length()) if n_esc else 16
+    pos = np.full(cap, huff16.size, np.int32)        # OOB -> dropped
+    val = np.zeros(cap, np.int16)
+    flat = np.flatnonzero(esc.reshape(-1))
+    pos[:n_esc] = flat
+    val[:n_esc] = huff16.reshape(-1)[flat]
+    return plane8, pos, val
+
+
 def _granule_body(huff_g, nzb_in, compact, maps, over, prev_type,
                   prev_win_switch, num_prev, vbuf, block_type, mixed,
                   vindex, ref_undef, *, nch, cutoff):
@@ -135,6 +171,35 @@ def _granules_scan_for(ver: int, sr_idx: int, nch: int, cutoff: int):
 
     _SCAN_JIT[key] = scan_fn
     return scan_fn
+
+
+_SCAN_ESC_JIT: dict = {}
+
+
+def _granules_scan_esc_for(ver: int, sr_idx: int, nch: int, cutoff: int):
+    """Sideband variant of :func:`_granules_scan_for`: the spectral plane
+    arrives int8 (sign in bit 7) plus a sparse escape sideband and re-widens
+    to the int16-packed form ON DEVICE before the same fused scan — the
+    widen + scatter fuse into the one run dispatch, so only the transport
+    narrows (the dominant upload halves again vs the int16 tier)."""
+    key = (ver, sr_idx, nch, cutoff)
+    fn = _SCAN_ESC_JIT.get(key)
+    if fn is not None:
+        return fn
+    scan_fn = _granules_scan_for(ver, sr_idx, nch, cutoff)
+
+    @jax.jit
+    def esc_fn(huff8_gs, esc_pos, esc_val, side_gs, over, prev_type,
+               prev_win_switch, num_prev, vbuf, vindex0):
+        v8 = huff8_gs.astype(jnp.int16)          # sign-extends bit 7
+        mag = v8 & 0x7F
+        h16 = jnp.where(v8 < 0, mag | jnp.int16(-(2 ** 15)), mag)
+        h16 = h16.reshape(-1).at[esc_pos].set(esc_val, mode="drop")
+        return scan_fn(h16.reshape(huff8_gs.shape), side_gs, over, prev_type,
+                       prev_win_switch, num_prev, vbuf, vindex0)
+
+    _SCAN_ESC_JIT[key] = esc_fn
+    return esc_fn
 
 
 def decode_granules(huff, params, sf, frame, sfjs, state, n_granules=None):
@@ -279,16 +344,30 @@ def decode_granules_run(huff_g, params_g, sf_g, frame_g, sfjs_g, dev_state,
         side_gs[g, :, 2 * nch:3 * nch] = params_g[:, g, :nch, 6]
         side_gs[g, :, 3 * nch:] = blob
     if mesh is not None:
+        # Escape positions index the whole stacked plane, so the sideband
+        # scatter would cross shards under a mesh (same reasoning as the
+        # FLAC tier, models/flac.py:245) — ship int16 there.
         from ..parallel.mesh import shard_streams_axis
 
         huff_dev = shard_streams_axis(huff_gs, 1, mesh)
         side_dev = shard_streams_axis(side_gs, 1, mesh)
+        narrowed = None
     else:
-        huff_dev, side_dev = jnp.asarray(huff_gs), jnp.asarray(side_gs)
-    pcm_gs, new_state, ref_undef = _granules_scan_for(ver, sr_idx, nch, cutoff)(
-        huff_dev, side_dev,
-        over, prev_type, prev_win_switch, num_prev, vbuf,
-        jnp.int32(vindex))
+        narrowed = _pack_huff8(huff_gs)
+        huff_dev = jnp.asarray(narrowed[0] if narrowed else huff_gs)
+        side_dev = jnp.asarray(side_gs)
+    if narrowed is not None:
+        _, esc_pos, esc_val = narrowed
+        pcm_gs, new_state, ref_undef = _granules_scan_esc_for(
+            ver, sr_idx, nch, cutoff)(
+            huff_dev, jnp.asarray(esc_pos), jnp.asarray(esc_val), side_dev,
+            over, prev_type, prev_win_switch, num_prev, vbuf,
+            jnp.int32(vindex))
+    else:
+        pcm_gs, new_state, ref_undef = _granules_scan_for(ver, sr_idx, nch, cutoff)(
+            huff_dev, side_dev,
+            over, prev_type, prev_win_switch, num_prev, vbuf,
+            jnp.int32(vindex))
     # [G, B, 576*nch] -> [B, G*576*nch]
     pcm_all = jnp.swapaxes(pcm_gs, 0, 1).reshape(B, -1).astype(jnp.int16)
     return pcm_all, new_state, ref_undef

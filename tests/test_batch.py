@@ -259,6 +259,39 @@ def test_flac_int8_escape_sideband_bitexact(monkeypatch):
         assert got[s][1]["md5_ok"] and want[s][1]["md5_ok"]
 
 
+def test_mp3_int8_escape_sideband_bitexact(monkeypatch):
+    """The MP3 int8+escape-sideband spectral transport tier
+    (mp3_pipeline._granules_scan_esc_for) must be bit-identical to the
+    int16 tier it narrows: run the same fleet with the tier forced off and
+    forced on and compare every frame's PCM.  Random-body fuzz streams have
+    dense linbits escapes, so forcing density to 1.0 exercises heavy
+    sideband traffic (the worst case for the scatter)."""
+    from esp_audio_libs_tpu.models import mp3_pipeline
+
+    cfgs = [MP3_CFGS[1]] * 6
+    streams = [_mp3_stream(c, seed=700 + i, n_frames=4)[0] for i, c in enumerate(cfgs)]
+
+    def run():
+        bat = BatchedMP3Decoder(len(streams))
+        return bat.decode_run([np.frombuffer(s, np.uint8) for s in streams], 4)
+
+    monkeypatch.setattr(mp3_pipeline, "ESC_MAX_DENSITY", 0.0)   # tier disabled
+    want = run()
+    monkeypatch.setattr(mp3_pipeline, "ESC_MAX_DENSITY", 1.0)   # tier forced
+    got = run()
+    n_frames = 0
+    for s in range(len(streams)):
+        assert len(got[s]) == len(want[s])
+        for f, (w, g) in enumerate(zip(want[s], got[s])):
+            assert g[0] == w[0] and g[2] == w[2], f"s{s} f{f} err/consumed"
+            if w[1] is None:
+                assert g[1] is None
+            else:
+                np.testing.assert_array_equal(g[1], w[1], err_msg=f"s{s} f{f}")
+            n_frames += 1
+    assert n_frames > 0
+
+
 def test_mp3_parallel_batch_parse_deterministic(monkeypatch):
     """The native batch parse's thread pool (streams are independent
     contexts with disjoint output rows) must produce results identical to
