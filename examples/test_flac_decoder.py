@@ -82,6 +82,111 @@ def generate_corpus(root: Path):
              plans=[[SubframePlan("lpc", order=8, fit=True),
                      SubframePlan("lpc", order=12, fit=True)]] * 4),
     ]
+    SP = SubframePlan
+    lpc2 = lambda **kw: [[SP("lpc", order=8, fit=True, **kw),
+                          SP("lpc", order=8, fit=True, **kw)]]
+    # --- blocksize series (ietf subset 01-10: 16..4608, incl. non-pow2) ---
+    for s, bs in enumerate([4608, 16, 192, 254, 512, 725, 1000, 1937, 2304]):
+        subset.append(dict(rng_seed=30 + s, depth=16, channels=2, block_size=bs,
+                           n_frames=2, plans=lpc2() * 2 if bs >= 32 else
+                           [[SP("fixed", order=1), SP("fixed", order=2)]] * 2))
+    # --- rice partition orders 0..8 (ietf 11 + partition files) ---
+    for s, po in enumerate([0, 1, 3, 5, 8]):
+        subset.append(dict(rng_seed=40 + s, depth=16, channels=2, block_size=4096,
+                           n_frames=2, plans=lpc2(partition_order=po) * 2))
+    # --- qlp coefficient precision extremes (ietf 12-13) ---
+    subset.append(dict(rng_seed=45, depth=16, channels=2, block_size=4096, n_frames=2,
+                       plans=[[SP("lpc", order=8, precision=15, fit=True)] * 2] * 2))
+    subset.append(dict(rng_seed=46, depth=16, channels=2, block_size=4096, n_frames=2,
+                       plans=[[SP("lpc", order=2, precision=2, shift=1)] * 2] * 2))
+    # --- wasted bits (ietf 14) ---
+    subset.append(dict(rng_seed=47, depth=16, channels=2, block_size=4096, n_frames=2,
+                       plans=[[SP("lpc", order=6, wasted=1), SP("lpc", order=6, wasted=5)]] * 2))
+    # --- only-verbatim / only-constant streams (ietf 15-16) ---
+    subset.append(dict(rng_seed=48, depth=16, channels=2, block_size=1152, n_frames=3,
+                       plans=[[SP("verbatim"), SP("verbatim")]] * 3))
+    subset.append(dict(rng_seed=49, depth=16, channels=2, block_size=1152, n_frames=3,
+                       plans=[[SP("constant"), SP("constant")]] * 3))
+    # --- all fixed predictor orders 0-4 (ietf 17) ---
+    subset.append(dict(rng_seed=50, depth=16, channels=1, block_size=2304, n_frames=5,
+                       plans=[[SP("fixed", order=o)] for o in range(5)]))
+    # --- odd + explicit-coded sample rates (ietf 19-21) ---
+    subset.append(dict(rng_seed=51, depth=16, channels=2, block_size=4096, n_frames=2,
+                       sample_rate=35467, sr_code_override=13, plans=lpc2() * 2))
+    subset.append(dict(rng_seed=52, depth=16, channels=2, block_size=4096, n_frames=2,
+                       sample_rate=39000, sr_code_override=14, plans=lpc2() * 2))
+    subset.append(dict(rng_seed=53, depth=16, channels=2, block_size=2304, n_frames=2,
+                       sample_rate=22050, plans=lpc2() * 2))
+    subset.append(dict(rng_seed=54, depth=16, channels=1, block_size=1024, n_frames=2,
+                       sample_rate=96000, sr_code_override=12,
+                       plans=[[SP("lpc", order=4)]] * 2))
+    # --- bit depths 8/12/20/24/32 stereo (ietf 22-23 + uncommon depths) ---
+    for s, dep in enumerate([8, 12, 20, 24, 32]):
+        subset.append(dict(rng_seed=55 + s, depth=dep, channels=2, block_size=2048,
+                           n_frames=2, stereo_modes=["ms", "ls"], plans=lpc2() * 2))
+    # --- variable blocksize streams (ietf 24-25) ---
+    subset.append(dict(rng_seed=60, depth=16, channels=2,
+                       block_sizes=[4096, 1152, 576, 2048], n_frames=4,
+                       stereo_modes=["ms", None, "ls", "rs"], plans=lpc2() * 4))
+    subset.append(dict(rng_seed=61, depth=16, channels=1,
+                       block_sizes=[192, 725, 4096], n_frames=3,
+                       plans=[[SP("fixed", order=2)], [SP("lpc", order=8, fit=True)],
+                              [SP("lpc", order=12, fit=True)]]))
+    # --- channel counts 3-8 (ietf 26-31) ---
+    for s, nch in enumerate([3, 4, 5, 6, 7, 8]):
+        subset.append(dict(rng_seed=62 + s, depth=16, channels=nch, block_size=256,
+                           n_frames=2,
+                           plans=[[SP("lpc", order=4, fit=True) for _ in range(nch)],
+                                  [SP("fixed", order=2) for _ in range(nch)]]))
+    # --- stereo decorrelation, one mode per file (ietf 32-35) ---
+    for s, mode in enumerate(["rs", "ls", "ms", None]):
+        subset.append(dict(rng_seed=68 + s, depth=16, channels=2, block_size=4096,
+                           n_frames=2, stereo_modes=[mode] * 2, plans=lpc2() * 2))
+    # --- metadata variants (ietf 36-41); content is opaque to both decoders,
+    #     size-limit/skip handling is what's exercised ---
+    md_rng = np.random.default_rng(99)
+    big_padding = bytes(100 * 1024)
+    seektable = b"".join(  # 18-byte seekpoints
+        int(i).to_bytes(8, "big") + int(i * 1000).to_bytes(8, "big") + (4096).to_bytes(2, "big")
+        for i in range(32))
+    vorbis = (b"\x0b\x00\x00\x00flacgen 1.0\x02\x00\x00\x00"
+              b"\x0c\x00\x00\x00TITLE=corpus" b"\x10\x00\x00\x00ARTIST=synthetic")
+    picture = (b"\x00\x00\x00\x06" + b"\x00\x00\x00\x09image/png" + b"\x00" * 20 +
+               (8192).to_bytes(4, "big") + md_rng.integers(0, 256, 8192, dtype=np.uint8).tobytes())
+    application = b"eal!" + md_rng.integers(0, 256, 256, dtype=np.uint8).tobytes()
+    cuesheet = bytes(128) + (1).to_bytes(1, "big") + bytes(395)
+    for s, (mtype, mdata) in enumerate([(1, big_padding), (3, seektable), (4, vorbis),
+                                        (6, picture), (2, application), (5, cuesheet)]):
+        subset.append(dict(rng_seed=72 + s, depth=16, channels=2, block_size=4096,
+                           n_frames=2, metadata=[(mtype, mdata)], plans=lpc2() * 2))
+    # --- high sample rates at depth (ietf high-rate files) ---
+    subset.append(dict(rng_seed=80, depth=24, channels=2, block_size=4096, n_frames=2,
+                       sample_rate=96000, plans=lpc2() * 2))
+    subset.append(dict(rng_seed=81, depth=24, channels=2, block_size=4096, n_frames=2,
+                       sample_rate=192000, plans=lpc2() * 2))
+    subset.append(dict(rng_seed=82, depth=16, channels=2, block_size=4096, n_frames=2,
+                       sample_rate=384000, sr_code_override=0, plans=lpc2() * 2))
+    # --- filling combos: escapes, high orders, mixed kinds, short tail ---
+    subset.append(dict(rng_seed=83, depth=16, channels=2, block_size=4096, n_frames=2,
+                       plans=[[SP("lpc", order=8, escape=True), SP("lpc", order=8)]] * 2))
+    subset.append(dict(rng_seed=84, depth=16, channels=2, block_size=4096, n_frames=2,
+                       plans=[[SP("lpc", order=25, fit=True), SP("lpc", order=32, fit=True)]] * 2))
+    subset.append(dict(rng_seed=85, depth=16, channels=2, block_size=4096, n_frames=3,
+                       plans=[[SP("constant"), SP("lpc", order=8)],
+                              [SP("verbatim"), SP("fixed", order=3)],
+                              [SP("lpc", order=16, fit=True), SP("verbatim")]]))
+    subset.append(dict(rng_seed=86, depth=16, channels=2, block_size=4096, n_frames=3,
+                       last_block_size=137, plans=lpc2() * 3))
+    subset.append(dict(rng_seed=87, depth=16, channels=2, block_size=4096, n_frames=2,
+                       metadata=[(1, bytes(64)), (4, b"\x04\x00\x00\x00gen\x00\x00\x00\x00"),
+                                 (3, bytes(18 * 4))], plans=lpc2() * 2))
+    subset.append(dict(rng_seed=88, depth=12, channels=1, block_size=254, n_frames=3,
+                       uncommon_bs_code=True,
+                       plans=[[SP("lpc", order=6, fit=True)]] * 3))
+    subset.append(dict(rng_seed=89, depth=24, channels=2, block_size=4096, n_frames=2,
+                       plans=[[SP("lpc", order=12, fit=True, partition_order=6),
+                               SP("lpc", order=16, fit=True, partition_order=4)]] * 2))
+    assert len(subset) == 64, len(subset)
     uncommon = [
         dict(rng_seed=11, depth=32, channels=2, block_size=512, n_frames=2,
              plans=[[SubframePlan("lpc", order=4), SubframePlan("verbatim")]] * 2),
@@ -118,6 +223,16 @@ def generate_corpus(root: Path):
     for i, cfg in enumerate(uncommon):
         blob, _ = mk(**cfg)
         (root / "uncommon" / f"uncommon_{i:02d}.flac").write_bytes(blob)
+    # uncommon expect-fail classes (reference TESTING.md:93-96): mid-stream
+    # parameter changes and headerless streams are rejected (not supported
+    # by either decoder).  Header size with STREAMINFO only is 4+4+34=42.
+    ua, _ = mk(rng_seed=25, depth=16, channels=2, block_size=1024, n_frames=2,
+               plans=[[SubframePlan("lpc", order=4)] * 2] * 2)
+    ub, _ = mk(rng_seed=26, depth=16, channels=3, block_size=1024, n_frames=1,
+               plans=[[SubframePlan("lpc", order=4)] * 3])
+    (root / "uncommon" / "reject_midstream_channel_change.flac").write_bytes(
+        ua + ub[42:])
+    (root / "uncommon" / "reject_headerless.flac").write_bytes(ua[42:])
     # faulty: corrupted variants, mirroring the reference corpus's failure
     # classes (TESTING.md:98-104).  Reject-class files must fail in BOTH
     # decoders; "accept_" files carry errors both decoders tolerate
@@ -345,8 +460,9 @@ def main():
             cli_out.mkdir(parents=True, exist_ok=True)
         for f in sorted(d.glob("*.flac")):
             r = test_single_file(f, oracle_lib,
-                                 expect_fail=(cat == "faulty"
-                                              and not f.name.startswith("accept_")),
+                                 expect_fail=((cat == "faulty"
+                                               and not f.name.startswith("accept_"))
+                                              or f.name.startswith("reject_")),
                                  cli_out=cli_out, cli_pool=cli_pool)
             results.append(r)
         report["categories"][cat] = results

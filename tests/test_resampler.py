@@ -211,3 +211,40 @@ def test_resample_stream_matches_sequential(oracle):
         np.testing.assert_array_equal(out_np[i, :, :n], np.asarray(o))
         np.testing.assert_array_equal(clip_np[i], r.clipped_samples)
         pos += chunk
+
+
+@pytest.mark.parametrize("cfg", [CONFIGS[0], CONFIGS[2]])  # down w/ folded pre, up w/ post
+def test_fast_resample_stream_multichunk(oracle, cfg):
+    """The fast streaming path over N chunks in one scan equals N single-chunk
+    fast stream calls bit-exactly (global-array window offsets + carried
+    history), and tracks the exact stream within 1 LSB."""
+    rng = np.random.default_rng(7)
+    chunk, n_chunks = 300, 4
+    raw = rng.integers(0, 256, (3, chunk * n_chunks * cfg.channels * 2), dtype=np.uint8)
+
+    fast = Resampler(batch=3, exact=False)
+    fast.initialize(cfg)
+    packed, gens, clipped = fast.resample_stream(raw, chunk, n_chunks)
+    out_np, clip_np = np.asarray(packed), np.asarray(clipped)
+
+    seq = Resampler(batch=3, exact=False)
+    seq.initialize(cfg)
+    pos = 0
+    for i in range(n_chunks):
+        data = raw[:, pos * cfg.channels * 2:(pos + chunk) * cfg.channels * 2]
+        p1, g1, c1 = seq.resample_stream(data, chunk, 1)
+        assert g1[0] == gens[i]
+        np.testing.assert_array_equal(out_np[i], np.asarray(p1)[0])
+        np.testing.assert_array_equal(clip_np[i], np.asarray(c1)[0])
+        pos += chunk
+
+    ex = Resampler(batch=3, exact=True)
+    ex.initialize(cfg)
+    pe, ge, _ = ex.resample_stream(raw, chunk, n_chunks)
+    assert list(ge) == list(gens)
+    pe_np = np.asarray(pe)
+    for i in range(n_chunks):   # bytes beyond gen[i] are unspecified
+        n = gens[i] * cfg.channels * 2
+        a = out_np[i, :, :n].copy().view(np.int16).astype(np.int32)
+        b = pe_np[i, :, :n].copy().view(np.int16).astype(np.int32)
+        assert np.abs(a - b).max() <= 1

@@ -172,11 +172,15 @@ def encode_subframe(w: BitWriter, samples: np.ndarray, depth: int, plan: Subfram
     """Encode `samples` (int, fitting in `depth` bits) as one subframe."""
     bs = len(samples)
     wasted = plan.wasted
+    samples = samples.astype(np.int64)
     if wasted:
-        samples = samples.astype(np.int64) * (1 << wasted)  # caller must leave headroom
-        # header expects encoder to emit samples with `wasted` low zero bits
+        # incoming samples already carry `wasted` low zero bits
+        # (_gen_channel_samples shifts them up); the coded channel is the
+        # right-shifted value at the reduced depth
+        assert not np.any(samples & ((1 << wasted) - 1)), \
+            "wasted-bits subframe requires samples with low zero bits"
     eff_depth = depth - wasted
-    enc = (samples.astype(np.int64) >> wasted).astype(np.int64)
+    enc = samples >> wasted
 
     w.write(0, 1)  # reserved
     kind = plan.kind
@@ -311,6 +315,7 @@ def make_flac(
     stereo_modes=None,       # list per frame: None/'ls'/'rs'/'ms'
     metadata=(),             # list of (type, bytes)
     last_block_size=None,    # uncommon trailing block
+    block_sizes=None,        # per-frame sizes (variable-blocksize streams)
     uncommon_bs_code=False,  # force 8/16-bit explicit block size codes
     sr_code_override=None,   # fault/uncommon: force the frame sample-rate code
     ca_override=None,        # fault: force the frame channel-assignment code
@@ -322,8 +327,19 @@ def make_flac(
     frame_bits = []
 
     total = 0
+    # A per-frame block_sizes list makes the stream variable-blocksize: the
+    # blocking-strategy bit flips to 1 and the coded number becomes the
+    # frame's first SAMPLE index (spec 9.1.1-9.1.3; both decoders parse but
+    # don't consume the number — no seeking — yet must walk its UTF-8 length
+    # and CRC it).
+    variable = block_sizes is not None
+    if variable:
+        assert len(block_sizes) == n_frames
     for f in range(n_frames):
-        bs = block_size if (last_block_size is None or f < n_frames - 1) else last_block_size
+        if variable:
+            bs = block_sizes[f]
+        else:
+            bs = block_size if (last_block_size is None or f < n_frames - 1) else last_block_size
         mode = (stereo_modes[f] if stereo_modes else None) if channels == 2 else None
         chplans = (plans[f] if plans else None) or [
             SubframePlan(kind=rng.choice(["constant", "verbatim", "fixed", "lpc"]),
@@ -341,7 +357,7 @@ def make_flac(
         hdr = BitWriter()
         hdr.write(0b11111111111110, 14)  # sync
         hdr.write(0, 1)  # reserved
-        hdr.write(0, 1)  # fixed blocksize strategy
+        hdr.write(1 if variable else 0, 1)  # blocking strategy
         # block size code
         common = {192: 1, 576: 2, 1152: 3, 2304: 4, 4608: 5, 256: 8, 512: 9,
                   1024: 10, 2048: 11, 4096: 12, 8192: 13, 16384: 14, 32768: 15}
@@ -371,11 +387,19 @@ def make_flac(
         hdr.write(0, 1)  # reserved
         hdr.align()
         hdr_bytes = bytearray(hdr.getvalue())
-        hdr_bytes += utf8_code(f)
+        hdr_bytes += utf8_code(total if variable else f)
         if bs_code == 6:
             hdr_bytes.append(bs_extra)
         elif bs_code == 7:
             hdr_bytes += struct.pack(">H", bs_extra)
+        # explicit sample-rate codes carry the rate after the block size
+        # (spec 9.1.5; decoder: flac_frontend.cpp sr_code 12/13/14 branch)
+        if sr_code == 12:
+            hdr_bytes.append(sample_rate // 1000)
+        elif sr_code == 13:
+            hdr_bytes += struct.pack(">H", sample_rate)
+        elif sr_code == 14:
+            hdr_bytes += struct.pack(">H", sample_rate // 10)
         hdr_bytes.append(crc8(bytes(hdr_bytes)))
 
         # ---- subframes ----
@@ -436,8 +460,10 @@ def make_flac(
 
     # ---- STREAMINFO + metadata ----
     si = BitWriter()
-    si.write(max(16, min(block_size, last_block_size or block_size)), 16)
-    si.write(max(block_size, last_block_size or block_size), 16)
+    all_bs = list(block_sizes) if variable else \
+        [block_size, last_block_size or block_size]
+    si.write(max(16, min(all_bs)), 16)
+    si.write(max(all_bs), 16)
     si.write(0, 24)
     si.write(0, 24)
     si.write(sample_rate, 20)
