@@ -31,6 +31,12 @@ _i32p = C.POINTER(C.c_int32)
 
 __all__ = ["BatchedFLACDecoder", "BatchedMP3Decoder"]
 
+# target PCM bytes per MP3 dispatch slice of ``_dispatch_run`` — sub-fleet
+# sizing so one slice's host packing + upload overlaps the previous slice's
+# download on the drain thread (see models/flac.SLICE_OUT_BYTES for the
+# duplex-transport measurement behind the number)
+MP3_SLICE_PCM_BYTES = 8 << 20
+
 import jax
 import jax.numpy as jnp
 
@@ -458,9 +464,32 @@ class BatchedMP3Decoder:
                 if any(e != MP3Error.NONE for _, e, *_ in perstream[s2]):
                     raise ValueError("to_device requires an error-free run")
 
-        for (ver, sr_idx, nch, vindex, G), streams in work.items():
-            B = len(streams)
-            if G > 0:
+        from concurrent.futures import ThreadPoolExecutor
+
+        def _assemble(chunk, pcm_np, undef, nch, new_vindex):
+            for bi, s in enumerate(chunk):
+                self._vindex[s] = new_vindex
+                if undef is not None:
+                    self.last_frame_reference_defined[s] = not bool(undef[bi])
+                off = 0
+                for (fi, err, clear, consumed, k) in perstream[s]:
+                    frame = parses[fi]["frame"][s]
+                    if err == MP3Error.NONE:
+                        results[s].append(
+                            (err, pcm_np[bi, off:off + k * 576 * nch].copy(), consumed))
+                    else:
+                        ntot = int(frame[6]) * int(frame[7]) * int(frame[5])
+                        results[s].append(
+                            (err, np.zeros(ntot, np.int16) if clear else None, consumed))
+                    off += k * 576 * nch
+
+        pending = []   # (download future, chunk, nch, new_vindex) in order
+        with ThreadPoolExecutor(max_workers=1) as drain:
+            for (ver, sr_idx, nch, vindex, G), streams in work.items():
+                B = len(streams)
+                if G == 0:
+                    _assemble(streams, None, None, nch, vindex)
+                    continue
                 huff_g = np.empty((B, G, 2, 576), np.int32)
                 params_g = np.empty((B, G, 2, 24), np.int32)
                 sf_g = np.empty((B, G, 2, 62), np.int32)
@@ -476,13 +505,13 @@ class BatchedMP3Decoder:
                         frame_g[bi, g:g + k] = pa["frame"][s]
                         sfjs_g[bi, g:g + k] = pa["sfjs"][s]
                         g += k
-                pcm, new_state, ref_undef = mp3_pipeline.decode_granules_run(
-                    huff_g, params_g, sf_g, frame_g, sfjs_g,
-                    self._gather_state(streams), vindex,
-                    mesh=self._group_mesh(len(streams)))
-                self._scatter_state(streams, new_state)
                 new_vindex = mp3_pipeline._advance_vindex(vindex, G)
                 if to_device:
+                    pcm, new_state, ref_undef = mp3_pipeline.decode_granules_run(
+                        huff_g, params_g, sf_g, frame_g, sfjs_g,
+                        self._gather_state(streams), vindex,
+                        mesh=self._group_mesh(len(streams)))
+                    self._scatter_state(streams, new_state)
                     undef = np.asarray(ref_undef)   # tiny [B] bool sync only
                     for bi, s in enumerate(streams):
                         self._vindex[s] = new_vindex
@@ -490,26 +519,31 @@ class BatchedMP3Decoder:
                     consumed_list = [sum(c for *_, c, _k in perstream[s])
                                      for s in streams]
                     return pcm, consumed_list
-                pcm_np, undef = jax.device_get((pcm, ref_undef))
-            else:
-                pcm_np = undef = None
-                new_vindex = vindex
 
-            for bi, s in enumerate(streams):
-                self._vindex[s] = new_vindex
-                if undef is not None:
-                    self.last_frame_reference_defined[s] = not bool(undef[bi])
-                off = 0
-                for (fi, err, clear, consumed, k) in perstream[s]:
-                    frame = parses[fi]["frame"][s]
-                    if err == MP3Error.NONE:
-                        results[s].append(
-                            (err, pcm_np[bi, off:off + k * 576 * nch].copy(), consumed))
-                    else:
-                        ntot = int(frame[6]) * int(frame[7]) * int(frame[5])
-                        results[s].append(
-                            (err, np.zeros(ntot, np.int16) if clear else None, consumed))
-                    off += k * 576 * nch
+                # dispatch the group in stream SLICES: each sub-fleet's host
+                # packing + upload overlaps the previous slice's PCM download
+                # on the drain thread (full-duplex transport — same design
+                # and measured ~2x as models/flac._decode_streams); sliced
+                # outputs are identical because streams are independent.
+                per = B
+                if self.mesh is None:
+                    # even slices: one compiled sub-fleet shape when B divides
+                    n_sl = max(1, -(-B * G * 576 * nch * 2 // MP3_SLICE_PCM_BYTES))
+                    per = -(-B // n_sl)
+                for c0 in range(0, B, per):
+                    chunk = streams[c0:c0 + per]
+                    pcm, new_state, ref_undef = mp3_pipeline.decode_granules_run(
+                        huff_g[c0:c0 + per], params_g[c0:c0 + per],
+                        sf_g[c0:c0 + per], frame_g[c0:c0 + per],
+                        sfjs_g[c0:c0 + per],
+                        self._gather_state(chunk), vindex,
+                        mesh=self._group_mesh(len(chunk)))
+                    self._scatter_state(chunk, new_state)
+                    pending.append((drain.submit(jax.device_get, (pcm, ref_undef)),
+                                    chunk, nch, new_vindex))
+            for fut, chunk, nch, new_vindex in pending:
+                pcm_np, undef = fut.result()
+                _assemble(chunk, pcm_np, undef, nch, new_vindex)
         return results
 
     def decode_run_pipelined(self, buffers, n_frames, n_runs, use_size=False,

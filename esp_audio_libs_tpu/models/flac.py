@@ -92,6 +92,12 @@ def _frame_kernel_esc(data8, esc_pos, esc_val, coeffs, order, shift, wasted,
 # (beyond this the sideband stops paying for itself); tests force it to 1.0
 ESC_MAX_DENSITY = 1.0 / 64.0
 
+# target PCM bytes per dispatch slice of ``_decode_streams`` — sized so the
+# upload of one slice and the download of the previous overlap on a
+# full-duplex link while per-transfer latency stays amortized (throughput is
+# flat for 4-17 MB slices on the measured tunnel)
+SLICE_OUT_BYTES = 8 << 20
+
 
 def _require_x64(what: str) -> None:
     """The FLAC/MP3 numeric paths use int64 (64-bit LPC accumulators,
@@ -279,9 +285,20 @@ def _decode_streams(decoders, buffers, verify_md5: bool = True, mesh=None):
     mesh size dispatch SPMD with the frame axis sharded (see
     ``_run_frame_bucket``); ragged buckets fall back to single-device.
 
+    Large buckets dispatch in SLICES with the PCM download of slice k
+    running on a drain thread while slice k+1's residuals upload: the
+    host<->device link is full duplex (a single big transfer serializes
+    ~3 bytes/sample of total traffic; overlapped it costs
+    max(up, down) ≈ 2 — measured ~2x e2e on the tunnel, and oversized
+    single D2H transfers can stall pathologically there).  Slice outputs
+    are assembled in dispatch order, so results are byte-identical to the
+    single-dispatch path.
+
     Returns the per-stream (pcm_bytes, results-dict) list of
     ``FLACDecoder.decode_stream`` / ``BatchedFLACDecoder.decode_streams``.
     """
+    from concurrent.futures import ThreadPoolExecutor
+
     n = len(decoders)
     assert len(buffers) == n
     groups, codes, frames_of = _parse_streams(decoders, buffers)
@@ -298,13 +315,29 @@ def _decode_streams(decoders, buffers, verify_md5: bool = True, mesh=None):
                                []).append((s, j, fi))
 
     out_chunks = [[None] * len(frames_of[s]) for s in range(n)]
-    for bkey, idxs in buckets.items():
-        g = groups[bkey[0]]
-        rows = np.fromiter((g.slot[fi] for _, _, fi in idxs), np.int64, len(idxs))
-        frs = np.fromiter((fi for _, _, fi in idxs), np.int64, len(idxs))
-        packed_np = np.asarray(_run_frame_bucket(g, rows, frs, bkey, mesh=mesh))
-        for k, (s, j, _) in enumerate(idxs):
-            out_chunks[s][j] = packed_np[k]
+    pending = []   # (download future, slice idxs) in dispatch order
+    with ThreadPoolExecutor(max_workers=1) as drain:
+        for bkey, idxs in buckets.items():
+            g = groups[bkey[0]]
+            ((nch, _mbs), bs, depth, _wide, _acc64, m32) = bkey
+            bps = 4 if m32 else (depth + 7) // 8
+            per = len(idxs)
+            if mesh is None:   # sharded buckets stay whole (one SPMD dispatch)
+                # split into EVEN slices (one compiled shape, no ragged tail
+                # when the count divides)
+                n_sl = max(1, -(-len(idxs) * bs * nch * bps // SLICE_OUT_BYTES))
+                per = -(-len(idxs) // n_sl)
+            for off in range(0, len(idxs), per):
+                sl = idxs[off:off + per]
+                rows = np.fromiter((g.slot[fi] for _, _, fi in sl),
+                                   np.int64, len(sl))
+                frs = np.fromiter((fi for _, _, fi in sl), np.int64, len(sl))
+                out = _run_frame_bucket(g, rows, frs, bkey, mesh=mesh)
+                pending.append((drain.submit(np.asarray, out), sl))
+        for fut, sl in pending:
+            packed_np = fut.result()
+            for k, (s, j, _) in enumerate(sl):
+                out_chunks[s][j] = packed_np[k]
 
     results = []
     for s, dec in enumerate(decoders):

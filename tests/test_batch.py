@@ -194,6 +194,42 @@ def test_mp3_decode_run_matches_decode(homogeneous):
         break  # tail check once
 
 
+@pytest.mark.parametrize("homogeneous", [True, False])
+def test_mp3_sliced_dispatch_bitexact(monkeypatch, homogeneous):
+    """Stream-sliced group dispatch in decode_run (sub-fleet dispatches with
+    downloads drained on a worker thread) must match whole-group dispatch
+    frame-for-frame, including carried state across a follow-up run: force a
+    tiny slice target so every group splits, including a ragged tail."""
+    from esp_audio_libs_tpu.models import batch as batch_mod
+
+    cfgs = [MP3_CFGS[1]] * 4 if homogeneous else MP3_CFGS
+    streams = [_mp3_stream(c, seed=75 + i, n_frames=5) for i, c in enumerate(cfgs)]
+    n = len(streams)
+
+    def run():
+        bat = BatchedMP3Decoder(n)
+        first = bat.decode_run([s[0] for s in streams], 3)
+        # follow-up run from carried state exercises state scatter/gather
+        pos = [sum(c for _, _, c in first[i]) for i in range(n)]
+        second = bat.decode_run([s[0][p:] for s, p in zip(streams, pos)], 2)
+        return first, second
+
+    want = run()
+    monkeypatch.setattr(batch_mod, "MP3_SLICE_PCM_BYTES", 3 * 2 * 576 * 2 * 2)
+    got = run()
+    for a, b in zip(want, got):
+        for i in range(n):
+            assert len(a[i]) == len(b[i]), f"stream {i}: frame count"
+            for f, ((ee, ep, ec), (ge, gp, gc)) in enumerate(zip(a[i], b[i])):
+                assert (ge, gc) == (ee, ec), f"stream {i} frame {f}"
+                if ep is None:
+                    assert gp is None
+                else:
+                    np.testing.assert_array_equal(
+                        np.asarray(gp).reshape(-1), np.asarray(ep).reshape(-1),
+                        err_msg=f"stream {i} frame {f}")
+
+
 def test_mp3_pipelined_runs_match_sequential():
     """decode_run_pipelined (host parse of run k+1 overlapped with run k's
     device phase) yields per-run outputs identical to sequential
@@ -257,6 +293,31 @@ def test_flac_int8_escape_sideband_bitexact(monkeypatch):
     for s in range(len(blobs)):
         assert got[s][0] == want[s][0], f"stream {s}: sideband tier changed PCM"
         assert got[s][1]["md5_ok"] and want[s][1]["md5_ok"]
+
+
+def test_flac_sliced_dispatch_bitexact(monkeypatch):
+    """Transport-sliced bucket dispatch (models/flac._decode_streams with a
+    drain thread overlapping downloads and uploads) must be byte-identical
+    to whole-bucket dispatch: force a tiny slice target so every bucket
+    splits into many slices, including a ragged tail, and compare."""
+    from esp_audio_libs_tpu.models import flac as flac_model
+
+    blobs = _flac_corpus()
+
+    def run():
+        bat = BatchedFLACDecoder(len(blobs))
+        bat.read_headers(blobs)
+        return bat.decode_streams(
+            [b[d.get_bytes_index():] for b, d in zip(blobs, bat.decoders)])
+
+    want = run()   # default: single slice per bucket at these sizes
+    # 1024x2x2 B frames -> 3 frames/slice (ragged tails in 4- and 2-frame
+    # buckets exercise the odd-shape path)
+    monkeypatch.setattr(flac_model, "SLICE_OUT_BYTES", 3 * 1024 * 2 * 2)
+    got = run()
+    for s in range(len(blobs)):
+        assert got[s][0] == want[s][0], f"stream {s}: sliced dispatch changed PCM"
+        assert got[s][1] == want[s][1]
 
 
 def test_mp3_int8_escape_sideband_bitexact(monkeypatch):
