@@ -160,7 +160,8 @@ class _ParseGroup:
         self.cap = new_cap
 
 
-def _parse_streams(decoders, buffers):
+def _parse_streams(decoders, buffers, groups=None, codes=None, frames_of=None,
+                   on_stream=None):
     """Host front-end for a fleet: parse every frame of every stream.
 
     One native call per stream per capacity window (``eal_flac_parse_stream``)
@@ -169,15 +170,25 @@ def _parse_streams(decoders, buffers):
     protocol as the old per-frame loop — SUCCESS per parsed frame plus the
     terminal code that ended the stream, if any) and per-stream lists of
     (group key, frame row) pairs.
+
+    ``groups``/``codes``/``frames_of`` may be passed in pre-allocated and
+    ``on_stream(s)`` is then called after stream ``s`` is fully parsed —
+    the overlap hook ``_decode_streams`` uses to start uploading completed
+    streams' frames while later streams still parse (the native call
+    releases the GIL; ``_ParseGroup.grow`` publishes reallocated tables
+    only after the copy, so rows of completed streams are always
+    consistent for a concurrent reader).
     """
     lib = host_lib()
     u8p = C.POINTER(C.c_uint8)
     i16p = C.POINTER(C.c_int16)
-    groups: dict = {}
-    codes = [[] for _ in buffers]
-    frames_of = [[] for _ in buffers]
+    groups = {} if groups is None else groups
+    codes = [[] for _ in buffers] if codes is None else codes
+    frames_of = [[] for _ in buffers] if frames_of is None else frames_of
     for s, (dec, buffer) in enumerate(zip(decoders, buffers)):
         if buffer is None:
+            if on_stream is not None:
+                on_stream(s)
             continue
         buf = np.frombuffer(buffer, np.uint8) if isinstance(buffer, (bytes, bytearray)) else np.ascontiguousarray(buffer)
         nch, mbs = dec.num_channels, dec.max_block_size
@@ -217,6 +228,8 @@ def _parse_streams(decoders, buffers):
                 break
             if nf < room:   # clean exhaustion (pos >= size)
                 break
+        if on_stream is not None:
+            on_stream(s)
     return groups, codes, frames_of
 
 
@@ -297,47 +310,78 @@ def _decode_streams(decoders, buffers, verify_md5: bool = True, mesh=None):
     Returns the per-stream (pcm_bytes, results-dict) list of
     ``FLACDecoder.decode_stream`` / ``BatchedFLACDecoder.decode_streams``.
     """
+    import queue
+    import threading
     from concurrent.futures import ThreadPoolExecutor
 
     n = len(decoders)
     assert len(buffers) == n
-    groups, codes, frames_of = _parse_streams(decoders, buffers)
 
-    # bucket every frame of every stream by the kernel's static shape params
+    # the host parse runs on a worker thread (the native call releases the
+    # GIL) signalling per completed stream; the main thread buckets each
+    # completed stream's frames by the kernel's static shape params
     # (residual width and the int32-accumulation clearance are part of the
-    # compiled shape; frames cleared by the front-end's overflow analysis run
-    # the int32 fast path)
-    buckets: dict = {}
-    for s in range(n):
-        m32 = decoders[s]._output_32bit
-        for j, (key, fi) in enumerate(frames_of[s]):
-            buckets.setdefault(_frame_shape_key(groups[key], fi, m32),
-                               []).append((s, j, fi))
+    # compiled shape) and dispatches a slice as soon as one fills — so
+    # uploads of early streams ride the link while late streams still parse
+    groups: dict = {}
+    codes = [[] for _ in buffers]
+    frames_of = [[] for _ in buffers]
+    done_q: queue.Queue = queue.Queue()
+    parse_err = []
 
-    out_chunks = [[None] * len(frames_of[s]) for s in range(n)]
-    pending = []   # (download future, slice idxs) in dispatch order
-    with ThreadPoolExecutor(max_workers=1) as drain:
-        for bkey, idxs in buckets.items():
-            g = groups[bkey[0]]
-            ((nch, _mbs), bs, depth, _wide, _acc64, m32) = bkey
-            bps = 4 if m32 else (depth + 7) // 8
-            per = len(idxs)
-            if mesh is None:   # sharded buckets stay whole (one SPMD dispatch)
-                # split into EVEN slices (one compiled shape, no ragged tail
-                # when the count divides)
-                n_sl = max(1, -(-len(idxs) * bs * nch * bps // SLICE_OUT_BYTES))
-                per = -(-len(idxs) // n_sl)
-            for off in range(0, len(idxs), per):
-                sl = idxs[off:off + per]
+    def _parse_job():
+        try:
+            _parse_streams(decoders, buffers, groups, codes, frames_of,
+                           on_stream=done_q.put)
+        except BaseException as e:          # re-raised after the drain below
+            parse_err.append(e)
+        finally:
+            done_q.put(None)
+
+    out_chunks = [[] for _ in range(n)]
+    buckets: dict = {}   # bkey -> not-yet-dispatched (s, j, fi) rows
+    pending = []         # (download future, slice idxs) in dispatch order
+    parser = threading.Thread(target=_parse_job)
+    parser.start()
+    try:
+        with ThreadPoolExecutor(max_workers=1) as drain:
+            def _dispatch(bkey, sl):
+                g = groups[bkey[0]]
                 rows = np.fromiter((g.slot[fi] for _, _, fi in sl),
                                    np.int64, len(sl))
                 frs = np.fromiter((fi for _, _, fi in sl), np.int64, len(sl))
                 out = _run_frame_bucket(g, rows, frs, bkey, mesh=mesh)
                 pending.append((drain.submit(np.asarray, out), sl))
-        for fut, sl in pending:
-            packed_np = fut.result()
-            for k, (s, j, _) in enumerate(sl):
-                out_chunks[s][j] = packed_np[k]
+
+            while True:
+                s = done_q.get()
+                if s is None:
+                    break
+                out_chunks[s] = [None] * len(frames_of[s])
+                m32 = decoders[s]._output_32bit
+                for j, (key, fi) in enumerate(frames_of[s]):
+                    bkey = _frame_shape_key(groups[key], fi, m32)
+                    sl = buckets.setdefault(bkey, [])
+                    sl.append((s, j, fi))
+                    if mesh is not None:
+                        continue   # sharded buckets stay whole (SPMD over ICI)
+                    ((nch, _mbs), bs, depth, _wide, _acc64, bm32) = bkey
+                    bps = 4 if bm32 else (depth + 7) // 8
+                    if len(sl) * bs * nch * bps >= SLICE_OUT_BYTES:
+                        buckets[bkey] = []
+                        _dispatch(bkey, sl)
+            parser.join()
+            for bkey, sl in buckets.items():   # tails (+ whole mesh buckets)
+                if sl:
+                    _dispatch(bkey, sl)
+            for fut, sl in pending:
+                packed_np = fut.result()
+                for k, (s, j, _) in enumerate(sl):
+                    out_chunks[s][j] = packed_np[k]
+    finally:
+        parser.join()
+    if parse_err:
+        raise parse_err[0]
 
     results = []
     for s, dec in enumerate(decoders):
