@@ -424,40 +424,95 @@ def decode_streams_to_device(decoders, buffers, mesh=None):
     ready to feed a sharded ``Resampler.resample_stream`` without any
     resharding collective.
     """
+    import queue
+    import threading
+
     n = len(decoders)
-    groups, codes, frames_of = _parse_streams(decoders, buffers)
 
-    F = len(frames_of[0])
+    # parse on a worker thread signalling per completed stream (same overlap
+    # pattern as _decode_streams): stream-chunks of residuals upload while
+    # later streams still parse — this path is upload-dominated (no PCM
+    # download), so hiding the host parse leg under the uploads is the whole
+    # remaining overlap
+    groups: dict = {}
+    codes = [[] for _ in buffers]
+    frames_of = [[] for _ in buffers]
+    done_q: queue.Queue = queue.Queue()
+    parse_err = []
+
+    def _parse_job():
+        try:
+            _parse_streams(decoders, buffers, groups, codes, frames_of,
+                           on_stream=done_q.put)
+        except BaseException as e:
+            parse_err.append(e)
+        finally:
+            done_q.put(None)
+
     per_frame_keys = None
-    for s in range(n):
-        m32 = decoders[s]._output_32bit
-        keys = [_frame_shape_key(groups[key], fi, m32)
-                for key, fi in frames_of[s]]
+    chunk_outs = {}      # bkey -> list of [chunk, len(js), bytes] device arrays
+    bucket_js = {}
+    ready = []           # consecutive parsed, not-yet-dispatched stream ids
+
+    def _dispatch_chunk(streams_chunk):
+        for bkey, js in bucket_js.items():
+            g = groups[bkey[0]]
+            rows = np.fromiter(
+                (g.slot[frames_of[s][j][1]] for s in streams_chunk for j in js),
+                np.int64, len(streams_chunk) * len(js))
+            frs = np.fromiter(
+                (frames_of[s][j][1] for s in streams_chunk for j in js),
+                np.int64, len(streams_chunk) * len(js))
+            packed = _run_frame_bucket(g, rows, frs, bkey, mesh=mesh)
+            chunk_outs.setdefault(bkey, []).append(
+                packed.reshape(len(streams_chunk), len(js), -1))
+
+    parser = threading.Thread(target=_parse_job)
+    parser.start()
+    try:
+        while True:
+            s = done_q.get()
+            if s is None:
+                break
+            m32 = decoders[s]._output_32bit
+            keys = [_frame_shape_key(groups[key], fi, m32)
+                    for key, fi in frames_of[s]]
+            if per_frame_keys is None:
+                if not keys:
+                    raise ValueError("no frames parsed")
+                per_frame_keys = keys
+                for bkey in dict.fromkeys(keys):
+                    bucket_js[bkey] = [j for j, k in enumerate(keys) if k == bkey]
+                # chunk streams so each dispatch round moves ~one transport
+                # slice of PCM-equivalent bytes (see SLICE_OUT_BYTES)
+                stream_bytes = sum(k[1] * k[0][0] * (4 if k[5] else (k[2] + 7) // 8)
+                                   for k in keys)
+                chunk_n = n if mesh is not None else max(
+                    1, SLICE_OUT_BYTES // max(1, stream_bytes))
+            elif keys != per_frame_keys:
+                raise ValueError("decode_streams_to_device requires a uniform fleet "
+                                 "(same frame-shape sequence per stream)")
+            ready.append(s)
+            if len(ready) >= chunk_n:
+                _dispatch_chunk(ready)
+                ready = []
+        parser.join()
+        if parse_err:
+            raise parse_err[0]
         if per_frame_keys is None:
-            per_frame_keys = keys
-        elif keys != per_frame_keys:
-            raise ValueError("decode_streams_to_device requires a uniform fleet "
-                             "(same frame-shape sequence per stream)")
-    if per_frame_keys is None or F == 0:
-        raise ValueError("no frames parsed")
+            raise ValueError("no frames parsed")
+        if ready:
+            _dispatch_chunk(ready)
+    finally:
+        parser.join()
 
-    # one kernel dispatch per distinct frame shape; rows stream-major
-    bucket_out = {}
-    for bkey in dict.fromkeys(per_frame_keys):
-        ((nch, mbs), bs, depth, wide, acc64, m32) = bkey
-        g = groups[(nch, mbs)]
-        js = [j for j, k in enumerate(per_frame_keys) if k == bkey]
-        rows = np.fromiter((g.slot[frames_of[s][j][1]] for s in range(n) for j in js),
-                           np.int64, n * len(js))
-        frs = np.fromiter((frames_of[s][j][1] for s in range(n) for j in js),
-                          np.int64, n * len(js))
-        packed = _run_frame_bucket(g, rows, frs, bkey, mesh=mesh)
-        # [n * len(js), bytes] stream-major -> [n, len(js), bytes]
-        bucket_out[bkey] = (packed.reshape(n, len(js), -1), js)
-
-    # stitch per-frame-position segments back into j order on device
+    F = len(per_frame_keys)
+    # stitch chunk rows (stream-major, consecutive) and per-frame-position
+    # segments back into stream x j order on device
     segs = [None] * F
-    for bkey, (dev, js) in bucket_out.items():
+    for bkey, js in bucket_js.items():
+        outs = chunk_outs[bkey]
+        dev = outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=0)
         for k, j in enumerate(js):
             segs[j] = dev[:, k]
     pcm_dev = jnp.concatenate(segs, axis=1) if F > 1 else segs[0]
