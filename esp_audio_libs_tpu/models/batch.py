@@ -483,8 +483,10 @@ class BatchedMP3Decoder:
                             (err, np.zeros(ntot, np.int16) if clear else None, consumed))
                     off += k * 576 * nch
 
+        from ..models.flac import DRAIN_THREADS
+
         pending = []   # (download future, chunk, nch, new_vindex) in order
-        with ThreadPoolExecutor(max_workers=1) as drain:
+        with ThreadPoolExecutor(max_workers=DRAIN_THREADS) as drain:
             for (ver, sr_idx, nch, vindex, G), streams in work.items():
                 B = len(streams)
                 if G == 0:

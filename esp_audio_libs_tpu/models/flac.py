@@ -98,6 +98,13 @@ ESC_MAX_DENSITY = 1.0 / 64.0
 # flat for 4-17 MB slices on the measured tunnel)
 SLICE_OUT_BYTES = 8 << 20
 
+# download drain parallelism: concurrent D2H transfers scale aggregate
+# bandwidth on the measured link (8 -> 54 MB/s with 4 threads in one window,
+# 25 -> 37 in another; tools/transport_probe.py re-measures) — slice results
+# are still assembled in dispatch order, so parallel drain changes nothing
+# about outputs
+DRAIN_THREADS = 4
+
 
 def _require_x64(what: str) -> None:
     """The FLAC/MP3 numeric paths use int64 (64-bit LPC accumulators,
@@ -344,7 +351,7 @@ def _decode_streams(decoders, buffers, verify_md5: bool = True, mesh=None):
     parser = threading.Thread(target=_parse_job)
     parser.start()
     try:
-        with ThreadPoolExecutor(max_workers=1) as drain:
+        with ThreadPoolExecutor(max_workers=DRAIN_THREADS) as drain:
             def _dispatch(bkey, sl):
                 g = groups[bkey[0]]
                 rows = np.fromiter((g.slot[fi] for _, _, fi in sl),
