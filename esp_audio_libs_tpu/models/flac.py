@@ -347,18 +347,24 @@ def _decode_streams(decoders, buffers, verify_md5: bool = True, mesh=None):
 
     out_chunks = [[] for _ in range(n)]
     buckets: dict = {}   # bkey -> not-yet-dispatched (s, j, fi) rows
-    pending = []         # (download future, slice idxs) in dispatch order
+    pending = []         # per-slice worker futures
     parser = threading.Thread(target=_parse_job)
     parser.start()
     try:
-        with ThreadPoolExecutor(max_workers=DRAIN_THREADS) as drain:
-            def _dispatch(bkey, sl):
+        # each worker runs a whole slice — host row prep, upload, kernel
+        # dispatch, PCM download — so several transfers ride the link in
+        # EACH direction concurrently (same-direction concurrency scales on
+        # the measured link; see DRAIN_THREADS note / transport_probe.py).
+        # Slices are independent frames and assembly maps by (stream, j),
+        # so completion order is irrelevant.
+        with ThreadPoolExecutor(max_workers=DRAIN_THREADS) as pool:
+            def _slice_job(bkey, sl):
                 g = groups[bkey[0]]
                 rows = np.fromiter((g.slot[fi] for _, _, fi in sl),
                                    np.int64, len(sl))
                 frs = np.fromiter((fi for _, _, fi in sl), np.int64, len(sl))
-                out = _run_frame_bucket(g, rows, frs, bkey, mesh=mesh)
-                pending.append((drain.submit(np.asarray, out), sl))
+                return np.asarray(
+                    _run_frame_bucket(g, rows, frs, bkey, mesh=mesh)), sl
 
             while True:
                 s = done_q.get()
@@ -376,13 +382,13 @@ def _decode_streams(decoders, buffers, verify_md5: bool = True, mesh=None):
                     bps = 4 if bm32 else (depth + 7) // 8
                     if len(sl) * bs * nch * bps >= SLICE_OUT_BYTES:
                         buckets[bkey] = []
-                        _dispatch(bkey, sl)
+                        pending.append(pool.submit(_slice_job, bkey, sl))
             parser.join()
             for bkey, sl in buckets.items():   # tails (+ whole mesh buckets)
                 if sl:
-                    _dispatch(bkey, sl)
-            for fut, sl in pending:
-                packed_np = fut.result()
+                    pending.append(pool.submit(_slice_job, bkey, sl))
+            for fut in pending:
+                packed_np, sl = fut.result()
                 for k, (s, j, _) in enumerate(sl):
                     out_chunks[s][j] = packed_np[k]
     finally:
