@@ -343,6 +343,58 @@ def bench_flac_resample_composed(B=256, n_frames=16, block=4096):
     report("flac_decode_resample_composed", samples / min(dts))
 
 
+def bench_mp3_resample_composed(B=256, n_frames=8):
+    """Composed serving pipeline for MP3: fleet decode_run(to_device=True)
+    -> 44.1k->16k resample, PCM staying ON DEVICE between the stages (the
+    MP3 analog of bench_flac_resample_composed — only the compressed frames
+    go up and only the resampled PCM would come down)."""
+    import jax
+    jax.config.update("jax_enable_x64", True)
+    import jax.numpy as jnp
+    from esp_audio_libs_tpu.models.batch import BatchedMP3Decoder
+    from esp_audio_libs_tpu.models.resampler import Resampler, ResamplerConfiguration
+    from esp_audio_libs_tpu.runtime.tables import mp3_tables
+
+    T = mp3_tables()
+    total = int(T["slotTab"][0][0][11])
+    frame = bytes([0xFF, 0xE0 | (3 << 3) | 2 | 1, 11 << 4, 0]) + bytes(total - 4)
+    reps = 2
+    stream = frame * ((reps + 2) * n_frames + 6)
+    bat = BatchedMP3Decoder(B)
+    pos = [0] * B
+    for _ in range(2):   # warm both vbuf parities
+        got = bat.decode([stream[p:] for p in pos])
+        pos = [p + g[2] for p, g in zip(pos, got)]
+
+    cfg = ResamplerConfiguration(44100.0, 16000.0, 16, 16, 2, True, True, 64, 32)
+    r = Resampler(batch=B, exact=False)
+    r.initialize(cfg)
+
+    def run(pos):
+        pcm_dev, consumed = bat.decode_run(
+            [stream[p:] for p in pos], n_frames, to_device=True)
+        nb = pcm_dev.shape[1] * 2              # int16 -> bytes
+        pcm_u8 = jax.lax.bitcast_convert_type(
+            pcm_dev, jnp.uint8).reshape(B, nb)
+        frames = nb // (2 * 2)                 # stereo s16
+        out, gens, _ = r.resample_stream(pcm_u8, frames, 1)
+        return out, consumed, frames
+
+    out, consumed, _ = run(pos)                # warm compiles
+    jax.block_until_ready(out)
+    pos = [p + c for p, c in zip(pos, consumed)]
+    dts = []
+    samples = 0
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        out, consumed, frames = run(pos)
+        jax.block_until_ready(out)             # resampled PCM ready on device
+        pos = [p + c for p, c in zip(pos, consumed)]
+        samples += frames * 2 * B
+    dts.append(time.perf_counter() - t0)
+    report("mp3_decode_resample_composed", samples / min(dts))
+
+
 def bench_host_reference(n_reps=3):
     """Decode the SAME corpora with the reference C library compiled on THIS
     host (single core) — so matching-or-beating is measured where the
@@ -439,6 +491,7 @@ def main():
     bench_flac_e2e()
     bench_flac_resample_composed()
     bench_mp3()
+    bench_mp3_resample_composed()
     bench_host_reference()
 
 
