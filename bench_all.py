@@ -383,16 +383,17 @@ def bench_mp3_resample_composed(B=256, n_frames=8):
     out, consumed, _ = run(pos)                # warm compiles
     jax.block_until_ready(out)
     pos = [p + c for p, c in zip(pos, consumed)]
-    dts = []
-    samples = 0
-    t0 = time.perf_counter()
+    # per-rep min: transport stalls only ever ADD time (same methodology and
+    # rationale as bench_flac_resample_composed above)
+    dts, rep_samples = [], 0
     for _ in range(reps):
+        t0 = time.perf_counter()
         out, consumed, frames = run(pos)
         jax.block_until_ready(out)             # resampled PCM ready on device
+        dts.append(time.perf_counter() - t0)
         pos = [p + c for p, c in zip(pos, consumed)]
-        samples += frames * 2 * B
-    dts.append(time.perf_counter() - t0)
-    report("mp3_decode_resample_composed", samples / min(dts))
+        rep_samples = frames * 2 * B
+    report("mp3_decode_resample_composed", rep_samples / min(dts))
 
 
 def bench_host_reference(n_reps=3):

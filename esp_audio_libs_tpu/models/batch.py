@@ -21,6 +21,7 @@ import numpy as np
 import ctypes as C
 
 from ..parallel import mesh as mesh_mod
+from ..runtime import transport
 from ..runtime.native import host_lib
 from ..utils.errors import FLACDecoderResult, MP3Error
 from .flac import FLACDecoder, _decode_streams, decode_streams_to_device
@@ -30,12 +31,6 @@ from . import mp3_pipeline
 _i32p = C.POINTER(C.c_int32)
 
 __all__ = ["BatchedFLACDecoder", "BatchedMP3Decoder"]
-
-# target PCM bytes per MP3 dispatch slice of ``_dispatch_run`` — sub-fleet
-# sizing so one slice's host packing + upload overlaps the previous slice's
-# download on the drain thread (see models/flac.SLICE_OUT_BYTES for the
-# duplex-transport measurement behind the number)
-MP3_SLICE_PCM_BYTES = 8 << 20
 
 import jax
 import jax.numpy as jnp
@@ -483,10 +478,8 @@ class BatchedMP3Decoder:
                             (err, np.zeros(ntot, np.int16) if clear else None, consumed))
                     off += k * 576 * nch
 
-        from ..models.flac import DRAIN_THREADS
-
         pending = []   # (download future, chunk, nch, new_vindex) in order
-        with ThreadPoolExecutor(max_workers=DRAIN_THREADS) as drain:
+        with ThreadPoolExecutor(max_workers=transport.DRAIN_THREADS) as drain:
             for (ver, sr_idx, nch, vindex, G), streams in work.items():
                 B = len(streams)
                 if G == 0:
@@ -530,7 +523,8 @@ class BatchedMP3Decoder:
                 per = B
                 if self.mesh is None:
                     # even slices: one compiled sub-fleet shape when B divides
-                    n_sl = max(1, -(-B * G * 576 * nch * 2 // MP3_SLICE_PCM_BYTES))
+                    n_sl = max(1, -(-B * G * 576 * nch * 2
+                                    // transport.MP3_SLICE_PCM_BYTES))
                     per = -(-B // n_sl)
                 for c0 in range(0, B, per):
                     chunk = streams[c0:c0 + per]
@@ -541,6 +535,14 @@ class BatchedMP3Decoder:
                         self._gather_state(chunk), vindex,
                         mesh=self._group_mesh(len(chunk)))
                     self._scatter_state(chunk, new_state)
+                    # commit the host-side vindex the moment the device
+                    # state advances — deferring it to the drain loop would
+                    # leave the fleet silently desynced if a later slice's
+                    # dispatch or download raises (the drain re-set is then
+                    # idempotent); last_frame_reference_defined needs the
+                    # downloaded flags, so it stays in _assemble
+                    for s2 in chunk:
+                        self._vindex[s2] = new_vindex
                     pending.append((drain.submit(jax.device_get, (pcm, ref_undef)),
                                     chunk, nch, new_vindex))
             for fut, chunk, nch, new_vindex in pending:

@@ -27,6 +27,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops import lpc as lpc_ops
+from ..runtime import transport
 from ..runtime.native import host_lib
 from ..utils.errors import FLACDecoderResult, FLACMetadataType
 
@@ -91,19 +92,6 @@ def _frame_kernel_esc(data8, esc_pos, esc_val, coeffs, order, shift, wasted,
 # escape-density ceiling for choosing the int8+sideband transport tier
 # (beyond this the sideband stops paying for itself); tests force it to 1.0
 ESC_MAX_DENSITY = 1.0 / 64.0
-
-# target PCM bytes per dispatch slice of ``_decode_streams`` — sized so the
-# upload of one slice and the download of the previous overlap on a
-# full-duplex link while per-transfer latency stays amortized (throughput is
-# flat for 4-17 MB slices on the measured tunnel)
-SLICE_OUT_BYTES = 8 << 20
-
-# download drain parallelism: concurrent D2H transfers scale aggregate
-# bandwidth on the measured link (8 -> 54 MB/s with 4 threads in one window,
-# 25 -> 37 in another; tools/transport_probe.py re-measures) — slice results
-# are still assembled in dispatch order, so parallel drain changes nothing
-# about outputs
-DRAIN_THREADS = 4
 
 
 def _require_x64(what: str) -> None:
@@ -317,84 +305,67 @@ def _decode_streams(decoders, buffers, verify_md5: bool = True, mesh=None):
     Returns the per-stream (pcm_bytes, results-dict) list of
     ``FLACDecoder.decode_stream`` / ``BatchedFLACDecoder.decode_streams``.
     """
-    import queue
-    import threading
     from concurrent.futures import ThreadPoolExecutor
 
     n = len(decoders)
     assert len(buffers) == n
 
-    # the host parse runs on a worker thread (the native call releases the
-    # GIL) signalling per completed stream; the main thread buckets each
-    # completed stream's frames by the kernel's static shape params
-    # (residual width and the int32-accumulation clearance are part of the
-    # compiled shape) and dispatches a slice as soon as one fills — so
-    # uploads of early streams ride the link while late streams still parse
+    # the host parse signals per completed stream (threaded for fleets —
+    # transport.overlapped_parse); the main thread buckets each completed
+    # stream's frames by the kernel's static shape params (residual width
+    # and the int32-accumulation clearance are part of the compiled shape)
+    # and dispatches a slice as soon as one fills, so uploads of early
+    # streams ride the link while late streams still parse.  Each worker
+    # runs a whole slice — host row prep, upload, kernel dispatch, PCM
+    # download — so several transfers ride the link in EACH direction
+    # concurrently (see runtime/transport.py for the measurements).  Slices
+    # are independent frames and assembly maps by (stream, j), so
+    # completion order is irrelevant.
     groups: dict = {}
     codes = [[] for _ in buffers]
     frames_of = [[] for _ in buffers]
-    done_q: queue.Queue = queue.Queue()
-    parse_err = []
-
-    def _parse_job():
-        try:
-            _parse_streams(decoders, buffers, groups, codes, frames_of,
-                           on_stream=done_q.put)
-        except BaseException as e:          # re-raised after the drain below
-            parse_err.append(e)
-        finally:
-            done_q.put(None)
-
     out_chunks = [[] for _ in range(n)]
     buckets: dict = {}   # bkey -> not-yet-dispatched (s, j, fi) rows
     pending = []         # per-slice worker futures
-    parser = threading.Thread(target=_parse_job)
-    parser.start()
-    try:
-        # each worker runs a whole slice — host row prep, upload, kernel
-        # dispatch, PCM download — so several transfers ride the link in
-        # EACH direction concurrently (same-direction concurrency scales on
-        # the measured link; see DRAIN_THREADS note / transport_probe.py).
-        # Slices are independent frames and assembly maps by (stream, j),
-        # so completion order is irrelevant.
-        with ThreadPoolExecutor(max_workers=DRAIN_THREADS) as pool:
-            def _slice_job(bkey, sl):
-                g = groups[bkey[0]]
-                rows = np.fromiter((g.slot[fi] for _, _, fi in sl),
-                                   np.int64, len(sl))
-                frs = np.fromiter((fi for _, _, fi in sl), np.int64, len(sl))
-                return np.asarray(
-                    _run_frame_bucket(g, rows, frs, bkey, mesh=mesh)), sl
 
-            while True:
-                s = done_q.get()
-                if s is None:
-                    break
-                out_chunks[s] = [None] * len(frames_of[s])
-                m32 = decoders[s]._output_32bit
-                for j, (key, fi) in enumerate(frames_of[s]):
-                    bkey = _frame_shape_key(groups[key], fi, m32)
-                    sl = buckets.setdefault(bkey, [])
-                    sl.append((s, j, fi))
-                    if mesh is not None:
-                        continue   # sharded buckets stay whole (SPMD over ICI)
-                    ((nch, _mbs), bs, depth, _wide, _acc64, bm32) = bkey
-                    bps = 4 if bm32 else (depth + 7) // 8
-                    if len(sl) * bs * nch * bps >= SLICE_OUT_BYTES:
-                        buckets[bkey] = []
-                        pending.append(pool.submit(_slice_job, bkey, sl))
-            parser.join()
-            for bkey, sl in buckets.items():   # tails (+ whole mesh buckets)
-                if sl:
+    def _parse_call(on_stream):
+        _parse_streams(decoders, buffers, groups, codes, frames_of,
+                       on_stream=on_stream)
+
+    with transport.overlapped_parse(_parse_call, n) as done_q, \
+            ThreadPoolExecutor(max_workers=transport.DRAIN_THREADS) as pool:
+        def _slice_job(bkey, sl):
+            g = groups[bkey[0]]
+            rows = np.fromiter((g.slot[fi] for _, _, fi in sl),
+                               np.int64, len(sl))
+            frs = np.fromiter((fi for _, _, fi in sl), np.int64, len(sl))
+            return np.asarray(
+                _run_frame_bucket(g, rows, frs, bkey, mesh=mesh)), sl
+
+        while True:
+            s = done_q.get()
+            if s is None:
+                break
+            out_chunks[s] = [None] * len(frames_of[s])
+            m32 = decoders[s]._output_32bit
+            for j, (key, fi) in enumerate(frames_of[s]):
+                bkey = _frame_shape_key(groups[key], fi, m32)
+                sl = buckets.setdefault(bkey, [])
+                sl.append((s, j, fi))
+                if mesh is not None:
+                    continue   # sharded buckets stay whole (SPMD over ICI)
+                ((nch, _mbs), bs, depth, _wide, _acc64, bm32) = bkey
+                bps = 4 if bm32 else (depth + 7) // 8
+                if len(sl) * bs * nch * bps >= transport.SLICE_OUT_BYTES:
+                    buckets[bkey] = []
                     pending.append(pool.submit(_slice_job, bkey, sl))
-            for fut in pending:
-                packed_np, sl = fut.result()
-                for k, (s, j, _) in enumerate(sl):
-                    out_chunks[s][j] = packed_np[k]
-    finally:
-        parser.join()
-    if parse_err:
-        raise parse_err[0]
+        for bkey, sl in buckets.items():   # tails (+ whole mesh buckets)
+            if sl:
+                pending.append(pool.submit(_slice_job, bkey, sl))
+        for fut in pending:
+            packed_np, sl = fut.result()
+            for k, (s, j, _) in enumerate(sl):
+                out_chunks[s][j] = packed_np[k]
 
     results = []
     for s, dec in enumerate(decoders):
@@ -437,35 +408,24 @@ def decode_streams_to_device(decoders, buffers, mesh=None):
     ready to feed a sharded ``Resampler.resample_stream`` without any
     resharding collective.
     """
-    import queue
-    import threading
-
     n = len(decoders)
 
-    # parse on a worker thread signalling per completed stream (same overlap
+    # parse signals per completed stream (transport.overlapped_parse — same
     # pattern as _decode_streams): stream-chunks of residuals upload while
-    # later streams still parse — this path is upload-dominated (no PCM
+    # later streams still parse.  This path is upload-dominated (no PCM
     # download), so hiding the host parse leg under the uploads is the whole
-    # remaining overlap
+    # remaining overlap.
     groups: dict = {}
     codes = [[] for _ in buffers]
     frames_of = [[] for _ in buffers]
-    done_q: queue.Queue = queue.Queue()
-    parse_err = []
-
-    def _parse_job():
-        try:
-            _parse_streams(decoders, buffers, groups, codes, frames_of,
-                           on_stream=done_q.put)
-        except BaseException as e:
-            parse_err.append(e)
-        finally:
-            done_q.put(None)
-
     per_frame_keys = None
     chunk_outs = {}      # bkey -> list of [chunk, len(js), bytes] device arrays
     bucket_js = {}
     ready = []           # consecutive parsed, not-yet-dispatched stream ids
+
+    def _parse_call(on_stream):
+        _parse_streams(decoders, buffers, groups, codes, frames_of,
+                       on_stream=on_stream)
 
     def _dispatch_chunk(streams_chunk):
         for bkey, js in bucket_js.items():
@@ -480,9 +440,7 @@ def decode_streams_to_device(decoders, buffers, mesh=None):
             chunk_outs.setdefault(bkey, []).append(
                 packed.reshape(len(streams_chunk), len(js), -1))
 
-    parser = threading.Thread(target=_parse_job)
-    parser.start()
-    try:
+    with transport.overlapped_parse(_parse_call, n) as done_q:
         while True:
             s = done_q.get()
             if s is None:
@@ -497,11 +455,11 @@ def decode_streams_to_device(decoders, buffers, mesh=None):
                 for bkey in dict.fromkeys(keys):
                     bucket_js[bkey] = [j for j, k in enumerate(keys) if k == bkey]
                 # chunk streams so each dispatch round moves ~one transport
-                # slice of PCM-equivalent bytes (see SLICE_OUT_BYTES)
+                # slice of PCM-equivalent bytes (see transport.SLICE_OUT_BYTES)
                 stream_bytes = sum(k[1] * k[0][0] * (4 if k[5] else (k[2] + 7) // 8)
                                    for k in keys)
                 chunk_n = n if mesh is not None else max(
-                    1, SLICE_OUT_BYTES // max(1, stream_bytes))
+                    1, transport.SLICE_OUT_BYTES // max(1, stream_bytes))
             elif keys != per_frame_keys:
                 raise ValueError("decode_streams_to_device requires a uniform fleet "
                                  "(same frame-shape sequence per stream)")
@@ -509,15 +467,10 @@ def decode_streams_to_device(decoders, buffers, mesh=None):
             if len(ready) >= chunk_n:
                 _dispatch_chunk(ready)
                 ready = []
-        parser.join()
-        if parse_err:
-            raise parse_err[0]
         if per_frame_keys is None:
             raise ValueError("no frames parsed")
         if ready:
             _dispatch_chunk(ready)
-    finally:
-        parser.join()
 
     F = len(per_frame_keys)
     # stitch chunk rows (stream-major, consecutive) and per-frame-position

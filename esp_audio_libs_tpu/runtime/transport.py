@@ -1,0 +1,78 @@
+"""Host<->device transport tuning and the overlapped-parse scaffolding
+shared by the serving dispatch paths.
+
+The serving layer splits large dispatches into slices and overlaps the
+three legs — host parse, uploads, downloads — across threads.  The design
+rests on measured link properties (re-measure with
+``tools/transport_probe.py`` when deploying elsewhere):
+
+- the link is full duplex (uploads and downloads overlap ~perfectly),
+- same-direction concurrency scales aggregate bandwidth in some windows
+  (D2H 8 -> 54 MB/s at 4 threads in one measured window) and never hurts,
+- oversized single downloads can stall pathologically, so splitting is
+  also a robustness measure.
+
+These constants are the tuning surface; tests monkeypatch them to force
+many tiny slices.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import queue
+import threading
+
+# target PCM bytes per dispatch slice — sized so one slice's upload and the
+# previous slice's download overlap while per-transfer latency stays
+# amortized (throughput measured flat for 4-17 MB slices)
+SLICE_OUT_BYTES = 8 << 20
+
+# target PCM bytes per MP3 sub-fleet dispatch (stream-axis slicing of a
+# format group's fused granule run)
+MP3_SLICE_PCM_BYTES = 8 << 20
+
+# worker threads running slice jobs (upload + dispatch + download each):
+# concurrent transfers scale on the measured link and slice results are
+# order-independent
+DRAIN_THREADS = 4
+
+
+@contextlib.contextmanager
+def overlapped_parse(parse_call, n_streams: int):
+    """Run ``parse_call(on_stream)`` with per-stream completion signals.
+
+    Yields a queue that receives each completed stream id and a final
+    ``None`` sentinel.  With more than one stream the parse runs on a
+    worker thread so the consumer can dispatch completed streams' work
+    while later streams still parse; with one stream it runs inline (there
+    is nothing to overlap — the signals just queue up).  Exceptions from
+    the parse are re-raised on context exit, AFTER the consumer body — the
+    sentinel is always delivered, so consumers never block on a dead
+    parser.
+    """
+    done_q: queue.Queue = queue.Queue()
+    err = []
+
+    def _job():
+        try:
+            parse_call(done_q.put)
+        except BaseException as e:      # noqa: BLE001 — re-raised below
+            err.append(e)
+        finally:
+            done_q.put(None)
+
+    if n_streams <= 1:
+        _job()
+        yield done_q
+        if err:
+            raise err[0]
+        return
+
+    t = threading.Thread(target=_job)
+    t.start()
+    try:
+        yield done_q
+    finally:
+        t.join()
+    if err:
+        raise err[0]

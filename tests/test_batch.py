@@ -200,7 +200,7 @@ def test_mp3_sliced_dispatch_bitexact(monkeypatch, homogeneous):
     downloads drained on a worker thread) must match whole-group dispatch
     frame-for-frame, including carried state across a follow-up run: force a
     tiny slice target so every group splits, including a ragged tail."""
-    from esp_audio_libs_tpu.models import batch as batch_mod
+    from esp_audio_libs_tpu.runtime import transport
 
     cfgs = [MP3_CFGS[1]] * 4 if homogeneous else MP3_CFGS
     streams = [_mp3_stream(c, seed=75 + i, n_frames=5) for i, c in enumerate(cfgs)]
@@ -215,7 +215,7 @@ def test_mp3_sliced_dispatch_bitexact(monkeypatch, homogeneous):
         return first, second
 
     want = run()
-    monkeypatch.setattr(batch_mod, "MP3_SLICE_PCM_BYTES", 3 * 2 * 576 * 2 * 2)
+    monkeypatch.setattr(transport, "MP3_SLICE_PCM_BYTES", 3 * 2 * 576 * 2 * 2)
     got = run()
     for a, b in zip(want, got):
         for i in range(n):
@@ -300,7 +300,7 @@ def test_flac_sliced_dispatch_bitexact(monkeypatch):
     drain thread overlapping downloads and uploads) must be byte-identical
     to whole-bucket dispatch: force a tiny slice target so every bucket
     splits into many slices, including a ragged tail, and compare."""
-    from esp_audio_libs_tpu.models import flac as flac_model
+    from esp_audio_libs_tpu.runtime import transport
 
     blobs = _flac_corpus()
 
@@ -313,7 +313,7 @@ def test_flac_sliced_dispatch_bitexact(monkeypatch):
     want = run()   # default: single slice per bucket at these sizes
     # 1024x2x2 B frames -> 3 frames/slice (ragged tails in 4- and 2-frame
     # buckets exercise the odd-shape path)
-    monkeypatch.setattr(flac_model, "SLICE_OUT_BYTES", 3 * 1024 * 2 * 2)
+    monkeypatch.setattr(transport, "SLICE_OUT_BYTES", 3 * 1024 * 2 * 2)
     got = run()
     for s in range(len(blobs)):
         assert got[s][0] == want[s][0], f"stream {s}: sliced dispatch changed PCM"

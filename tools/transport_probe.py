@@ -2,8 +2,9 @@
 """Host<->device transport probe: per-direction bandwidth, same-direction
 concurrency scaling, and full-duplex overlap.
 
-The serving layer's transport-slicing design (models/flac.SLICE_OUT_BYTES,
-models/batch.MP3_SLICE_PCM_BYTES, PROFILES.md "duplex transport slicing")
+The serving layer's transport-slicing design (runtime/transport.py's
+SLICE_OUT_BYTES / MP3_SLICE_PCM_BYTES / DRAIN_THREADS, PROFILES.md
+"duplex transport slicing")
 rests on three measured properties of the link; this tool re-measures them
 so a new deployment can size its slices:
 
@@ -60,12 +61,17 @@ def main(total_mb: int = 32) -> None:
                 _ = list(ex.map(np.asarray, devs))
         return time.perf_counter() - t0
 
+    if total_mb < 8:
+        raise SystemExit("total_MB must be >= 8 (4-part legs need >= 2 MB parts)")
+
     for npart, nt in [(1, 1), (4, 1), (4, 4)]:
+        moved = (total_mb // npart) * npart   # report what actually moved
         dt, _ = up([fresh(total_mb // npart) for _ in range(npart)], nt)
-        print(f"H2D {total_mb} MB, {npart} parts, {nt} threads: "
-              f"{total_mb / dt:6.1f} MB/s")
+        print(f"H2D {moved} MB, {npart} parts, {nt} threads: "
+              f"{moved / dt:6.1f} MB/s")
 
     for npart, nt in [(4, 1), (4, 4)]:
+        moved = (total_mb // npart) * npart
         devs = []
         for i in range(npart):
             x = jax.device_put(fresh(total_mb // npart), dev)
@@ -73,8 +79,8 @@ def main(total_mb: int = 32) -> None:
             y.block_until_ready()
             devs.append(y)
         dt = down(devs, nt)
-        print(f"D2H {total_mb} MB, {npart} parts, {nt} threads: "
-              f"{total_mb / dt:6.1f} MB/s")
+        print(f"D2H {moved} MB, {npart} parts, {nt} threads: "
+              f"{moved / dt:6.1f} MB/s")
 
     # duplex: one upload and one download racing on two threads
     half = total_mb // 2
