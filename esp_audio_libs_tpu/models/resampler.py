@@ -115,13 +115,36 @@ class Resampler:
     Args:
       batch: number of independent streams processed per call.
       exact: bit-exact f32 kernels (parity mode) vs MXU fast path.
+      mesh: optional stream mesh (``parallel.mesh.stream_mesh``).  When
+        set, all per-stream device state (history windows, biquad states)
+        and incoming PCM are placed stream-sharded, so the whole pipeline
+        runs SPMD across the mesh — the composition contract with
+        ``BatchedFLACDecoder.decode_streams_to_device(mesh=...)``, whose
+        sharded PCM feeds straight in without a resharding collective.
+        ``batch`` must divide evenly across the mesh devices.
     """
 
-    def __init__(self, batch: int, *, exact: bool = True):
+    def __init__(self, batch: int, *, exact: bool = True, mesh=None):
         self.batch = batch
         self.exact = exact
+        self.mesh = mesh
+        if mesh is not None and batch % mesh.size != 0:
+            raise ValueError(
+                f"batch {batch} must divide evenly over the {mesh.size}-device mesh")
         self._initialized = False
         self._chunk_fns = {}
+
+    def _place(self, x):
+        """Commit a per-stream array (leading dim = batch) to the stream
+        mesh; identity without one.  Re-placing an already stream-sharded
+        array is a no-op layout-wise."""
+        if self.mesh is None:
+            return x
+        from ..parallel.mesh import batch_sharding
+        return jax.device_put(x, batch_sharding(self.mesh, x.ndim))
+
+    def _place_tree(self, t):
+        return jax.tree_util.tree_map(self._place, t)
 
     def initialize(self, config: ResamplerConfiguration) -> bool:
         """Reference Resampler::initialize (resampler.cpp:21-98)."""
@@ -162,7 +185,8 @@ class Resampler:
             if self.pre_filter or self.post_filter:
                 self._coeffs_dev = jnp.asarray(self.lowpass_coeffs)
                 self._biquad_state = [
-                    bq.BiquadState.zeros((self.batch, self.channels)) for _ in range(2)
+                    self._place_tree(bq.BiquadState.zeros((self.batch, self.channels)))
+                    for _ in range(2)
                 ]
                 if not self.exact:
                     self._fir_len = bq.fir_len_for(self.lowpass_coeffs)
@@ -222,11 +246,12 @@ class Resampler:
                     for j in range(128):
                         W2[j:j + Lh, j] = row
                     self._post_W2 = jnp.asarray(W2)
-                    self._post_hist = jnp.zeros(
-                        (self.batch, self.channels, self._post_Hlen), jnp.float32)
+                    self._post_hist = self._place(jnp.zeros(
+                        (self.batch, self.channels, self._post_Hlen), jnp.float32))
             self.phase = PhaseState.initial(taps)
             self.phase.advance(taps / 2.0)
-            self.history = jnp.zeros((self.batch, self.channels, self.hist_len), jnp.float32)
+            self.history = self._place(
+                jnp.zeros((self.batch, self.channels, self.hist_len), jnp.float32))
 
         self._initialized = True
         return True
@@ -256,12 +281,13 @@ class Resampler:
         if self.requires_resampling:
             self.phase.offset = np.float32(st["phase_offset"])
             self.phase.input_index = int(st["phase_input_index"])
-            self.history = jnp.asarray(np.asarray(st["history"], np.float32))
+            self.history = self._place(jnp.asarray(np.asarray(st["history"], np.float32)))
         if self.pre_filter or self.post_filter:
-            self._biquad_state = [tuple(jnp.asarray(s) for s in stage)
+            self._biquad_state = [tuple(self._place(jnp.asarray(s)) for s in stage)
                                   for stage in st["biquad"]]
         if "post_hist" in st:
-            self._post_hist = jnp.asarray(np.asarray(st["post_hist"], np.float32))
+            self._post_hist = self._place(
+                jnp.asarray(np.asarray(st["post_hist"], np.float32)))
 
     # ------------------------------------------------------------------ core
     def resample(self, input_bytes, input_frames_available: int,
@@ -288,7 +314,7 @@ class Resampler:
 
         bps_in = q.bytes_per_sample(self.input_bits)
         factor = q.gain_factor(self.input_bits, gain_db)
-        data = jnp.asarray(input_bytes)[:, : frames_to_process * ch * bps_in]
+        data = self._place(jnp.asarray(input_bytes))[:, : frames_to_process * ch * bps_in]
 
         if not self.requires_resampling:
             fn = self._get_passthrough_fn(frames_to_process)
@@ -522,7 +548,8 @@ class Resampler:
         gens = [g.output_generated for g in grids]
         bps_in = q.bytes_per_sample(self.input_bits)
         factor = q.gain_factor(self.input_bits, gain_db)
-        data = jnp.asarray(input_bytes)[:, : num_chunks * chunk_frames * ch * bps_in]
+        data = self._place(
+            jnp.asarray(input_bytes))[:, : num_chunks * chunk_frames * ch * bps_in]
 
         if not self.exact:
             # fast path: only the compact grid arrays ship (~60KB/chunk);

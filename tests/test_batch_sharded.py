@@ -187,3 +187,64 @@ def test_mp3_to_device_failure_rolls_back_native_state():
     # fleet still decodes cleanly afterwards
     r = dec.decode_run([streams[0], streams[1]], 1)
     assert all(e == MP3Error.NONE for e, _, _ in r[0])
+
+
+# ------------------------------------------- composed chain on the mesh
+
+@pytest.mark.parametrize("exact", [True, False])
+def test_sharded_composed_flac_resample(mesh, exact):
+    """The full composed serving chain — FLAC parse -> sharded device decode
+    -> stream-sharded PCM -> mesh-aware Resampler — must match the unsharded
+    chain, with the PCM handoff, the resampler's carried state, and the
+    resampled output all staying stream-sharded (no resharding collective
+    between the stages).
+
+    Equality contract: the exact path is bit-identical sharded vs unsharded
+    (measured on both the CPU mesh and real TPU).  The fast path is
+    bit-identical on TPU but may differ by 1 LSB at isolated float rounding
+    boundaries on the virtual CPU mesh (XLA:CPU fuses/contracts FMAs
+    differently under SPMD partitioning — a cross-compilation artifact, well
+    inside the fast path's 2e-5 accuracy contract), so it gets a <=1 LSB
+    tolerance here."""
+    from esp_audio_libs_tpu.models.resampler import (Resampler,
+                                                     ResamplerConfiguration)
+
+    blobs = _flac_fleet()
+    frames = 3 * 1024
+    cfg = ResamplerConfiguration(44100.0, 16000.0, 16, 16, 2, True, True, 64, 32)
+
+    def chain(m):
+        bat = BatchedFLACDecoder(N, mesh=m)
+        bat.read_headers(blobs)
+        pcm, _ = bat.decode_streams_to_device(
+            [b[d.get_bytes_index():] for b, d in zip(blobs, bat.decoders)])
+        r = Resampler(batch=N, exact=exact, mesh=m)
+        r.initialize(cfg)
+        out, gens, clips = r.resample_stream(pcm, frames, 1)
+        return pcm, r, out, gens, clips
+
+    pcm_ref, _, out_ref, gens_ref, clips_ref = chain(None)
+    pcm_shd, r_shd, out_shd, gens_shd, clips_shd = chain(mesh)
+
+    # handoff and output sharding: PCM arrives sharded, state stays sharded
+    assert pcm_shd.sharding.is_equivalent_to(batch_sharding(mesh, 2), 2)
+    assert r_shd.history.sharding.is_equivalent_to(
+        batch_sharding(mesh, r_shd.history.ndim), r_shd.history.ndim)
+    # output is [num_chunks, batch, bytes] — batch is axis 1
+    assert len(out_shd.addressable_shards) == N
+
+    assert list(gens_shd) == list(gens_ref)
+    a = np.asarray(out_ref).view(np.int16).astype(np.int32)
+    b = np.asarray(out_shd).view(np.int16).astype(np.int32)
+    if exact:
+        np.testing.assert_array_equal(b, a)
+        np.testing.assert_array_equal(np.asarray(clips_shd), np.asarray(clips_ref))
+    else:
+        assert np.abs(a - b).max() <= 1, "fast path drifted past 1 LSB"
+
+
+def test_resampler_mesh_requires_even_division():
+    from esp_audio_libs_tpu.models.resampler import Resampler
+
+    with pytest.raises(ValueError):
+        Resampler(batch=3, mesh=stream_mesh(jax.devices()[:2]))
