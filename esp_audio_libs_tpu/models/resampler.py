@@ -26,6 +26,7 @@ counters; all per-stream state (history, biquad states) lives on device.
 from __future__ import annotations
 
 import dataclasses
+import os
 
 import jax
 import jax.numpy as jnp
@@ -36,7 +37,9 @@ from ..ops import quantization as q
 from ..ops import sinc
 from ..ops.polyphase import (banded_K, banded_weights_device, polyphase_apply,
                              polyphase_banded)
-from ..ops.polyphase_pallas import pallas_supported, polyphase_banded_pallas
+from ..ops.polyphase_pallas import (fused16_supported, pallas_supported,
+                                    polyphase_banded_pallas,
+                                    polyphase_fused16_pallas)
 from ..runtime.phase_grid import (
     HISTORY_MARGIN,
     PhaseState,
@@ -605,6 +608,28 @@ class Resampler:
             L = -(-max(hist_len + frames, K) // 128) * 128  # lane-aligned for Mosaic DMA
             poly = polyphase_banded_pallas if use_pallas else polyphase_banded
 
+            # Fully-fused tier for the dominant serving shape (s16 in/out, no
+            # post stage): raw int16 slabs + in-kernel quantize collapse the
+            # scan body's HBM bytes ~4x (see ops/polyphase_pallas). Opt-in
+            # (EAL_RESAMPLE_FUSED16=1): on this box's tunnel it measured a
+            # tie with the XLA body (both structure-bound, PROFILES.md
+            # round-3 fused16 note), so the default stays the measured-equal
+            # simpler path; the tier exists for co-located hardware where
+            # the byte reduction is the predicted win.
+            fused = (os.environ.get("EAL_RESAMPLE_FUSED16", "") in ("1", "true")
+                     and use_pallas and not post and ch in (1, 2)
+                     and in_bits == 16 and self.output_bits == 16
+                     and (self.batch * ch) % 16 == 0 and fused16_supported())
+            if fused:
+                fn = self._build_fused_stream_fn(
+                    frames, out_max, K=K, L=L, taps_p=taps_p,
+                    filt_dev=filt_dev, direct_dev=direct_dev)
+                self._chunk_fns[key] = self._with_pallas_fallback(
+                    fn, True,
+                    lambda: self._get_fast_stream_fn(frames, out_max,
+                                                     num_chunks))
+                return self._chunk_fns[key]
+
             @jax.jit
             def fn(data, factor, hist, oh, gi, gw, gens):
                 B = data.shape[0]
@@ -639,6 +664,73 @@ class Resampler:
                 fn, use_pallas,
                 lambda: self._get_fast_stream_fn(frames, out_max, num_chunks))
         return self._chunk_fns[key]
+
+    def _build_fused_stream_fn(self, frames: int, out_max: int, *, K: int,
+                               L: int, taps_p: int, filt_dev, direct_dev):
+        """Fused-tier stream fn: the scan body keeps samples RAW int16 end to
+        end — bitcast de-interleave (no f32 planes), int16 history carry,
+        gain factor folded into the weight tiles, and the Pallas kernel does
+        slab-DMA + contraction + quantize in one pass (polyphase_fused16).
+        Per-chunk HBM traffic drops ~4x vs the f32 XLA body (measured by
+        tools/resampler_ablation.py). The public f32 `self.history` contract
+        is preserved by converting at the program boundary: history values
+        are always ``int16 * factor`` products, so f32 -> raw -> f32
+        round-trips to the identical floats the unfused path carries."""
+        ch = self.channels
+        hist_len = self.hist_len
+        bps_in = q.bytes_per_sample(self.input_bits)
+
+        @jax.jit
+        def fn(data, factor, hist, oh, gi, gw, gens):
+            B = data.shape[0]
+            chunk_bytes = frames * ch * bps_in
+            hist_raw = jnp.clip(jnp.round(hist / factor),
+                                jnp.float32(-32768.0),
+                                jnp.float32(32767.0)).astype(jnp.int16)
+
+            def body(carry, xs):
+                i, hist_raw = carry
+                gi_c, weight, gen = xs
+                win0x, idx1, idx2, mode = gi_c[0], gi_c[1], gi_c[2], gi_c[3]
+                chunk = jax.lax.dynamic_slice_in_dim(
+                    data, i * chunk_bytes, chunk_bytes, axis=1)
+                if ch == 2:
+                    xc = q.unpack_pcm16_planar2_raw(chunk)
+                else:
+                    xc = q.unpack_pcm16_raw(chunk)[:, None, :]
+                xext = jnp.concatenate([hist_raw, xc], axis=-1)
+                new_hist = xext[..., -hist_len:]
+                if L > hist_len + frames:
+                    xext = jnp.pad(xext,
+                                   [(0, 0), (0, 0), (0, L - hist_len - frames)])
+                Wt, st = banded_weights_device(
+                    filt_dev, direct_dev, win0x, idx1, idx2, weight, mode,
+                    gen, K=K, taps_p=taps_p, L=L, aligned=True)
+                s16, cmask = polyphase_fused16_pallas(
+                    xext.reshape(B * ch, L), Wt * factor, st)
+                s16 = s16.reshape(B, ch, -1)[..., :out_max]
+                cmask = cmask.reshape(B, ch, -1)[..., :out_max]
+                valid = (jnp.arange(out_max, dtype=jnp.int32) < gen)[None, None, :]
+                per_stream = jnp.sum(((cmask > 0) & valid).astype(jnp.uint32),
+                                     axis=(1, 2))
+                if ch == 2:
+                    le = s16[:, 0, :].astype(jnp.int32)
+                    ri = s16[:, 1, :].astype(jnp.int32)
+                    v = (le & 0xFFFF) | (ri << 16)
+                    packed_c = jax.lax.bitcast_convert_type(
+                        v, jnp.uint8).reshape(B, out_max * 4)
+                else:
+                    packed_c = jax.lax.bitcast_convert_type(
+                        s16[:, 0, :], jnp.uint8).reshape(B, out_max * 2)
+                return (i + 1, new_hist), (packed_c, per_stream)
+
+            init = (jnp.int32(0), hist_raw)
+            (_, new_hist_raw), (packed, clipped) = jax.lax.scan(
+                body, init, (gi, gw, gens))
+            new_hist = new_hist_raw.astype(jnp.float32) * factor
+            return packed, clipped, new_hist, oh
+
+        return fn
 
     def _get_stream_fn(self, frames: int, out_max: int, num_chunks: int):
         key = ("stream", frames, out_max, num_chunks)

@@ -21,13 +21,26 @@ bm*tile (~1.3MB at bm=256, K=768) — well under the ~16MB budget.
 from __future__ import annotations
 
 import functools
+import sys
 
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["polyphase_banded_pallas", "pallas_supported"]
+__all__ = ["polyphase_banded_pallas", "polyphase_fused16_pallas",
+           "pallas_supported", "fused16_supported"]
+
+
+def _ensure_recursion_headroom() -> None:
+    """Lowering a pallas_call nested inside a large scanned jit recurses
+    deeply in JAX's MLIR lowering; the default 1000-frame Python limit is
+    not enough at production scan sizes (observed: RecursionError from
+    _lower_jaxpr_to_fun_cached at B=2048, 8-chunk scans). Raising the limit
+    is safe — the recursion depth is bounded by the jaxpr nesting, not
+    unbounded — and cheaper than losing the kernel to the XLA fallback."""
+    if sys.getrecursionlimit() < 100_000:
+        sys.setrecursionlimit(100_000)
 
 
 def mark_unsupported() -> None:
@@ -36,6 +49,7 @@ def mark_unsupported() -> None:
     probe passed (Mosaic lowering has shape-dependent failure modes on
     remote-compile transports)."""
     pallas_supported.cache_clear()
+    fused16_supported.cache_clear()
     global _FORCED_OFF
     _FORCED_OFF = True
 
@@ -110,6 +124,7 @@ def polyphase_banded_pallas(xext, Wt, starts, *, T: int, interpret: bool = False
     xext: f32 ``[..., L]``; Wt f32 ``[nt, K, tile]``; starts int32 ``[nt]``
     (clamped so start + K <= L). Returns f32 ``[..., T]``.
     """
+    _ensure_recursion_headroom()
     nt, K, tile = Wt.shape
     *lead, L = xext.shape
     M = 1
@@ -147,3 +162,126 @@ def polyphase_banded_pallas(xext, Wt, starts, *, T: int, interpret: bool = False
         interpret=interpret,
     )(starts.astype(jnp.int32), x2, Wt)
     return out.reshape(*lead, nt * tile)[..., :T]
+
+
+# --------------------------------------------------------------- fused 16-bit
+
+
+def _fused16_kernel(starts_ref, x_hbm, wt_ref, out_ref, clip_ref, slabs, sems):
+    """Slab-DMA contraction with the 16-bit quantize epilogue fused in.
+
+    Input slabs stay RAW int16 in HBM (half the DMA bytes of the f32 path;
+    the caller folds the PCM gain factor into the weight tiles), convert to
+    f32 on the VPU, contract on the MXU at HIGHEST precision (Mosaic's dot
+    lowering rejects HIGH; HIGHEST matches the sibling slab kernel above and
+    only tightens the fast-path tolerance), then quantize
+    in-register: round-half-up ``floor(x*2^15 + 0.5)`` with the reference's
+    x86 cast semantics (out-of-int32-range / NaN products collapse to
+    INT_MIN and therefore clip to NEGATIVE full scale —
+    src/quantization_utils.cpp:61) and symmetric clip to int16 with a
+    clipped-lane mask (:54-56). The f32 `out` intermediate never touches
+    HBM; outputs are int16 samples + an int8 clip mask (~5x less output
+    traffic than f32 out + separate quantize pass)."""
+    nm = pl.num_programs(1)
+    g = pl.program_id(0) * nm + pl.program_id(1)
+    total = pl.num_programs(0) * nm
+    _, bm, K = slabs.shape
+
+    def dma(step, slot):
+        ii = step // nm
+        mm = step - ii * nm
+        st = pl.multiple_of(starts_ref[ii], 128)
+        return pltpu.make_async_copy(
+            x_hbm.at[pl.ds(mm * bm, bm), pl.ds(st, K)],
+            slabs.at[slot], sems.at[slot])
+
+    slot = jax.lax.rem(g, jnp.int32(2))
+
+    @pl.when(g == 0)
+    def _():
+        dma(0, 0).start()
+
+    @pl.when(g + 1 < total)
+    def _():
+        dma(g + 1, jax.lax.rem(g + 1, jnp.int32(2))).start()
+
+    dma(g, slot).wait()
+    outf = jnp.dot(slabs[slot].astype(jnp.float32), wt_ref[...],
+                   preferred_element_type=jnp.float32,
+                   precision=jax.lax.Precision.HIGHEST)
+    y = jnp.floor(outf * jnp.float32(32768.0) + jnp.float32(0.5))
+    # x86 cvttss2si: NaN or |y| >= 2^31 converts to INT_MIN -> clips LOW
+    bad = jnp.isnan(y) | (y >= jnp.float32(2147483648.0)) \
+        | (y < jnp.float32(-2147483648.0))
+    yc = jnp.where(bad, jnp.float32(-2147483648.0), y)
+    clipped = (yc > jnp.float32(32767.0)) | (yc < jnp.float32(-32768.0))
+    val = jnp.clip(yc, jnp.float32(-32768.0), jnp.float32(32767.0))
+    out_ref[...] = val.astype(jnp.int32).astype(jnp.int16)
+    clip_ref[...] = clipped.astype(jnp.int8)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def polyphase_fused16_pallas(x2, Wt, starts, *, interpret: bool = False):
+    """Fused resample+quantize tile kernel for 16-bit output.
+
+    Args:
+      x2: RAW int16 samples ``[M, L]`` (history + chunk, factor NOT applied).
+      Wt: f32 ``[nt, K, tile]`` weight tiles with the PCM gain factor folded
+        in (``banded_weights_device(...) * factor``).
+      starts: int32 ``[nt]`` lane-aligned tile starts (banded_K(aligned=True)).
+    Returns: (samples int16 ``[M, nt*tile]``, clip mask int8 ``[M, nt*tile]``).
+    The caller slices to the real output count and applies its own valid-lane
+    masking for clip counting (lanes past `gen` carry garbage, as in the XLA
+    fast path).
+    """
+    _ensure_recursion_headroom()
+    nt, K, tile = Wt.shape
+    M, L = x2.shape
+    assert x2.dtype == jnp.int16, x2.dtype
+
+    bm = 1
+    while bm < 512 and M % (bm * 2) == 0:
+        bm *= 2
+    if bm < 16:   # int16 sublane tile is 16; tiny batches use the XLA path
+        raise ValueError(f"M={M} too small for the fused kernel (bm={bm})")
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nt, M // bm),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.HBM),
+            pl.BlockSpec((None, K, tile), lambda i, m, s: (i, 0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((bm, tile), lambda i, m, s: (m, i)),
+            pl.BlockSpec((bm, tile), lambda i, m, s: (m, i)),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((2, bm, K), jnp.int16),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    return pl.pallas_call(
+        _fused16_kernel,
+        out_shape=[jax.ShapeDtypeStruct((M, nt * tile), jnp.int16),
+                   jax.ShapeDtypeStruct((M, nt * tile), jnp.int8)],
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(starts.astype(jnp.int32), x2, Wt)
+
+
+@functools.lru_cache(None)
+def fused16_supported() -> bool:
+    """Probe the fused kernel once at a minimal real shape (see
+    pallas_supported for why a probe is needed on this transport)."""
+    if _FORCED_OFF or jax.default_backend() != "tpu":
+        return False
+    try:
+        x = jnp.zeros((16, 256), jnp.int16)
+        wt = jnp.zeros((1, 128, 128), jnp.float32)
+        starts = jnp.zeros((1,), jnp.int32)
+        s, c = polyphase_fused16_pallas(x, wt, starts)
+        jax.block_until_ready(s)
+        return True
+    except Exception:
+        return False

@@ -154,6 +154,29 @@ def unpack_pcm16_planar2(data: jax.Array) -> jax.Array:
     return jnp.stack([left, right], axis=-2)                  # [..., 2, frames]
 
 
+def unpack_pcm16_planar2_raw(data: jax.Array) -> jax.Array:
+    """uint8 ``[..., frames*4]`` interleaved stereo s16 -> RAW int16
+    ``[..., 2, frames]`` (no widening, no gain): the int16 feed for the
+    fused Pallas resample kernel, which folds the gain factor into its
+    weight tiles and converts on-chip — half the HBM bytes of the f32
+    planes. Same transpose-free bitcast de-interleave as
+    :func:`unpack_pcm16_planar2`."""
+    *lead, total = data.shape
+    v = jax.lax.bitcast_convert_type(
+        data.reshape(*lead, total // 4, 4), jnp.int32)        # [..., frames]
+    left = ((v << 16) >> 16).astype(jnp.int16)
+    right = (v >> 16).astype(jnp.int16)
+    return jnp.stack([left, right], axis=-2)                  # [..., 2, frames]
+
+
+def unpack_pcm16_raw(data: jax.Array) -> jax.Array:
+    """uint8 ``[..., frames*2]`` mono s16 -> RAW int16 ``[..., frames]``
+    (one bitcast; see unpack_pcm16_planar2_raw for the fused-kernel use)."""
+    *lead, total = data.shape
+    return jax.lax.bitcast_convert_type(
+        data.reshape(*lead, total // 2, 2), jnp.int16)
+
+
 def pack_pcm16_interleave2(samples: jax.Array) -> jax.Array:
     """int32 ``[..., 2, T]`` (16-bit storage convention) -> uint8
     ``[..., T*4]`` interleaved stereo, transpose-free (inverse of

@@ -196,3 +196,100 @@ def test_folded_biquad_matches_cascade():
 
     np.testing.assert_allclose(got[..., :g.output_generated], ref,
                                rtol=5e-5, atol=5e-5)
+
+
+# ------------------------------------------------------------- fused 16-bit
+
+
+def test_fused16_kernel_matches_quantized_xla_interpret():
+    """The fused int16 kernel (interpret mode) must reproduce the XLA
+    composition (f32 banded contraction -> q.float_to_int) within 1 output
+    LSB — the only rounding difference is folding the gain factor into the
+    weights instead of the samples — with identical clip decisions away from
+    exact clip boundaries, including the x86 huge-product -> NEGATIVE full
+    scale semantics (src/quantization_utils.cpp:61)."""
+    from esp_audio_libs_tpu.ops import quantization as q
+    from esp_audio_libs_tpu.ops.polyphase_pallas import polyphase_fused16_pallas
+
+    rng = np.random.default_rng(7)
+    M, L, nt, K, tile = 32, 1024, 3, 512, 128
+    x = rng.integers(-32768, 32768, (M, L), dtype=np.int16)
+    Wt = (rng.standard_normal((nt, K, tile)) * 0.02).astype(np.float32)
+    Wt[:, 300:, :] = 0.0
+    # one column with huge weights: product overflows int32 -> INT_MIN ->
+    # clips to NEGATIVE full scale on both paths
+    Wt[0, :300, 5] = 1e6
+    starts = jnp.asarray(np.array([0, 128, 256], np.int32))
+    factor = np.float32(1.0 / 32768.0)
+
+    s16, cmask = polyphase_fused16_pallas(
+        jnp.asarray(x), jnp.asarray(Wt) * factor, starts, interpret=True)
+
+    xf = jnp.asarray(x).astype(jnp.float32) * factor
+    out = polyphase_banded(xf, jnp.asarray(Wt), starts, T=nt * tile)
+    samples, clipped = q.float_to_int(out, 16)
+
+    a = np.asarray(s16).astype(np.int32)
+    b = np.asarray(samples)
+    assert np.abs(a - b).max() <= 1
+    cm = np.asarray(cmask) > 0
+    cb = np.asarray(clipped)
+    # clip decisions may differ only where the quantized value sits at the
+    # boundary (a <=1-LSB rounding difference straddling the clip edge)
+    disagree = cm != cb
+    assert not (disagree & (np.abs(b) < 32766)).any()
+    # the huge-weight column clipped NEGATIVE despite positive overflow
+    hot = a[:, 5]
+    assert (np.abs(hot) == 32768 - 1) .any() or (hot == -32768).any()
+    assert cm[:, 5].all() and cb[:, 5].all()
+
+
+def test_fused16_supported_probe_is_safe():
+    from esp_audio_libs_tpu.ops.polyphase_pallas import fused16_supported
+
+    assert fused16_supported() in (True, False)
+
+
+@pytest.mark.parametrize("ch", [1, 2])
+def test_fused_stream_fn_matches_xla_fast_stream(monkeypatch, ch):
+    """The fused-tier stream fn (models/resampler._build_fused_stream_fn,
+    interpret-mode kernel) must match the XLA fast stream path: same packed
+    bytes within 1 LSB, same generated counts, identical carried f32 history
+    (history round-trips exactly through the raw-int16 representation)."""
+    import functools as ft
+
+    import esp_audio_libs_tpu.models.resampler as rmod
+    from esp_audio_libs_tpu.models.resampler import (Resampler,
+                                                     ResamplerConfiguration)
+
+    B, frames, n_chunks = 16, 512, 3  # B*ch >= 16: the fused tier's minimum
+    cfg = ResamplerConfiguration(44100.0, 16000.0, 16, 16, ch, True, True, 64, 32)
+    rng = np.random.default_rng(11)
+    # quarter-scale input: no clipping on either path, so clip counts must
+    # be exactly zero on both
+    pcm = (rng.integers(-8192, 8192, (B, n_chunks * frames * ch))
+           .astype(np.int16))
+    data = jnp.asarray(pcm.view(np.uint8).reshape(B, -1))
+
+    ref = Resampler(batch=B, exact=False)
+    ref.initialize(cfg)
+    p_ref, g_ref, c_ref = ref.resample_stream(data, frames, n_chunks)
+
+    monkeypatch.setenv("EAL_RESAMPLE_FUSED16", "1")
+    monkeypatch.setattr(rmod, "pallas_supported", lambda: True)
+    monkeypatch.setattr(rmod, "fused16_supported", lambda: True)
+    monkeypatch.setattr(rmod, "polyphase_fused16_pallas",
+                        ft.partial(rmod.polyphase_fused16_pallas,
+                                   interpret=True))
+    fus = Resampler(batch=B, exact=False)
+    fus.initialize(cfg)
+    p_fus, g_fus, c_fus = fus.resample_stream(data, frames, n_chunks)
+
+    assert list(g_ref) == list(g_fus)
+    a = np.asarray(p_ref).view(np.int16).astype(np.int32)
+    b = np.asarray(p_fus).view(np.int16).astype(np.int32)
+    assert np.abs(a - b).max() <= 1
+    assert np.asarray(c_ref).sum() == 0 and np.asarray(c_fus).sum() == 0
+    # carried state stays on the shared f32 contract
+    np.testing.assert_array_equal(np.asarray(ref.history),
+                                  np.asarray(fus.history))
