@@ -256,6 +256,11 @@ class Resampler:
             self.history = self._place(
                 jnp.zeros((self.batch, self.channels, self.hist_len), jnp.float32))
 
+        # True while the carried history was produced under gain_db == 0
+        # (zeros qualify): the fused int16 tier reconstructs raw samples as
+        # history / factor, which is only exact when the history's own gain
+        # factor equals the current call's (see _build_fused_stream_fn).
+        self._hist_gain_zero = True
         self._initialized = True
         return True
 
@@ -277,6 +282,7 @@ class Resampler:
                             for stage in self._biquad_state]
         if getattr(self, "_post_hist", None) is not None:
             st["post_hist"] = np.asarray(self._post_hist)
+        st["hist_gain_zero"] = bool(getattr(self, "_hist_gain_zero", False))
         return st
 
     def set_state(self, st: dict) -> None:
@@ -291,6 +297,9 @@ class Resampler:
         if "post_hist" in st:
             self._post_hist = self._place(
                 jnp.asarray(np.asarray(st["post_hist"], np.float32)))
+        # absent in snapshots from before the fused tier -> conservatively
+        # route the first post-restore calls through the XLA body
+        self._hist_gain_zero = bool(st.get("hist_gain_zero", False))
 
     # ------------------------------------------------------------------ core
     def resample(self, input_bytes, input_frames_available: int,
@@ -365,6 +374,7 @@ class Resampler:
             if self.post_filter:
                 self._post_hist = new_oh
 
+        self._hist_gain_zero = gain_db == 0.0
         bps_out = q.bytes_per_sample(self.output_bits)
         out = packed[:, : grid.output_generated * ch * bps_out]
         return out, ResamplerResults(
@@ -398,7 +408,13 @@ class Resampler:
         if direct is None:
             direct = np.zeros(taps_p, np.float32)
             direct[self.config.number_of_taps // 2 - 1] = 1.0
-        use_pallas = pallas_supported()
+        # pallas_call has no SPMD partitioning rule: under a multi-device
+        # mesh GSPMD would either fail to partition it (escaping the
+        # Mosaic-specific fallback filter) or all-gather the batch onto
+        # every chip — keep the sharded serving path on the XLA banded
+        # kernel, which partitions cleanly along the batch axis.
+        use_pallas = (pallas_supported()
+                      and (self.mesh is None or self.mesh.size == 1))
         return (jnp.asarray(self._fast_filters_np), jnp.asarray(direct), taps_p,
                 banded_K(float(self.sample_ratio), taps_p, aligned=use_pallas),
                 use_pallas)
@@ -551,6 +567,10 @@ class Resampler:
         gens = [g.output_generated for g in grids]
         bps_in = q.bytes_per_sample(self.input_bits)
         factor = q.gain_factor(self.input_bits, gain_db)
+        # fused int16 tier is only exact when the carried history shares this
+        # call's gain factor (see _build_fused_stream_fn)
+        fused_ok = gain_db == 0.0 and self._hist_gain_zero
+        self._hist_gain_zero = gain_db == 0.0
         data = self._place(
             jnp.asarray(input_bytes))[:, : num_chunks * chunk_frames * ch * bps_in]
 
@@ -574,7 +594,8 @@ class Resampler:
                 gi[c, 2, :n] = g.idx2[:n]
                 gi[c, 3, :n] = g.mode[:n]
                 gw[c, :n] = g.weight[:n]
-            fn = self._get_fast_stream_fn(chunk_frames, out_max, num_chunks)
+            fn = self._get_fast_stream_fn(chunk_frames, out_max, num_chunks,
+                                          fused_ok=fused_ok)
             packed, clipped, self.history, new_oh = fn(
                 data, factor, self.history,
                 self._post_hist if self.post_filter else jnp.zeros((0,), jnp.float32),
@@ -596,8 +617,9 @@ class Resampler:
             self._biquad_state = list(new_bq)
         return packed, gens, clipped
 
-    def _get_fast_stream_fn(self, frames: int, out_max: int, num_chunks: int):
-        key = ("faststream", frames, out_max, num_chunks)
+    def _get_fast_stream_fn(self, frames: int, out_max: int, num_chunks: int,
+                            fused_ok: bool = False):
+        key = ("faststream", frames, out_max, num_chunks, fused_ok)
         if key not in self._chunk_fns:
             ch = self.channels
             in_bits = self.input_bits
@@ -616,7 +638,8 @@ class Resampler:
             # round-3 fused16 note), so the default stays the measured-equal
             # simpler path; the tier exists for co-located hardware where
             # the byte reduction is the predicted win.
-            fused = (os.environ.get("EAL_RESAMPLE_FUSED16", "") in ("1", "true")
+            fused = (fused_ok
+                     and os.environ.get("EAL_RESAMPLE_FUSED16", "") in ("1", "true")
                      and use_pallas and not post and ch in (1, 2)
                      and in_bits == 16 and self.output_bits == 16
                      and (self.batch * ch) % 16 == 0 and fused16_supported())
@@ -674,8 +697,13 @@ class Resampler:
         Per-chunk HBM traffic drops ~4x vs the f32 XLA body (measured by
         tools/resampler_ablation.py). The public f32 `self.history` contract
         is preserved by converting at the program boundary: history values
-        are always ``int16 * factor`` products, so f32 -> raw -> f32
-        round-trips to the identical floats the unfused path carries."""
+        are ``int16 * factor`` products whenever the history was produced
+        under the SAME gain factor as this call, so f32 -> raw -> f32
+        round-trips to the identical floats the unfused path carries.  The
+        caller guarantees that precondition (``fused_ok``: gain_db == 0 on
+        this call and on whichever call produced the carried history —
+        zeros at init qualify); a gain change routes that call through the
+        XLA body instead, which carries f32 history verbatim."""
         ch = self.channels
         hist_len = self.hist_len
         bps_in = q.bytes_per_sample(self.input_bits)
@@ -714,14 +742,9 @@ class Resampler:
                 per_stream = jnp.sum(((cmask > 0) & valid).astype(jnp.uint32),
                                      axis=(1, 2))
                 if ch == 2:
-                    le = s16[:, 0, :].astype(jnp.int32)
-                    ri = s16[:, 1, :].astype(jnp.int32)
-                    v = (le & 0xFFFF) | (ri << 16)
-                    packed_c = jax.lax.bitcast_convert_type(
-                        v, jnp.uint8).reshape(B, out_max * 4)
+                    packed_c = q.pack_pcm16_interleave2(s16.astype(jnp.int32))
                 else:
-                    packed_c = jax.lax.bitcast_convert_type(
-                        s16[:, 0, :], jnp.uint8).reshape(B, out_max * 2)
+                    packed_c = q.pack_pcm(s16[:, 0, :].astype(jnp.int32), 16)
                 return (i + 1, new_hist), (packed_c, per_stream)
 
             init = (jnp.int32(0), hist_raw)

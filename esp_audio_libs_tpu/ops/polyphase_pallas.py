@@ -36,11 +36,14 @@ def _ensure_recursion_headroom() -> None:
     """Lowering a pallas_call nested inside a large scanned jit recurses
     deeply in JAX's MLIR lowering; the default 1000-frame Python limit is
     not enough at production scan sizes (observed: RecursionError from
-    _lower_jaxpr_to_fun_cached at B=2048, 8-chunk scans). Raising the limit
-    is safe — the recursion depth is bounded by the jaxpr nesting, not
-    unbounded — and cheaper than losing the kernel to the XLA fallback."""
-    if sys.getrecursionlimit() < 100_000:
-        sys.setrecursionlimit(100_000)
+    _lower_jaxpr_to_fun_cached at B=2048, 8-chunk scans). 30k covers the
+    observed depth with a wide margin while staying far from C-stack
+    exhaustion (CPython >= 3.11 keeps pure-Python frames on the heap, and
+    JAX's lowering recursion is pure Python); a genuinely runaway
+    recursion still raises RecursionError, which _with_pallas_fallback
+    treats as a lowering failure. Never lowers a higher user-set limit."""
+    if sys.getrecursionlimit() < 30_000:
+        sys.setrecursionlimit(30_000)
 
 
 def mark_unsupported() -> None:
@@ -82,12 +85,13 @@ def pallas_supported() -> bool:
         return False
 
 
-def _kernel(starts_ref, x_hbm, wt_ref, out_ref, slabs, sems):
-    """Double-buffered across grid steps: while the MXU contracts slab g,
-    the DMA engine fetches slab g+1 (scratch persists across the TPU's
-    sequential grid). Tile starts are lane-aligned by construction
+def _slab_pipeline(starts_ref, x_hbm, slabs, sems):
+    """Shared double-buffered slab-DMA schedule: while the MXU contracts
+    slab g, the DMA engine fetches slab g+1 (scratch persists across the
+    TPU's sequential grid). Tile starts are lane-aligned by construction
     (banded_weights_device rounds them down to 128); pl.multiple_of lets
-    Mosaic prove the sliced DMA's lane-dim offset is tiling-divisible."""
+    Mosaic prove the sliced DMA's lane-dim offset is tiling-divisible.
+    Returns the VMEM block for the current grid step, DMA-complete."""
     nm = pl.num_programs(1)
     g = pl.program_id(0) * nm + pl.program_id(1)
     total = pl.num_programs(0) * nm
@@ -112,7 +116,12 @@ def _kernel(starts_ref, x_hbm, wt_ref, out_ref, slabs, sems):
         dma(g + 1, jax.lax.rem(g + 1, jnp.int32(2))).start()
 
     dma(g, slot).wait()
-    out_ref[...] = jnp.dot(slabs[slot], wt_ref[...],
+    return slabs[slot]
+
+
+def _kernel(starts_ref, x_hbm, wt_ref, out_ref, slabs, sems):
+    slab = _slab_pipeline(starts_ref, x_hbm, slabs, sems)
+    out_ref[...] = jnp.dot(slab, wt_ref[...],
                            preferred_element_type=jnp.float32,
                            precision=jax.lax.Precision.HIGHEST)
 
@@ -182,31 +191,8 @@ def _fused16_kernel(starts_ref, x_hbm, wt_ref, out_ref, clip_ref, slabs, sems):
     clipped-lane mask (:54-56). The f32 `out` intermediate never touches
     HBM; outputs are int16 samples + an int8 clip mask (~5x less output
     traffic than f32 out + separate quantize pass)."""
-    nm = pl.num_programs(1)
-    g = pl.program_id(0) * nm + pl.program_id(1)
-    total = pl.num_programs(0) * nm
-    _, bm, K = slabs.shape
-
-    def dma(step, slot):
-        ii = step // nm
-        mm = step - ii * nm
-        st = pl.multiple_of(starts_ref[ii], 128)
-        return pltpu.make_async_copy(
-            x_hbm.at[pl.ds(mm * bm, bm), pl.ds(st, K)],
-            slabs.at[slot], sems.at[slot])
-
-    slot = jax.lax.rem(g, jnp.int32(2))
-
-    @pl.when(g == 0)
-    def _():
-        dma(0, 0).start()
-
-    @pl.when(g + 1 < total)
-    def _():
-        dma(g + 1, jax.lax.rem(g + 1, jnp.int32(2))).start()
-
-    dma(g, slot).wait()
-    outf = jnp.dot(slabs[slot].astype(jnp.float32), wt_ref[...],
+    slab = _slab_pipeline(starts_ref, x_hbm, slabs, sems)
+    outf = jnp.dot(slab.astype(jnp.float32), wt_ref[...],
                    preferred_element_type=jnp.float32,
                    precision=jax.lax.Precision.HIGHEST)
     y = jnp.floor(outf * jnp.float32(32768.0) + jnp.float32(0.5))

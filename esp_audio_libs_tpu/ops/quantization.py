@@ -146,12 +146,7 @@ def unpack_pcm16_planar2(data: jax.Array) -> jax.Array:
     arithmetic shifts — elementwise, layout-friendly. A [frames, 2] ->
     [2, frames] transpose of f32 costs ~20x more on TPU (minor-dim-2
     relayout). Values identical to unpack_pcm + reshape/transpose."""
-    *lead, total = data.shape
-    v = jax.lax.bitcast_convert_type(
-        data.reshape(*lead, total // 4, 4), jnp.int32)        # [..., frames]
-    left = (v << 16) >> 16
-    right = v >> 16
-    return jnp.stack([left, right], axis=-2)                  # [..., 2, frames]
+    return unpack_pcm16_planar2_raw(data).astype(jnp.int32)
 
 
 def unpack_pcm16_planar2_raw(data: jax.Array) -> jax.Array:

@@ -19,7 +19,8 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools"))
 import jax
 
 from esp_audio_libs_tpu.models.batch import BatchedFLACDecoder, BatchedMP3Decoder
-from esp_audio_libs_tpu.parallel.mesh import (batch_sharding, stream_mesh)
+from esp_audio_libs_tpu.parallel.mesh import (axis_sharding, batch_sharding,
+                                              stream_mesh)
 from esp_audio_libs_tpu.utils.errors import MP3Error
 
 from tests.test_batch import MP3_CFGS, _mp3_stream
@@ -230,8 +231,10 @@ def test_sharded_composed_flac_resample(mesh, exact):
     assert pcm_shd.sharding.is_equivalent_to(batch_sharding(mesh, 2), 2)
     assert r_shd.history.sharding.is_equivalent_to(
         batch_sharding(mesh, r_shd.history.ndim), r_shd.history.ndim)
-    # output is [num_chunks, batch, bytes] — batch is axis 1
-    assert len(out_shd.addressable_shards) == N
+    # output is [num_chunks, batch, bytes] — batch is axis 1; a shard-count
+    # check would also pass for a replicated output, so pin the layout
+    assert out_shd.sharding.is_equivalent_to(
+        axis_sharding(mesh, out_shd.ndim, 1), out_shd.ndim)
 
     assert list(gens_shd) == list(gens_ref)
     a = np.asarray(out_ref).view(np.int16).astype(np.int32)

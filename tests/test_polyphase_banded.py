@@ -293,3 +293,80 @@ def test_fused_stream_fn_matches_xla_fast_stream(monkeypatch, ch):
     # carried state stays on the shared f32 contract
     np.testing.assert_array_equal(np.asarray(ref.history),
                                   np.asarray(fus.history))
+
+
+def test_fused_tier_gain_change_routes_to_xla(monkeypatch):
+    """A gain change between resample_stream calls must not corrupt the
+    carried history through the fused tier's raw-int16 round-trip:
+    ``history / factor`` is only exact when the history was produced under
+    the same gain factor, so any call with gain != 0 — and the first
+    gain-0 call after one — must route through the XLA body.  Those calls
+    must match the plain resampler EXACTLY; the fused builder must be
+    invoked only once (for the clean gain-0 calls)."""
+    import functools as ft
+
+    import esp_audio_libs_tpu.models.resampler as rmod
+    from esp_audio_libs_tpu.models.resampler import (Resampler,
+                                                     ResamplerConfiguration)
+
+    B, frames, ch = 16, 512, 2
+    cfg = ResamplerConfiguration(44100.0, 16000.0, 16, 16, ch, True, True, 64, 32)
+    rng = np.random.default_rng(23)
+    pcm = rng.integers(-8192, 8192, (B, frames * ch)).astype(np.int16)
+    data = jnp.asarray(pcm.view(np.uint8).reshape(B, -1))
+
+    gains = [0.0, 12.0, 0.0, 0.0]
+
+    # reference sequence on the plain XLA path, before any patching
+    ref = Resampler(batch=B, exact=False)
+    ref.initialize(cfg)
+    ref_out = []
+    for g in gains:
+        p, gen, c = ref.resample_stream(data, frames, 1, gain_db=g)
+        ref_out.append((np.asarray(p), list(gen), np.asarray(c),
+                        np.asarray(ref.history)))
+
+    monkeypatch.setenv("EAL_RESAMPLE_FUSED16", "1")
+    monkeypatch.setattr(rmod, "pallas_supported", lambda: True)
+    monkeypatch.setattr(rmod, "fused16_supported", lambda: True)
+    monkeypatch.setattr(rmod, "polyphase_fused16_pallas",
+                        ft.partial(rmod.polyphase_fused16_pallas,
+                                   interpret=True))
+    # the gain-routed calls take the plain (non-fused) stream fn, which
+    # with pallas_supported()=True would lower a real Mosaic kernel — on
+    # CPU alias it to the XLA banded impl (identical values: the aligned-K
+    # slack contributes exact f32 zeros)
+    monkeypatch.setattr(rmod, "polyphase_banded_pallas", rmod.polyphase_banded)
+    builds = []
+    orig_build = Resampler._build_fused_stream_fn
+
+    def spy(self, *a, **k):
+        builds.append(1)
+        return orig_build(self, *a, **k)
+
+    monkeypatch.setattr(Resampler, "_build_fused_stream_fn", spy)
+    fus = Resampler(batch=B, exact=False)
+    fus.initialize(cfg)
+
+    for i, g in enumerate(gains):
+        p_f, g_f, c_f = fus.resample_stream(data, frames, 1, gain_db=g)
+        p_r, g_r, c_r, h_r = ref_out[i]
+        assert list(g_r) == list(g_f)
+        a = p_r.view(np.int16).astype(np.int32)
+        b = np.asarray(p_f).view(np.int16).astype(np.int32)
+        # without the fused_ok gate, call 1 corrupts the gain-12 history
+        # (up to 4x rescale + clipping) and calls 1-2 would be off by
+        # thousands of LSBs; the 1-LSB bound is the fast-path contract
+        # (exact equality across the two bodies isn't defined on CPU: the
+        # aligned-K padding changes the backend's f32 reduction order)
+        assert np.abs(a - b).max() <= 1, f"call {i}"
+        # carried history must stay on the shared f32 contract throughout
+        # (it is sliced input samples, not contraction output: exact)
+        np.testing.assert_array_equal(h_r, np.asarray(fus.history),
+                                      err_msg=f"history after call {i}")
+    # routing: the fused fn was built exactly once (the clean gain-0 calls);
+    # the gain-affected calls compiled the separate non-fused variant
+    assert sum(builds) == 1
+    fused_keys = [k for k in fus._chunk_fns if k[0] == "faststream" and k[4]]
+    plain_keys = [k for k in fus._chunk_fns if k[0] == "faststream" and not k[4]]
+    assert len(fused_keys) == 1 and len(plain_keys) == 1
