@@ -1,0 +1,398 @@
+#!/usr/bin/env python3
+"""MP3 conformance-suite runner.
+
+MP3 counterpart of examples/test_flac_decoder.py.  The reference library
+ships NO MP3 tests at all (SURVEY.md §4: Helix's validation was upstream),
+so this harness goes beyond parity: it runs the decoder over a generated
+corpus in three categories (standard / modes / faulty), verifies each file
+with two oracles, and writes text + JSON reports
+(test_results/mp3_test_report.{txt,json}).
+
+Oracles:
+  1. primary   — frame-for-frame differential against the reference C
+                 decoder (Helix, reference src/decode/mp3_decoder.cpp
+                 MP3Decode :8710-8856) compiled as a host library: error
+                 codes, consumed byte counts, and PCM bytes must match
+                 (PCM comparison skips frames where the reference hits its
+                 __builtin_clz(0) UB — our decoder flags those).
+  2. secondary — drive the mp3_to_wav CLI as a subprocess: exit code and
+                 the WAV data payload vs the library decode.
+
+Corpus (generated; no network in this image): `standard/` exercises all
+MPEG versions, mono/stereo/joint-stereo (ms/is), short/mixed blocks, the
+bit reservoir, tonal success frames, silence, and mid-stream garbage
+resync; `modes/` exercises free-bitrate discovery incl. padding
+transitions; `faulty/` holds reject classes (garbage, reserved
+layer/version/samplerate, invalid bitrate, truncation, free-bitrate
+without a second sync) where pass = both decoders produce zero frames and
+the CLI exits nonzero (Helix semantics: bad frames inside a valid stream
+zero-fill and resync, so only whole-stream rejects belong here —
+MP3ClearBadFrame, reference :8677-8685).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import struct
+import subprocess
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+sys.path.insert(0, str(REPO / "tools"))
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", str(REPO / "build" / "jax_cache"))
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+
+import jax  # noqa: E402
+
+if os.environ.get("JAX_PLATFORMS"):
+    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+jax.config.update("jax_enable_x64", True)
+import numpy as np  # noqa: E402
+
+from esp_audio_libs_tpu.models.mp3 import MP3Decoder  # noqa: E402
+
+MAX_FRAMES = 64
+
+
+def generate_corpus(root: Path):
+    """Synthesize the corpus from the repo's oracle-validated generators."""
+    from tests.test_mp3_coverage import craft_tonal_frame, crafted_frame, fuzz_frame
+    from tests.test_mp3_decode import make_header
+    from tests.test_mp3_modes import make_free_frame
+
+    std = root / "standard"
+    modes = root / "modes"
+    faulty = root / "faulty"
+    for d in (std, modes, faulty):
+        d.mkdir(parents=True, exist_ok=True)
+
+    # ---- standard: every version x rate x channel-mode family ------------
+    fuzz_cfgs = [
+        ("mpeg1_mono_128k", dict(ver_bits=3, bitrate_idx=9, sr_idx=0, mode=3)),
+        ("mpeg1_stereo_192k", dict(ver_bits=3, bitrate_idx=11, sr_idx=0, mode=0)),
+        ("mpeg1_joint_ms", dict(ver_bits=3, bitrate_idx=11, sr_idx=1, mode=1, mode_ext=2)),
+        ("mpeg1_joint_ms_is", dict(ver_bits=3, bitrate_idx=11, sr_idx=2, mode=1, mode_ext=3)),
+        ("mpeg1_joint_is", dict(ver_bits=3, bitrate_idx=11, sr_idx=0, mode=1, mode_ext=1)),
+        ("mpeg2_stereo", dict(ver_bits=2, bitrate_idx=8, sr_idx=0, mode=0)),
+        ("mpeg2_intensity", dict(ver_bits=2, bitrate_idx=8, sr_idx=1, mode=1, mode_ext=1)),
+        ("mpeg2_mono", dict(ver_bits=2, bitrate_idx=7, sr_idx=2, mode=3)),
+        ("mpeg25_mono", dict(ver_bits=0, bitrate_idx=8, sr_idx=0, mode=3)),
+        ("mpeg25_stereo", dict(ver_bits=0, bitrate_idx=8, sr_idx=1, mode=0)),
+    ]
+    for i, (name, cfg) in enumerate(fuzz_cfgs):
+        rng = np.random.default_rng(1000 + i)
+        blob = b"".join(fuzz_frame(cfg, rng) for _ in range(4))
+        (std / f"fuzz_{name}.mp3").write_bytes(blob)
+
+    tonal_cfgs = [
+        ("mpeg1_stereo", dict(ver_bits=3, bitrate_idx=9, sr_idx=0, mode=0)),
+        ("mpeg1_mono", dict(ver_bits=3, bitrate_idx=9, sr_idx=1, mode=3)),
+        ("mpeg2_stereo", dict(ver_bits=2, bitrate_idx=7, sr_idx=0, mode=0)),
+        # joint-stereo success paths: real spectra through mid/side and
+        # intensity reconstruction (reference MidSideProc :1139,
+        # IntensityProcMPEG1 :1180)
+        ("mpeg1_joint_ms", dict(ver_bits=3, bitrate_idx=9, sr_idx=0,
+                                mode=1, mode_ext=2)),
+        ("mpeg1_joint_is", dict(ver_bits=3, bitrate_idx=9, sr_idx=0,
+                                mode=1, mode_ext=1)),
+        ("mpeg1_joint_ms_is", dict(ver_bits=3, bitrate_idx=9, sr_idx=0,
+                                   mode=1, mode_ext=3)),
+        ("mpeg25_mono", dict(ver_bits=0, bitrate_idx=8, sr_idx=0, mode=3)),
+    ]
+    for i, (name, cfg) in enumerate(tonal_cfgs):
+        rng = np.random.default_rng(2000 + i)
+        blob = b"".join(craft_tonal_frame(cfg, rng) for _ in range(4))
+        (std / f"tonal_{name}.mp3").write_bytes(blob)
+
+    win_cfg = dict(ver_bits=3, bitrate_idx=9, sr_idx=0, mode=0)
+    for bt, mixed in [(1, 0), (2, 0), (2, 1), (3, 0)]:
+        rng = np.random.default_rng(3000 + bt * 2 + mixed)
+        blob = b"".join(crafted_frame(win_cfg, bt, mixed, rng) for _ in range(3))
+        (std / f"windows_bt{bt}_mixed{mixed}.mp3").write_bytes(blob)
+    rng = np.random.default_rng(3100)
+    blob = b"".join(crafted_frame(dict(ver_bits=2, bitrate_idx=8, sr_idx=0, mode=0),
+                                  2, 1, rng) for _ in range(3))
+    (std / "windows_mpeg2_short_mixed.mp3").write_bytes(blob)
+
+    # bit reservoir: random mainDataBegin (early frames underflow, later
+    # frames consume reservoir bytes — reference :8774-8802)
+    cfg = dict(ver_bits=3, bitrate_idx=11, sr_idx=0, mode=0)
+    hdr = make_header(**cfg)
+    from tests.test_mp3_decode import frame_sizes
+    total, _ = frame_sizes(3, 11, 0, 0)
+    for seed in (0, 1):
+        rng = np.random.default_rng(100 + seed)
+        blob = b"".join(hdr + rng.integers(0, 256, total - 4, dtype=np.uint8).tobytes()
+                        for _ in range(5))
+        (std / f"reservoir_{seed}.mp3").write_bytes(blob)
+
+    cfg = dict(ver_bits=3, bitrate_idx=9, sr_idx=0, mode=3)
+    total, _ = frame_sizes(3, 9, 0, 3)
+    (std / "silence.mp3").write_bytes((make_header(**cfg) + bytes(total - 4)) * 3)
+
+    # mid-stream garbage: decoder must resync to the next frame (values
+    # < 0xFF so no false sync word appears inside the junk)
+    rng = np.random.default_rng(42)
+    f1 = craft_tonal_frame(dict(ver_bits=3, bitrate_idx=9, sr_idx=0, mode=0), rng)
+    junk = bytes(int(x) for x in rng.integers(0, 0xFE, 37))
+    f2 = craft_tonal_frame(dict(ver_bits=3, bitrate_idx=9, sr_idx=0, mode=0), rng)
+    (std / "midstream_garbage.mp3").write_bytes(f1 + junk + f2)
+
+    # ---- modes: free bitrate (bitrate_idx=0, size discovered from the
+    # second sync — reference MP3FindFreeSync :8570-8610) -----------------
+    (modes / "free_silent.mp3").write_bytes(
+        b"".join(make_free_frame(100) for _ in range(4)))
+    rng = np.random.default_rng(7)
+    (modes / "free_tonal.mp3").write_bytes(
+        b"".join(make_free_frame(120, tonal_rng=rng, mode=0) for _ in range(4)))
+    (modes / "free_padding.mp3").write_bytes(
+        b"".join(make_free_frame(100, padding=p) for p in (0, 1, 1, 0)))
+
+    # ---- faulty: whole-stream reject classes -----------------------------
+    rng = np.random.default_rng(13)
+    (faulty / "garbage.mp3").write_bytes(
+        bytes(int(x) for x in rng.integers(0, 0xFE, 512)))
+    (faulty / "empty.mp3").write_bytes(b"")
+    # hardened_: the reference over-reads a truncated input buffer here
+    # (one of the ASan-documented reference memory-safety bugs,
+    # native/sanitize_check.sh), so its result is undefined garbage; pass =
+    # this repo's hardened decoder and the CLI reject. The C oracle is
+    # skipped for hardened_ files, as in the FLAC runner.
+    (faulty / "hardened_truncated_header.mp3").write_bytes(b"\xff\xfb")
+    (faulty / "reserved_layer.mp3").write_bytes(
+        make_header(layer_bits=0) + bytes(200))
+    (faulty / "reserved_version.mp3").write_bytes(
+        make_header(ver_bits=1) + bytes(200))
+    (faulty / "reserved_samplerate.mp3").write_bytes(
+        make_header(sr_idx=3) + bytes(200))
+    (faulty / "invalid_bitrate.mp3").write_bytes(
+        make_header(bitrate_idx=15) + bytes(200))
+    (faulty / "free_no_second_sync.mp3").write_bytes(make_free_frame(100))
+
+
+def our_decode_loop(data: bytes):
+    """Decode a whole file with the CLI's loop semantics (mp3_to_wav.py):
+    returns (frames [(err, consumed, defined)], success_count, payload,
+    pcm_per_success_frame list)."""
+    dec = MP3Decoder()
+    start = MP3Decoder.find_sync_word(data)
+    if start < 0:
+        return [], 0, b"", []
+    pos = start
+    frames, pcms = [], []
+    payload = b""
+    n_ok = 0
+    while pos < len(data) and len(frames) < MAX_FRAMES:
+        err, pcm, consumed = dec.decode(data[pos:])
+        defined = bool(dec.last_frame_reference_defined)
+        frames.append((int(err), int(consumed), defined))
+        if pcm is not None:
+            payload += bytes(memoryview(pcm))
+        if int(err) == 0:
+            n_ok += 1
+            pcms.append(None if pcm is None else bytes(memoryview(pcm)))
+        else:
+            pcms.append(None)
+        if consumed <= 0:
+            nxt = MP3Decoder.find_sync_word(data[pos + 1:])
+            if nxt < 0:
+                break
+            pos += 1 + nxt
+        else:
+            pos += consumed
+    return frames, n_ok, payload, pcms
+
+
+def ref_decode_loop(oracle, data: bytes):
+    """Reference decode with the SAME loop/resync policy as our_decode_loop."""
+    import ctypes as C
+
+    h = oracle.lib.ref_mp3_init()
+    try:
+        buf = np.frombuffer(data, np.uint8)
+        start = MP3Decoder.find_sync_word(data)  # sync scan is format-defined
+        if start < 0:
+            return [], 0, []
+        pos = start
+        frames, pcms = [], []
+        n_ok = 0
+        while pos < len(buf) and len(frames) < MAX_FRAMES:
+            pcm = np.zeros(1152 * 2, np.int16)
+            consumed = C.c_int(0)
+            err = oracle.lib.ref_mp3_decode(
+                h, buf[pos:].ctypes.data_as(C.POINTER(C.c_uint8)), buf.size - pos,
+                pcm.ctypes.data_as(C.POINTER(C.c_int16)), 0, C.byref(consumed))
+            info = np.zeros(7, np.int32)
+            oracle.lib.ref_mp3_get_last_frame_info(
+                h, info.ctypes.data_as(C.POINTER(C.c_int32)))
+            frames.append((int(err), int(consumed.value)))
+            if err == 0:
+                n_ok += 1
+                pcms.append(pcm[: int(info[4])].tobytes())
+            else:
+                pcms.append(None)
+            if consumed.value <= 0:
+                nxt = MP3Decoder.find_sync_word(data[pos + 1:])
+                if nxt < 0:
+                    break
+                pos += 1 + nxt
+            else:
+                pos += consumed.value
+        return frames, n_ok, pcms
+    finally:
+        oracle.lib.ref_mp3_free(h)
+
+
+def _wav_data_payload(path: Path) -> bytes:
+    raw = path.read_bytes()
+    pos = 12
+    while pos + 8 <= len(raw):
+        tag, size = raw[pos: pos + 4], struct.unpack("<I", raw[pos + 4: pos + 8])[0]
+        if tag == b"data":
+            return raw[pos + 8: pos + 8 + size]
+        pos += 8 + size + (size & 1)
+    return b""
+
+
+def drive_cli(path: Path, out_dir: Path, expect_fail: bool, expected_payload):
+    """Drive the mp3_to_wav CLI subprocess: exit code + WAV payload.
+    ``expected_payload is None`` means the library produced zero frames, so
+    the CLI must exit nonzero (it writes no WAV without frames)."""
+    out_wav = out_dir / (path.stem + ".wav")
+    try:
+        proc = subprocess.run(
+            [sys.executable, str(REPO / "examples" / "mp3_to_wav.py"),
+             str(path), str(out_wav), "--max-frames", str(MAX_FRAMES)],
+            capture_output=True, text=True, timeout=900, env=os.environ.copy())
+    except Exception:
+        return False
+    if expect_fail or expected_payload is None:
+        return proc.returncode != 0
+    if proc.returncode != 0:
+        return False
+    return _wav_data_payload(out_wav) == expected_payload
+
+
+def test_single_file(path: Path, oracle, expect_fail: bool,
+                     cli_out: Path | None = None, cli_pool=None):
+    blob = path.read_bytes()
+    t0 = time.perf_counter()
+    result = {"file": path.name, "frames": 0, "reference_match": None,
+              "cli": None, "status": "fail", "seconds": 0.0}
+
+    frames, n_ok, payload, pcms = our_decode_loop(blob)
+    result["frames"] = n_ok
+
+    ref_ok = None
+    if oracle is not None and not path.name.startswith("hardened_"):
+        rframes, rn_ok, rpcms = ref_decode_loop(oracle, blob)
+        ref_ok = len(rframes) == len(frames) and rn_ok == n_ok
+        for (ge, gc, gdef), (re_, rc) in zip(frames, rframes):
+            ref_ok = ref_ok and ge == re_ and gc == rc
+        for (ge, gc, gdef), gp, rp in zip(frames, pcms, rpcms):
+            if ge == 0 and gdef:
+                # UB-flagged frames: the reference PCM is nondeterministic
+                # (__builtin_clz(0) in guard-bit tracking); skip those
+                ref_ok = ref_ok and gp is not None and rp is not None \
+                    and gp == rp[: len(gp)]
+        result["reference_match"] = bool(ref_ok)
+
+    if cli_out is not None:
+        args_ = (path, cli_out, expect_fail, payload if n_ok else None)
+        if cli_pool is not None:
+            result["_cli_future"] = cli_pool.submit(drive_cli, *args_)
+        else:
+            result["cli"] = drive_cli(*args_)
+
+    if expect_fail:
+        ok = n_ok == 0 and (ref_ok is None or ref_ok)
+        if result["cli"] is not None:
+            ok = ok and result["cli"]
+        result["status"] = "pass" if ok else "fail"
+    else:
+        # standard/modes pass on PARITY, not on success: some fuzz streams
+        # legitimately reject every frame — the contract is that both
+        # decoders reject identically and the CLI is consistent with the
+        # library (WAV payload on >= 1 frame, nonzero exit on 0)
+        checks = []
+        if result["reference_match"] is not None:
+            checks.append(result["reference_match"])
+        if result["cli"] is not None:
+            checks.append(result["cli"])
+        result["status"] = "pass" if checks and all(checks) else "fail"
+    result["seconds"] = round(time.perf_counter() - t0, 3)
+    return result
+
+
+def main():
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--corpus", type=Path, default=REPO / "build" / "mp3_corpus")
+    ap.add_argument("--out", type=Path, default=REPO / "build" / "test_results")
+    ap.add_argument("--no-reference", action="store_true")
+    ap.add_argument("--no-cli", action="store_true")
+    args = ap.parse_args()
+
+    if not args.corpus.exists():
+        print(f"generating corpus at {args.corpus}")
+        generate_corpus(args.corpus)
+
+    oracle = None
+    ref = Path(os.environ.get("REF", "/root/reference"))
+    if not args.no_reference and (ref / "src").is_dir():
+        from tests.oracle import load
+        oracle = load()
+    elif not args.no_reference:
+        print("reference source not found: running without the C oracle")
+
+    from concurrent.futures import ThreadPoolExecutor
+    cli_pool = None if args.no_cli else ThreadPoolExecutor(max_workers=4)
+
+    report = {"categories": {}, "summary": {}}
+    total = passed = 0
+    lines = ["MP3 conformance report (esp-audio-libs-tpu)", "=" * 45]
+    for cat in ["standard", "modes", "faulty"]:
+        d = args.corpus / cat
+        if not d.exists():
+            continue
+        cli_out = None
+        if not args.no_cli:
+            cli_out = args.out / "mp3_wav" / cat
+            cli_out.mkdir(parents=True, exist_ok=True)
+        results = [test_single_file(f, oracle, expect_fail=(cat == "faulty"),
+                                    cli_out=cli_out, cli_pool=cli_pool)
+                   for f in sorted(d.glob("*.mp3"))]
+        report["categories"][cat] = results
+    for cat, results in report["categories"].items():
+        for r in results:
+            fut = r.pop("_cli_future", None)
+            if fut is not None:
+                r["cli"] = fut.result()
+                if cat == "faulty":
+                    if not r["cli"]:
+                        r["status"] = "fail"
+                elif not r["cli"]:
+                    r["status"] = "fail"
+            total += 1
+            passed += r["status"] == "pass"
+            lines.append(f"[{cat}] {r['file']}: {r['status'].upper()} "
+                         f"(frames={r['frames']}, ref={r['reference_match']}, "
+                         f"cli={r['cli']}, {r['seconds']}s)")
+    report["summary"] = {"total": total, "passed": passed, "failed": total - passed}
+    lines.insert(2, f"{passed}/{total} passed")
+
+    args.out.mkdir(parents=True, exist_ok=True)
+    (args.out / "mp3_test_report.txt").write_text("\n".join(lines) + "\n")
+    (args.out / "mp3_test_report.json").write_text(json.dumps(report, indent=2))
+    print("\n".join(lines))
+    print(f"\nreports: {args.out}/mp3_test_report.{{txt,json}}")
+    return 0 if passed == total else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
