@@ -57,7 +57,10 @@ import numpy as np  # noqa: E402
 
 from esp_audio_libs_tpu.models.mp3 import MP3Decoder  # noqa: E402
 
-MAX_FRAMES = 64
+# attempt cap is a pure runaway guard: every attempt advances >= 1 byte, so
+# real files terminate by length; the CLI's --max-frames (which counts only
+# PCM-producing frames) gets the same value, far above any corpus file
+MAX_FRAMES = 100_000
 
 
 def generate_corpus(root: Path):
@@ -174,6 +177,9 @@ def generate_corpus(root: Path):
     (faulty / "invalid_bitrate.mp3").write_bytes(
         make_header(bitrate_idx=15) + bytes(200))
     (faulty / "free_no_second_sync.mp3").write_bytes(make_free_frame(100))
+    # completeness sentinel: an interrupted generation (dirs exist, files
+    # partial) must regenerate on the next run, not silently test a subset
+    (root / ".complete").write_bytes(b"1")
 
 
 def our_decode_loop(data: bytes):
@@ -210,8 +216,9 @@ def our_decode_loop(data: bytes):
 
 
 def ref_decode_loop(oracle, data: bytes):
-    """Reference decode with the SAME loop/resync policy as our_decode_loop."""
-    import ctypes as C
+    """Reference decode with the SAME loop/resync policy as our_decode_loop
+    (the single-frame FFI call is shared via tests.oracle.mp3_decode_frame)."""
+    from tests.oracle import mp3_decode_frame
 
     h = oracle.lib.ref_mp3_init()
     try:
@@ -223,27 +230,20 @@ def ref_decode_loop(oracle, data: bytes):
         frames, pcms = [], []
         n_ok = 0
         while pos < len(buf) and len(frames) < MAX_FRAMES:
-            pcm = np.zeros(1152 * 2, np.int16)
-            consumed = C.c_int(0)
-            err = oracle.lib.ref_mp3_decode(
-                h, buf[pos:].ctypes.data_as(C.POINTER(C.c_uint8)), buf.size - pos,
-                pcm.ctypes.data_as(C.POINTER(C.c_int16)), 0, C.byref(consumed))
-            info = np.zeros(7, np.int32)
-            oracle.lib.ref_mp3_get_last_frame_info(
-                h, info.ctypes.data_as(C.POINTER(C.c_int32)))
-            frames.append((int(err), int(consumed.value)))
+            err, pcm, consumed = mp3_decode_frame(oracle, h, buf, pos)
+            frames.append((err, consumed))
             if err == 0:
                 n_ok += 1
-                pcms.append(pcm[: int(info[4])].tobytes())
+                pcms.append(pcm.tobytes())
             else:
                 pcms.append(None)
-            if consumed.value <= 0:
+            if consumed <= 0:
                 nxt = MP3Decoder.find_sync_word(data[pos + 1:])
                 if nxt < 0:
                     break
                 pos += 1 + nxt
             else:
-                pos += consumed.value
+                pos += consumed
         return frames, n_ok, pcms
     finally:
         oracle.lib.ref_mp3_free(h)
@@ -300,34 +300,36 @@ def test_single_file(path: Path, oracle, expect_fail: bool,
                 # UB-flagged frames: the reference PCM is nondeterministic
                 # (__builtin_clz(0) in guard-bit tracking); skip those
                 ref_ok = ref_ok and gp is not None and rp is not None \
-                    and gp == rp[: len(gp)]
+                    and len(gp) == len(rp) and gp == rp
         result["reference_match"] = bool(ref_ok)
 
     if cli_out is not None:
-        args_ = (path, cli_out, expect_fail, payload if n_ok else None)
-        if cli_pool is not None:
-            result["_cli_future"] = cli_pool.submit(drive_cli, *args_)
-        else:
-            result["cli"] = drive_cli(*args_)
+        result["_cli_future"] = cli_pool.submit(
+            drive_cli, path, cli_out, expect_fail, payload if n_ok else None)
 
-    if expect_fail:
-        ok = n_ok == 0 and (ref_ok is None or ref_ok)
-        if result["cli"] is not None:
-            ok = ok and result["cli"]
-        result["status"] = "pass" if ok else "fail"
-    else:
-        # standard/modes pass on PARITY, not on success: some fuzz streams
-        # legitimately reject every frame — the contract is that both
-        # decoders reject identically and the CLI is consistent with the
-        # library (WAV payload on >= 1 frame, nonzero exit on 0)
-        checks = []
-        if result["reference_match"] is not None:
-            checks.append(result["reference_match"])
-        if result["cli"] is not None:
-            checks.append(result["cli"])
-        result["status"] = "pass" if checks and all(checks) else "fail"
+    result["_expect_fail"] = expect_fail
+    result["_n_ok"] = n_ok
     result["seconds"] = round(time.perf_counter() - t0, 3)
     return result
+
+
+def finalize_status(result):
+    """Compute pass/fail once every oracle has resolved (the CLI drive runs
+    as a deferred future).  standard/modes pass on PARITY, not on success:
+    some fuzz streams legitimately reject every frame — the contract is
+    that both decoders reject identically and the CLI is consistent with
+    the library (WAV payload on >= 1 frame, nonzero exit on 0).  At least
+    one oracle must have run; otherwise the file fails rather than passing
+    vacuously."""
+    checks = []
+    if result["reference_match"] is not None:
+        checks.append(result["reference_match"])
+    if result["cli"] is not None:
+        checks.append(result["cli"])
+    if result.pop("_expect_fail"):
+        checks.append(result["_n_ok"] == 0)
+    result.pop("_n_ok")
+    result["status"] = "pass" if checks and all(checks) else "fail"
 
 
 def main():
@@ -338,7 +340,7 @@ def main():
     ap.add_argument("--no-cli", action="store_true")
     args = ap.parse_args()
 
-    if not args.corpus.exists():
+    if not (args.corpus / ".complete").exists():
         print(f"generating corpus at {args.corpus}")
         generate_corpus(args.corpus)
 
@@ -351,7 +353,7 @@ def main():
         print("reference source not found: running without the C oracle")
 
     from concurrent.futures import ThreadPoolExecutor
-    cli_pool = None if args.no_cli else ThreadPoolExecutor(max_workers=4)
+    cli_pool = ThreadPoolExecutor(max_workers=4)
 
     report = {"categories": {}, "summary": {}}
     total = passed = 0
@@ -373,17 +375,16 @@ def main():
             fut = r.pop("_cli_future", None)
             if fut is not None:
                 r["cli"] = fut.result()
-                if cat == "faulty":
-                    if not r["cli"]:
-                        r["status"] = "fail"
-                elif not r["cli"]:
-                    r["status"] = "fail"
+            finalize_status(r)
             total += 1
             passed += r["status"] == "pass"
             lines.append(f"[{cat}] {r['file']}: {r['status'].upper()} "
                          f"(frames={r['frames']}, ref={r['reference_match']}, "
                          f"cli={r['cli']}, {r['seconds']}s)")
     report["summary"] = {"total": total, "passed": passed, "failed": total - passed}
+    if total == 0:
+        print("ERROR: empty corpus — nothing was tested")
+        return 1
     lines.insert(2, f"{passed}/{total} passed")
 
     args.out.mkdir(parents=True, exist_ok=True)

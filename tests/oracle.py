@@ -209,6 +209,26 @@ class Oracle:
             self.lib.ref_wav_destroy(d)
 
 
+def mp3_decode_frame(oracle, handle, buf: "np.ndarray", pos: int):
+    """One reference MP3Decode call at ``buf[pos:]`` on an open ref_mp3
+    handle: returns (err, pcm int16 np.ndarray trimmed to outputSamps,
+    consumed).  The single canonical ctypes sequence for the MP3 oracle —
+    shared by tests/test_mp3_decode.py and examples/test_mp3_decoder.py so
+    the FFI contract lives in one place."""
+    import numpy as np
+
+    pcm = np.zeros(1152 * 2, np.int16)
+    consumed = C.c_int(0)
+    err = oracle.lib.ref_mp3_decode(
+        handle, buf[pos:].ctypes.data_as(C.POINTER(C.c_uint8)),
+        buf.size - pos, pcm.ctypes.data_as(C.POINTER(C.c_int16)), 0,
+        C.byref(consumed))
+    info = np.zeros(7, np.int32)
+    oracle.lib.ref_mp3_get_last_frame_info(
+        handle, info.ctypes.data_as(C.POINTER(C.c_int32)))
+    return int(err), pcm[: int(info[4])].copy(), int(consumed.value)
+
+
 @functools.lru_cache(None)
 def load() -> Oracle:
     if not LIB_PATH.exists():

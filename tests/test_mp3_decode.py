@@ -41,22 +41,17 @@ def frame_sizes(ver_bits, bitrate_idx, sr_idx, mode):
 
 
 def ref_decode(oracle, data: bytes, n_frames: int):
+    from tests.oracle import mp3_decode_frame
+
     h = oracle.lib.ref_mp3_init()
     try:
         buf = np.frombuffer(data, np.uint8)
         results = []
         pos = 0
         for _ in range(n_frames):
-            pcm = np.zeros(1152 * 2, np.int16)
-            consumed = C.c_int(0)
-            err = oracle.lib.ref_mp3_decode(
-                h, buf[pos:].ctypes.data_as(C.POINTER(C.c_uint8)), buf.size - pos,
-                pcm.ctypes.data_as(C.POINTER(C.c_int16)), 0, C.byref(consumed))
-            info = np.zeros(7, np.int32)
-            oracle.lib.ref_mp3_get_last_frame_info(h, info.ctypes.data_as(C.POINTER(C.c_int32)))
-            n_out = int(info[4]) if err == 0 or True else 0
-            results.append((err, pcm[:n_out].copy(), consumed.value))
-            pos += consumed.value
+            err, pcm, consumed = mp3_decode_frame(oracle, h, buf, pos)
+            results.append((err, pcm, consumed))
+            pos += consumed
             if pos >= buf.size:
                 break
         return results
