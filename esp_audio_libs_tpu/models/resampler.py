@@ -39,6 +39,7 @@ from ..ops.polyphase import (banded_K, banded_weights_device, polyphase_apply,
                              polyphase_banded)
 from ..ops.polyphase_pallas import (fused16_supported, pallas_supported,
                                     polyphase_banded_pallas,
+                                    polyphase_banded_pallas_sharded,
                                     polyphase_fused16_pallas)
 from ..runtime.phase_grid import (
     HISTORY_MARGIN,
@@ -408,16 +409,25 @@ class Resampler:
         if direct is None:
             direct = np.zeros(taps_p, np.float32)
             direct[self.config.number_of_taps // 2 - 1] = 1.0
-        # pallas_call has no SPMD partitioning rule: under a multi-device
-        # mesh GSPMD would either fail to partition it (escaping the
-        # Mosaic-specific fallback filter) or all-gather the batch onto
-        # every chip — keep the sharded serving path on the XLA banded
-        # kernel, which partitions cleanly along the batch axis.
-        use_pallas = (pallas_supported()
-                      and (self.mesh is None or self.mesh.size == 1))
+        # pallas_call has no GSPMD partitioning rule, so under a multi-
+        # device mesh the kernel runs through a shard_map wrapper (each
+        # chip contracts its local batch block, weights replicated — see
+        # polyphase_banded_pallas_sharded); self._poly() picks the form.
+        use_pallas = pallas_supported()
         return (jnp.asarray(self._fast_filters_np), jnp.asarray(direct), taps_p,
                 banded_K(float(self.sample_ratio), taps_p, aligned=use_pallas),
                 use_pallas)
+
+    def _poly(self, use_pallas: bool):
+        """The banded-contraction kernel for this instance: XLA banded,
+        single-device Pallas, or the shard_map SPMD Pallas form under a
+        multi-device mesh."""
+        if not use_pallas:
+            return polyphase_banded
+        if self.mesh is not None and self.mesh.size > 1:
+            return functools.partial(polyphase_banded_pallas_sharded,
+                                     mesh=self.mesh)
+        return polyphase_banded_pallas
 
     def _unpack_fast(self, data, factor, frames):
         """Packed bytes -> f32 [B, ch, frames]. Stereo s16 avoids the
@@ -461,8 +471,7 @@ class Resampler:
         xe = jnp.pad(xe, [(0, 0), (0, 0), (0, L2 - Hlen - out_max)])
         starts2 = jnp.arange(nt2, dtype=jnp.int32) * 128
         Wt2 = jnp.broadcast_to(self._post_W2[None], (nt2, K2, 128))
-        poly = polyphase_banded_pallas if use_pallas else polyphase_banded
-        return poly(xe, Wt2, starts2, T=out_max), new_oh
+        return self._poly(use_pallas)(xe, Wt2, starts2, T=out_max), new_oh
 
     def _get_fast_fn(self, frames: int, out_max: int):
         key = ("fast", frames, out_max)
@@ -471,7 +480,7 @@ class Resampler:
             hist_len = self.hist_len
             filt_dev, direct_dev, taps_p, K, use_pallas = self._fast_consts()
             L = -(-max(hist_len + frames, K) // 128) * 128  # lane-aligned for Mosaic DMA
-            poly = polyphase_banded_pallas if use_pallas else polyphase_banded
+            poly = self._poly(use_pallas)
 
             @jax.jit
             def fn(data, factor, hist, oh, win0x, idx1, idx2, weight,
@@ -628,7 +637,7 @@ class Resampler:
             bps_in = q.bytes_per_sample(in_bits)
             filt_dev, direct_dev, taps_p, K, use_pallas = self._fast_consts()
             L = -(-max(hist_len + frames, K) // 128) * 128  # lane-aligned for Mosaic DMA
-            poly = polyphase_banded_pallas if use_pallas else polyphase_banded
+            poly = self._poly(use_pallas)
 
             # Fully-fused tier for the dominant serving shape (s16 in/out, no
             # post stage): raw int16 slabs + in-kernel quantize collapse the
@@ -642,7 +651,11 @@ class Resampler:
                      and os.environ.get("EAL_RESAMPLE_FUSED16", "") in ("1", "true")
                      and use_pallas and not post and ch in (1, 2)
                      and in_bits == 16 and self.output_bits == 16
-                     and (self.batch * ch) % 16 == 0 and fused16_supported())
+                     and (self.batch * ch) % 16 == 0 and fused16_supported()
+                     # the fused tier has no shard_map form yet (its clip
+                     # mask and int16 pack stages would need per-shard
+                     # plumbing); mesh mode uses the sharded plain kernel
+                     and (self.mesh is None or self.mesh.size == 1))
             if fused:
                 fn = self._build_fused_stream_fn(
                     frames, out_max, K=K, L=L, taps_p=taps_p,

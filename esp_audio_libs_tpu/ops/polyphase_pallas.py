@@ -28,8 +28,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["polyphase_banded_pallas", "polyphase_fused16_pallas",
-           "pallas_supported", "fused16_supported"]
+__all__ = ["polyphase_banded_pallas", "polyphase_banded_pallas_sharded",
+           "polyphase_fused16_pallas", "pallas_supported", "fused16_supported"]
 
 
 def _ensure_recursion_headroom() -> None:
@@ -171,6 +171,41 @@ def polyphase_banded_pallas(xext, Wt, starts, *, T: int, interpret: bool = False
         interpret=interpret,
     )(starts.astype(jnp.int32), x2, Wt)
     return out.reshape(*lead, nt * tile)[..., :T]
+
+
+def polyphase_banded_pallas_sharded(xext, Wt, starts, *, T: int, mesh,
+                                    interpret: bool = False):
+    """SPMD form of :func:`polyphase_banded_pallas` for a stream mesh.
+
+    ``pallas_call`` has no GSPMD partitioning rule, so under a multi-device
+    mesh the plain kernel either fails to partition or gets its batch
+    all-gathered onto every chip.  The math is embarrassingly parallel over
+    the leading (stream) dim, so the correct SPMD form is a ``shard_map``:
+    each device runs the Mosaic kernel on its LOCAL batch block with the
+    weight tiles and tile starts replicated — zero collectives, exactly the
+    per-chip program the single-device path compiles.
+
+    ``xext`` ``[..., L]`` must have its leading dim divisible by the mesh
+    size (the serving classes' bucketing guarantees this).  ``Wt``/``starts``
+    are chunk schedule constants, identical on every shard.
+    """
+    from jax.sharding import PartitionSpec as P
+
+    from ..parallel.mesh import STREAM_AXIS
+
+    B = xext.shape[0]
+    if B % mesh.size:
+        raise ValueError(
+            f"leading dim {B} must divide over the {mesh.size}-device mesh")
+    lead = P(STREAM_AXIS, *([None] * (xext.ndim - 1)))
+    f = jax.shard_map(
+        functools.partial(polyphase_banded_pallas, T=T, interpret=interpret),
+        mesh=mesh,
+        in_specs=(lead, P(None, None, None), P(None)),
+        out_specs=lead,
+        check_vma=False,  # pallas_call defeats shard_map's varying-axis check
+    )
+    return f(xext, Wt, starts)
 
 
 # --------------------------------------------------------------- fused 16-bit

@@ -131,6 +131,98 @@ def test_pallas_kernel_matches_xla_interpret():
     np.testing.assert_allclose(got, ref, rtol=2e-6, atol=4e-5)
 
 
+def test_pallas_sharded_matches_single_device_interpret():
+    """The shard_map SPMD form of the slab kernel must be BIT-exact vs the
+    single-device kernel: each shard runs the identical per-lane program on
+    its local batch block (weights replicated, zero collectives), so not
+    even the f32 reduction order changes."""
+    from esp_audio_libs_tpu.ops.polyphase_pallas import (
+        polyphase_banded_pallas, polyphase_banded_pallas_sharded)
+    from esp_audio_libs_tpu.parallel.mesh import stream_mesh
+
+    mesh = stream_mesh()
+    assert mesh.size == 8  # conftest forces the 8-device CPU mesh
+
+    rng = np.random.default_rng(17)
+    B, ch, L, nt, K, tile = 16, 2, 2176, 4, 512, 128
+    xext = jnp.asarray(rng.standard_normal((B, ch, L)).astype(np.float32))
+    Wt_np = np.zeros((nt, K, tile), np.float32)
+    for i in range(nt):
+        for j in range(tile):
+            o = rng.integers(0, K - 300)
+            Wt_np[i, o:o + 300, j] = rng.standard_normal(300).astype(np.float32)
+    # lane-aligned starts: the sharded form keeps the Mosaic DMA contract
+    starts = jnp.asarray(
+        np.minimum(np.arange(nt) * 256, L - K).astype(np.int32))
+    T = nt * tile - 50
+
+    ref = np.asarray(polyphase_banded_pallas(
+        xext, jnp.asarray(Wt_np), starts, T=T, interpret=True))
+    got = np.asarray(polyphase_banded_pallas_sharded(
+        xext, jnp.asarray(Wt_np), starts, T=T, mesh=mesh, interpret=True))
+    np.testing.assert_array_equal(got, ref)
+
+    with pytest.raises(ValueError, match="divide"):
+        polyphase_banded_pallas_sharded(
+            xext[:6], jnp.asarray(Wt_np), starts, T=T, mesh=mesh,
+            interpret=True)
+
+
+def test_resampler_mesh_routes_to_sharded_pallas(monkeypatch):
+    """Under a multi-device mesh with Pallas available, the fast path must
+    dispatch the shard_map kernel (not silently fall back to XLA, and not
+    all-gather): outputs bit-identical to the single-device Pallas path and
+    the sharded wrapper observed exactly once per chunk fn."""
+    import functools as ft
+
+    import esp_audio_libs_tpu.models.resampler as rmod
+    import esp_audio_libs_tpu.ops.polyphase_pallas as pp
+    from esp_audio_libs_tpu.models.resampler import (Resampler,
+                                                     ResamplerConfiguration)
+    from esp_audio_libs_tpu.parallel.mesh import stream_mesh
+
+    B, frames, ch, n_chunks = 16, 512, 2, 2
+    cfg = ResamplerConfiguration(44100.0, 16000.0, 16, 16, ch, True, True, 64, 32)
+    rng = np.random.default_rng(29)
+    pcm = rng.integers(-8192, 8192, (B, n_chunks * frames * ch)).astype(np.int16)
+    data = jnp.asarray(pcm.view(np.uint8).reshape(B, -1))
+
+    monkeypatch.setattr(rmod, "pallas_supported", lambda: True)
+    # interpret-mode kernels on CPU: patch the single-device binding in the
+    # resampler module AND the one the sharded wrapper calls internally
+    # (the wrapper forwards its own interpret flag, so force it regardless)
+    orig_kernel = pp.polyphase_banded_pallas
+
+    def force_interp(x, w, s, *, T, interpret=False):
+        return orig_kernel(x, w, s, T=T, interpret=True)
+
+    monkeypatch.setattr(rmod, "polyphase_banded_pallas", force_interp)
+    monkeypatch.setattr(pp, "polyphase_banded_pallas", force_interp)
+
+    single = Resampler(batch=B, exact=False)
+    single.initialize(cfg)
+    p1, g1, c1 = single.resample_stream(data, frames, n_chunks)
+
+    calls = []
+    orig_sharded = pp.polyphase_banded_pallas_sharded
+
+    def spy(*a, **k):
+        calls.append(1)
+        return orig_sharded(*a, **k)
+
+    monkeypatch.setattr(rmod, "polyphase_banded_pallas_sharded", spy)
+    sharded = Resampler(batch=B, exact=False, mesh=stream_mesh())
+    sharded.initialize(cfg)
+    p2, g2, c2 = sharded.resample_stream(data, frames, n_chunks)
+
+    assert calls, "mesh path did not route through the sharded Pallas kernel"
+    assert list(g1) == list(g2)
+    np.testing.assert_array_equal(np.asarray(p1), np.asarray(p2))
+    np.testing.assert_array_equal(np.asarray(c1), np.asarray(c2))
+    np.testing.assert_array_equal(np.asarray(single.history),
+                                  np.asarray(sharded.history))
+
+
 def test_pallas_supported_probe_is_safe():
     """pallas_supported() must return a bool without raising on any backend
     (it swallows Mosaic/transport compile failures and falls back)."""
