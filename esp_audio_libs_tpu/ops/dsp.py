@@ -25,7 +25,7 @@ import jax.numpy as jnp
 
 from .scan import exact_mul, iir2_scan
 
-__all__ = ["dotprod_f32", "biquad_f32", "add_s16", "mulc_s16"]
+__all__ = ["dotprod_f32", "biquad_f32", "add_s16", "mulc_s16", "mix_s16"]
 
 
 @functools.partial(jax.jit, static_argnames=("exact",))
@@ -119,3 +119,36 @@ def mulc_s16(x: jax.Array, c: jax.Array) -> jax.Array:
     (reference src/dsp/dsps_mulc_s16_ansi.c:26-29)."""
     acc = x.astype(jnp.int32) * jnp.asarray(c, jnp.int32)
     return (acc >> 15).astype(jnp.int16)
+
+
+@functools.partial(jax.jit, static_argnames=("shift",))
+def mix_s16(x: jax.Array, gains_q15: jax.Array, shift: int = 0) -> jax.Array:
+    """Volume-scale and mix ``S`` int16 streams into one.
+
+    This is the downstream-consumer composition the reference exports
+    ``dsps_mulc_s16``/``dsps_add_s16`` for (reference include/dsp.h:45-94 —
+    both kernels have no in-repo caller; their consumers are ESPHome's
+    mixer/volume stages).  Semantics are exactly the chained kernel calls::
+
+        y[s]  = mulc_s16(x[s], gains_q15[s])          # per-stream volume
+        acc   = y[0]
+        acc   = add_s16(acc, y[s], shift)  for s = 1..S-1   # left fold
+
+    with the kernels' int32 intermediates, arithmetic shift, and int16
+    wraparound preserved — bit-identical to running the C kernels in the
+    same order.  ``x`` is ``[S, ..., n]`` int16, ``gains_q15`` ``[S]`` int16
+    (Q15: unity ≈ 32767).  ``shift`` is the caller's headroom choice per
+    add, as in the C API; 0 wraps on overflow exactly like the reference.
+    """
+    x = x.astype(jnp.int16)
+    gains = jnp.asarray(gains_q15, jnp.int32).reshape(
+        (x.shape[0],) + (1,) * (x.ndim - 1))
+    scaled = ((x.astype(jnp.int32) * gains) >> 15).astype(jnp.int16)
+    if x.shape[0] == 1:
+        return scaled[0]
+
+    def step(acc, y):
+        return add_s16(acc, y, shift), None
+
+    acc, _ = jax.lax.scan(step, scaled[0], scaled[1:])
+    return acc

@@ -66,3 +66,21 @@ def test_mulc_s16(oracle, c):
     ref = oracle.mulc_s16(x, c)
     got = np.asarray(dsp.mulc_s16(jnp.asarray(x), np.int16(c)))
     np.testing.assert_array_equal(got, ref)
+
+
+@pytest.mark.parametrize("n_streams,shift", [(1, 0), (2, 0), (2, 1), (4, 2), (5, 0)])
+def test_mix_s16_matches_chained_kernels(oracle, n_streams, shift):
+    """mix_s16 == the chained C kernels (mulc per stream, left-fold add).
+
+    Full-scale inputs at shift=0 exercise the int16 wraparound path of the
+    adds (reference dsps_add_s16_ansi.c:23-26 has no saturation)."""
+    rng = np.random.default_rng(6 + n_streams)
+    x = rng.integers(-32768, 32768, (n_streams, 1024), dtype=np.int16)
+    gains = rng.integers(-32768, 32768, n_streams, dtype=np.int16)
+
+    ref = oracle.mulc_s16(x[0], gains[0])
+    for s in range(1, n_streams):
+        ref = oracle.add_s16(ref, oracle.mulc_s16(x[s], gains[s]), shift)
+
+    got = np.asarray(dsp.mix_s16(jnp.asarray(x), jnp.asarray(gains), shift=shift))
+    np.testing.assert_array_equal(got, ref)
