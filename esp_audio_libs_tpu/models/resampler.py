@@ -40,7 +40,8 @@ from ..ops.polyphase import (banded_K, banded_weights_device, polyphase_apply,
 from ..ops.polyphase_pallas import (fused16_supported, pallas_supported,
                                     polyphase_banded_pallas,
                                     polyphase_banded_pallas_sharded,
-                                    polyphase_fused16_pallas)
+                                    polyphase_fused16_pallas,
+                                    polyphase_fused16_pallas_sharded)
 from ..runtime.phase_grid import (
     HISTORY_MARGIN,
     PhaseState,
@@ -652,10 +653,14 @@ class Resampler:
                      and use_pallas and not post and ch in (1, 2)
                      and in_bits == 16 and self.output_bits == 16
                      and (self.batch * ch) % 16 == 0 and fused16_supported()
-                     # the fused tier has no shard_map form yet (its clip
-                     # mask and int16 pack stages would need per-shard
-                     # plumbing); mesh mode uses the sharded plain kernel
-                     and (self.mesh is None or self.mesh.size == 1))
+                     # under a multi-device mesh the kernel runs through its
+                     # shard_map form (polyphase_fused16_pallas_sharded), so
+                     # each shard's local [B*ch/mesh, L] block must itself
+                     # meet the kernel's 16-row int16 sublane minimum; the
+                     # pack/clip epilogues are plain jnp ops GSPMD partitions
+                     and (self.mesh is None or self.mesh.size == 1
+                          or (self.batch % self.mesh.size == 0
+                              and (self.batch * ch // self.mesh.size) % 16 == 0)))
             if fused:
                 fn = self._build_fused_stream_fn(
                     frames, out_max, K=K, L=L, taps_p=taps_p,
@@ -720,6 +725,14 @@ class Resampler:
         ch = self.channels
         hist_len = self.hist_len
         bps_in = q.bytes_per_sample(self.input_bits)
+        if self.mesh is not None and self.mesh.size > 1:
+            # pallas_call has no GSPMD partitioning rule (same constraint as
+            # the plain slab kernel) — under a mesh the fused kernel runs
+            # through its shard_map SPMD form on stream-local blocks
+            fused_poly = functools.partial(polyphase_fused16_pallas_sharded,
+                                           mesh=self.mesh)
+        else:
+            fused_poly = polyphase_fused16_pallas
 
         @jax.jit
         def fn(data, factor, hist, oh, gi, gw, gens):
@@ -747,7 +760,7 @@ class Resampler:
                 Wt, st = banded_weights_device(
                     filt_dev, direct_dev, win0x, idx1, idx2, weight, mode,
                     gen, K=K, taps_p=taps_p, L=L, aligned=True)
-                s16, cmask = polyphase_fused16_pallas(
+                s16, cmask = fused_poly(
                     xext.reshape(B * ch, L), Wt * factor, st)
                 s16 = s16.reshape(B, ch, -1)[..., :out_max]
                 cmask = cmask.reshape(B, ch, -1)[..., :out_max]

@@ -29,7 +29,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 __all__ = ["polyphase_banded_pallas", "polyphase_banded_pallas_sharded",
-           "polyphase_fused16_pallas", "pallas_supported", "fused16_supported"]
+           "polyphase_fused16_pallas", "polyphase_fused16_pallas_sharded",
+           "pallas_supported", "fused16_supported"]
 
 
 def _ensure_recursion_headroom() -> None:
@@ -289,6 +290,47 @@ def polyphase_fused16_pallas(x2, Wt, starts, *, interpret: bool = False):
         grid_spec=grid_spec,
         interpret=interpret,
     )(starts.astype(jnp.int32), x2, Wt)
+
+
+def polyphase_fused16_pallas_sharded(x2, Wt, starts, *, mesh,
+                                     interpret: bool = False):
+    """SPMD form of :func:`polyphase_fused16_pallas` for a stream mesh.
+
+    Same shape as :func:`polyphase_banded_pallas_sharded`: ``pallas_call``
+    has no GSPMD partitioning rule, so the fused kernel runs under a
+    ``shard_map`` — each device executes the Mosaic slab-DMA + contract +
+    quantize program on its LOCAL ``[M/mesh, L]`` int16 block with the
+    gain-folded weight tiles and tile starts replicated (zero collectives).
+    Both outputs (int16 samples, int8 clip mask) come back stream-sharded,
+    so the caller's pack / clip-count epilogue partitions without any
+    resharding collective.
+
+    ``x2``'s leading dim must divide by the mesh size AND leave a local
+    block of >= 16 rows (the int16 sublane tile — the single-device kernel's
+    own minimum); the resampler's fused-tier gate checks both before
+    selecting this form.
+    """
+    from jax.sharding import PartitionSpec as P
+
+    from ..parallel.mesh import STREAM_AXIS
+
+    M = x2.shape[0]
+    if M % mesh.size:
+        raise ValueError(
+            f"leading dim {M} must divide over the {mesh.size}-device mesh")
+    if (M // mesh.size) % 16:
+        raise ValueError(
+            f"local block {M // mesh.size} below the fused kernel's 16-row "
+            f"int16 sublane minimum (M={M}, mesh={mesh.size})")
+    lead = P(STREAM_AXIS, None)
+    f = jax.shard_map(
+        functools.partial(polyphase_fused16_pallas, interpret=interpret),
+        mesh=mesh,
+        in_specs=(lead, P(None, None, None), P(None)),
+        out_specs=(lead, lead),
+        check_vma=False,  # pallas_call defeats shard_map's varying-axis check
+    )
+    return f(x2, Wt, starts)
 
 
 @functools.lru_cache(None)

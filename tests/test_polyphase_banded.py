@@ -462,3 +462,147 @@ def test_fused_tier_gain_change_routes_to_xla(monkeypatch):
     fused_keys = [k for k in fus._chunk_fns if k[0] == "faststream" and k[4]]
     plain_keys = [k for k in fus._chunk_fns if k[0] == "faststream" and not k[4]]
     assert len(fused_keys) == 1 and len(plain_keys) == 1
+
+
+def test_fused16_sharded_matches_per_shard_single_device_interpret():
+    """The shard_map SPMD form of the fused int16 kernel must be BIT-exact —
+    samples AND clip mask — vs running the single-device kernel on each
+    shard's LOCAL block: that per-chip program is exactly what shard_map
+    stamps out (weights replicated, zero collectives).  The whole-batch
+    single-device call is only 1-LSB-equivalent, not bitwise: its larger
+    batch block (bm) changes the backend's f32 contraction blocking."""
+    from esp_audio_libs_tpu.ops.polyphase_pallas import (
+        polyphase_fused16_pallas, polyphase_fused16_pallas_sharded)
+    from esp_audio_libs_tpu.parallel.mesh import stream_mesh
+
+    mesh = stream_mesh()
+    assert mesh.size == 8  # conftest forces the 8-device CPU mesh
+
+    rng = np.random.default_rng(31)
+    M, L, nt, K, tile = 128, 1024, 3, 512, 128  # local block: 16 rows
+    x = rng.integers(-32768, 32768, (M, L), dtype=np.int16)
+    Wt = (rng.standard_normal((nt, K, tile)) * 0.02).astype(np.float32)
+    Wt[:, 300:, :] = 0.0
+    Wt[0, :300, 5] = 1e6  # int32-overflow column: x86 INT_MIN clip semantics
+    starts = jnp.asarray(np.array([0, 128, 256], np.int32))
+    factor = np.float32(1.0 / 32768.0)
+    wt_dev = jnp.asarray(Wt) * factor
+
+    loc = M // mesh.size
+    per_shard = [polyphase_fused16_pallas(
+        jnp.asarray(x[i * loc:(i + 1) * loc]), wt_dev, starts, interpret=True)
+        for i in range(mesh.size)]
+    s_ref = np.concatenate([np.asarray(s) for s, _ in per_shard])
+    c_ref = np.concatenate([np.asarray(c) for _, c in per_shard])
+    s_got, c_got = polyphase_fused16_pallas_sharded(
+        jnp.asarray(x), wt_dev, starts, mesh=mesh, interpret=True)
+    np.testing.assert_array_equal(np.asarray(s_got), s_ref)
+    np.testing.assert_array_equal(np.asarray(c_got), c_ref)
+
+    # whole-batch single-device form: same program at a different bm —
+    # 1-LSB-equivalent with identical clip decisions on overflow columns
+    s_one, c_one = polyphase_fused16_pallas(
+        jnp.asarray(x), wt_dev, starts, interpret=True)
+    d = np.abs(np.asarray(s_one).astype(np.int32) - s_got.astype(np.int32))
+    assert d.max() <= 1
+    assert (np.asarray(c_one)[:, 5] > 0).all() and (c_got[:, 5] > 0).all()
+
+    with pytest.raises(ValueError, match="divide"):
+        polyphase_fused16_pallas_sharded(
+            jnp.asarray(x[:116]), jnp.asarray(Wt) * factor, starts, mesh=mesh,
+            interpret=True)
+    with pytest.raises(ValueError, match="sublane minimum"):
+        polyphase_fused16_pallas_sharded(
+            jnp.asarray(np.tile(x, (2, 1))[:64]), jnp.asarray(Wt) * factor,
+            starts, mesh=mesh, interpret=True)
+
+
+def test_resampler_mesh_fused16_routes_sharded(monkeypatch):
+    """Under a multi-device mesh with the fused tier enabled, the fast
+    stream path must dispatch the shard_map fused kernel — packed samples
+    within the 1-LSB fast-path contract of the single-device fused tier
+    (the per-shard bm changes the f32 contraction blocking), identical
+    generated counts and zero clip counts, carried history bit-exact (it
+    is sliced raw input, not contraction output), and the sharded wrapper
+    actually observed."""
+    import functools as ft
+
+    import esp_audio_libs_tpu.models.resampler as rmod
+    import esp_audio_libs_tpu.ops.polyphase_pallas as pp
+    from esp_audio_libs_tpu.models.resampler import (Resampler,
+                                                     ResamplerConfiguration)
+    from esp_audio_libs_tpu.parallel.mesh import stream_mesh
+
+    B, frames, ch, n_chunks = 64, 512, 2, 2  # B*ch/8 = 16: local minimum
+    cfg = ResamplerConfiguration(44100.0, 16000.0, 16, 16, ch, True, True, 64, 32)
+    rng = np.random.default_rng(37)
+    pcm = rng.integers(-8192, 8192, (B, n_chunks * frames * ch)).astype(np.int16)
+    data = jnp.asarray(pcm.view(np.uint8).reshape(B, -1))
+
+    monkeypatch.setenv("EAL_RESAMPLE_FUSED16", "1")
+    monkeypatch.setattr(rmod, "pallas_supported", lambda: True)
+    monkeypatch.setattr(rmod, "fused16_supported", lambda: True)
+    orig_fused = pp.polyphase_fused16_pallas
+
+    def force_interp(x2, Wt, starts, *, interpret=False):
+        return orig_fused(x2, Wt, starts, interpret=True)
+
+    monkeypatch.setattr(rmod, "polyphase_fused16_pallas", force_interp)
+    monkeypatch.setattr(pp, "polyphase_fused16_pallas", force_interp)
+
+    single = Resampler(batch=B, exact=False)
+    single.initialize(cfg)
+    p1, g1, c1 = single.resample_stream(data, frames, n_chunks)
+
+    calls = []
+    orig_sharded = pp.polyphase_fused16_pallas_sharded
+
+    def spy(*a, **k):
+        calls.append(1)
+        return orig_sharded(*a, **k)
+
+    monkeypatch.setattr(rmod, "polyphase_fused16_pallas_sharded", spy)
+    sharded = Resampler(batch=B, exact=False, mesh=stream_mesh())
+    sharded.initialize(cfg)
+    p2, g2, c2 = sharded.resample_stream(data, frames, n_chunks)
+
+    assert calls, "mesh path did not route through the sharded fused kernel"
+    assert list(g1) == list(g2)
+    a = np.asarray(p1).view(np.int16).astype(np.int32)
+    b = np.asarray(p2).view(np.int16).astype(np.int32)
+    assert np.abs(a - b).max() <= 1
+    assert np.asarray(c1).sum() == 0 and np.asarray(c2).sum() == 0
+    np.testing.assert_array_equal(np.asarray(single.history),
+                                  np.asarray(sharded.history))
+
+
+def test_resampler_mesh_fused16_indivisible_local_block_falls_back(monkeypatch):
+    """A fleet whose per-shard block would violate the fused kernel's 16-row
+    minimum must route to the plain (non-fused) mesh path, not crash."""
+    import esp_audio_libs_tpu.models.resampler as rmod
+    from esp_audio_libs_tpu.models.resampler import (Resampler,
+                                                     ResamplerConfiguration)
+    from esp_audio_libs_tpu.parallel.mesh import stream_mesh
+
+    B, frames, ch = 16, 512, 2  # B*ch/8 = 4 < 16 -> fused gate must reject
+    cfg = ResamplerConfiguration(44100.0, 16000.0, 16, 16, ch, True, True, 64, 32)
+    rng = np.random.default_rng(41)
+    pcm = rng.integers(-8192, 8192, (B, frames * ch)).astype(np.int16)
+    data = jnp.asarray(pcm.view(np.uint8).reshape(B, -1))
+
+    monkeypatch.setenv("EAL_RESAMPLE_FUSED16", "1")
+    monkeypatch.setattr(rmod, "fused16_supported", lambda: True)
+    # pallas_supported stays False on CPU -> plain XLA mesh body
+    builds = []
+    orig_build = Resampler._build_fused_stream_fn
+
+    def spy(self, *a, **k):
+        builds.append(1)
+        return orig_build(self, *a, **k)
+
+    monkeypatch.setattr(Resampler, "_build_fused_stream_fn", spy)
+    r = Resampler(batch=B, exact=False, mesh=stream_mesh())
+    r.initialize(cfg)
+    p, g, c = r.resample_stream(data, frames, 1)
+    assert not builds, "fused tier must not build below the local-block minimum"
+    assert np.asarray(p).shape[0] == 1
