@@ -236,7 +236,7 @@ def bench_mp3(B=256, n_frames=8):
 
     # serving-rate API: the whole n_frames run is one dispatch per group
     runs = bat.decode_run([stream[p:] for p in pos], n_frames)   # warm G=2*n_frames
-    pos = [p + sum(x[2] for x in rr) for p, rr in zip(pos, runs)]
+    pos = [p + np_ for p, np_ in zip(pos, runs.next_pos)]
     t0 = time.perf_counter()
     runs = bat.decode_run([stream[p:] for p in pos], n_frames)
     dt = time.perf_counter() - t0

@@ -30,7 +30,41 @@ from . import mp3_pipeline
 
 _i32p = C.POINTER(C.c_int32)
 
-__all__ = ["BatchedFLACDecoder", "BatchedMP3Decoder"]
+__all__ = ["BatchedFLACDecoder", "BatchedMP3Decoder", "MP3RunResult",
+           "MP3DeviceRunResult"]
+
+
+class MP3RunResult(list):
+    """``decode_run`` host result: list over streams of per-frame
+    ``(err, pcm|None, consumed)`` tuples, plus ``next_pos``.
+
+    ``next_pos[s]`` is the offset INTO THE BUFFER PASSED FOR STREAM s where
+    the next run starts.  It is NOT ``sum(consumed)``: after each successful
+    frame the run internally plays the reference caller protocol and skips
+    reservoir slack to the next sync word (MP3FindSyncWord, reference
+    mp3_decoder.cpp:8533), bytes that appear in no frame's ``consumed``.
+    Sequential callers must advance with ``next_pos`` — advancing by summed
+    ``consumed`` lands inside the slack of real reservoir streams and the
+    next run reports a spurious INVALID_FRAMEHEADER.  After an error frame
+    (which ends that stream's run) ``next_pos`` points just past the
+    consumed bytes with no sync skip, exactly where the reference caller
+    would resync from.
+    """
+
+    def __init__(self, items, next_pos):
+        super().__init__(items)
+        self.next_pos = list(next_pos)
+
+
+class MP3DeviceRunResult(tuple):
+    """``decode_run(to_device=True)`` result: unpacks as the documented
+    ``(pcm_dev, consumed_list)`` 2-tuple, with the same ``next_pos``
+    attribute as :class:`MP3RunResult` for sequential callers."""
+
+    def __new__(cls, pcm, consumed, next_pos):
+        self = super().__new__(cls, (pcm, consumed))
+        self.next_pos = list(next_pos)
+        return self
 
 import jax
 import jax.numpy as jnp
@@ -346,12 +380,17 @@ class BatchedMP3Decoder:
         before a mid-stream format change (rare; the next call picks it up).
         ``last_frame_reference_defined`` aggregates over the whole run.
 
-        Returns: list over streams of lists of (err, pcm|None, consumed).
-        With ``to_device=True`` (uniform error-free fleets only — one
-        format group covering every stream), returns
-        ``(pcm_dev, consumed_list)`` instead: ``pcm_dev`` is jnp int16
-        ``[n_streams, run_samples]`` left ON DEVICE for pipeline
-        composition (bitcast to uint8 = packed PCM bytes).
+        Returns: :class:`MP3RunResult` — a list over streams of lists of
+        (err, pcm|None, consumed), with ``next_pos[s]`` giving the buffer
+        offset where stream s's NEXT run starts.  Sequential callers must
+        advance with ``next_pos``, not summed ``consumed``: the internal
+        sync skips over reservoir slack appear in no frame's ``consumed``
+        (see MP3RunResult).  With ``to_device=True`` (uniform error-free
+        fleets only — one format group covering every stream), returns
+        :class:`MP3DeviceRunResult` — unpacks as ``(pcm_dev,
+        consumed_list)`` with the same ``next_pos`` attribute; ``pcm_dev``
+        is jnp int16 ``[n_streams, run_samples]`` left ON DEVICE for
+        pipeline composition (bitcast to uint8 = packed PCM bytes).
         """
         views = [self._as_view(b) for b in buffers]
         if to_device:
@@ -513,7 +552,8 @@ class BatchedMP3Decoder:
                         self.last_frame_reference_defined[s] = not bool(undef[bi])
                     consumed_list = [sum(c for *_, c, _k in perstream[s])
                                      for s in streams]
-                    return pcm, consumed_list
+                    return MP3DeviceRunResult(pcm, consumed_list,
+                                              parsed["pos"])
 
                 # dispatch the group in stream SLICES: each sub-fleet's host
                 # packing + upload overlaps the previous slice's PCM download
@@ -548,7 +588,7 @@ class BatchedMP3Decoder:
             for fut, chunk, nch, new_vindex in pending:
                 pcm_np, undef = fut.result()
                 _assemble(chunk, pcm_np, undef, nch, new_vindex)
-        return results
+        return MP3RunResult(results, parsed["pos"])
 
     def decode_run_pipelined(self, buffers, n_frames, n_runs, use_size=False,
                              to_device=False):
@@ -560,7 +600,9 @@ class BatchedMP3Decoder:
 
         Per-run outputs are identical to sequential :meth:`decode_run`
         calls (pinned by test); runs end early when every stream is
-        exhausted or stopped.
+        exhausted or stopped.  Each yielded result's ``next_pos`` is
+        absolute within the ``buffers`` passed here (the generator feeds
+        the same views across runs).
         """
         from concurrent.futures import ThreadPoolExecutor
 

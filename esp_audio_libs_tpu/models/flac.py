@@ -90,8 +90,8 @@ def _frame_kernel_esc(data8, esc_pos, esc_val, coeffs, order, shift, wasted,
 
 
 # escape-density ceiling for choosing the int8+sideband transport tier
-# (beyond this the sideband stops paying for itself); tests force it to 1.0
-ESC_MAX_DENSITY = 1.0 / 64.0
+# (shared rationale in runtime/transport.py); tests force it to 0.0/1.0
+ESC_MAX_DENSITY = transport.ESC_MAX_DENSITY
 
 
 def _require_x64(what: str) -> None:
@@ -265,12 +265,10 @@ def _run_frame_bucket(g, rows, frs, bkey, mesh=None):
         esc_mask = np.abs(data.astype(np.int32)) > 127
         n_esc = int(esc_mask.sum())
         if n_esc <= ESC_MAX_DENSITY * data.size:
-            cap = max(16, 1 << int(n_esc - 1).bit_length()) if n_esc else 16
-            pos = np.full(cap, data.size, np.int32)       # OOB -> dropped
-            val = np.zeros(cap, np.int32)
             flat = np.flatnonzero(esc_mask)
-            pos[: n_esc] = flat
-            val[: n_esc] = data.reshape(-1)[flat]
+            pos, val = transport.escape_sideband(
+                flat, data.reshape(-1)[flat], oob_index=data.size,
+                val_dtype=np.int32)
             return _frame_kernel_esc(
                 jnp.asarray(data.astype(np.int8)), jnp.asarray(pos),
                 jnp.asarray(val), jnp.asarray(g.coeffs[frs]),

@@ -16,6 +16,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops import mp3dsp, mp3imdct, mp3subband
+from ..runtime import transport
 from ..runtime.tables import mp3_tables
 from .mp3 import expand_hp_device, format_maps, granule_params_compact_blob
 
@@ -35,12 +36,8 @@ def _pack_huff16(huff_np: np.ndarray) -> np.ndarray:
 
 
 # escape-density ceiling for the int8+sideband spectral transport tier
-# (same rationale as models/flac.py ESC_MAX_DENSITY: each escape costs
-# 6 sideband bytes vs the 1 byte/word the narrower plane saves, so the
-# break-even is 1/6; 1/64 keeps the tier safely profitable).  Typical
-# audio rarely quantizes spectral magnitudes past 127 — linbits escapes
-# (ISO/IEC 11172-3 Table B.7) are sparse — so real content engages it.
-ESC_MAX_DENSITY = 1.0 / 64.0
+# (shared rationale in runtime/transport.py); tests force it to 0.0/1.0
+ESC_MAX_DENSITY = transport.ESC_MAX_DENSITY
 
 
 def _pack_huff8(huff16: np.ndarray):
@@ -60,13 +57,10 @@ def _pack_huff8(huff16: np.ndarray):
     if n_esc > ESC_MAX_DENSITY * huff16.size:
         return None
     plane8 = ((mag & 0x7F) | ((u >> 8) & 0x80)).astype(np.uint8).view(np.int8)
-    # pad the sideband to a pow2 cap so escape-count jitter doesn't recompile
-    cap = max(16, 1 << int(n_esc - 1).bit_length()) if n_esc else 16
-    pos = np.full(cap, huff16.size, np.int32)        # OOB -> dropped
-    val = np.zeros(cap, np.int16)
     flat = np.flatnonzero(esc.reshape(-1))
-    pos[:n_esc] = flat
-    val[:n_esc] = huff16.reshape(-1)[flat]
+    pos, val = transport.escape_sideband(
+        flat, huff16.reshape(-1)[flat], oob_index=huff16.size,
+        val_dtype=np.int16)
     return plane8, pos, val
 
 

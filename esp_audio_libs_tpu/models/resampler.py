@@ -53,6 +53,34 @@ from ..runtime.native import design_filterbank_native
 __all__ = ["ResamplerConfiguration", "ResamplerResults", "Resampler"]
 
 
+def _is_pallas_lowering_failure(e: Exception) -> bool:
+    """Classify whether an exception from a compiled chunk fn is a Pallas/
+    Mosaic compile- or lowering-stage failure (safe to fall back to the XLA
+    banded path) versus an unrelated runtime error that must surface.
+
+    Classification is structural, not message-sniffing: lowering failures
+    raise with traceback frames inside jax's pallas/mosaic modules (the
+    kernel is still being traced/lowered), or as NotImplementedError /
+    RecursionError from the lowering machinery. Runtime failures of an
+    ALREADY-compiled program raise from the dispatch layer with no such
+    frames — a transport error whose message happens to contain words like
+    "Unsupported" or "lowering" no longer disables Pallas process-wide.
+    The one message check kept is the literal "Mosaic" compiler banner:
+    remote-compile transports surface Mosaic's own errors as opaque
+    XlaRuntimeError strings with no useful traceback."""
+    if isinstance(e, (NotImplementedError, RecursionError)):
+        return True
+    if "mosaic" in f"{type(e).__name__}: {e}".lower():
+        return True
+    tb = e.__traceback__
+    while tb is not None:
+        fname = tb.tb_frame.f_code.co_filename.replace("\\", "/").lower()
+        if "/pallas/" in fname or "mosaic" in fname:
+            return True
+        tb = tb.tb_next
+    return False
+
+
 def _stage(x, exact):
     """In exact mode, fence pipeline stages with an optimization barrier so
     XLA cannot fuse (and FMA-contract / re-round) across stage boundaries;
@@ -521,12 +549,7 @@ class Resampler:
                 # Only a compile/lowering failure justifies disabling Pallas;
                 # a data/transport/OOM error must surface, not silently
                 # re-dispatch (and certainly not poison the whole process).
-                msg = f"{type(e).__name__}: {e}"
-                lowering_failure = (
-                    "Mosaic" in msg or "mosaic" in msg or "lowering" in msg
-                    or "Unsupported" in msg or isinstance(e, (NotImplementedError,
-                                                              RecursionError)))
-                if not lowering_failure:
+                if not _is_pallas_lowering_failure(e):
                     raise
                 import warnings
 
@@ -578,9 +601,11 @@ class Resampler:
         bps_in = q.bytes_per_sample(self.input_bits)
         factor = q.gain_factor(self.input_bits, gain_db)
         # fused int16 tier is only exact when the carried history shares this
-        # call's gain factor (see _build_fused_stream_fn)
+        # call's gain factor (see _build_fused_stream_fn); the flag commits
+        # only after a successful dispatch — on an exception self.history
+        # still holds the PREVIOUS gain's values, and claiming gain-0 early
+        # would let a retry reconstruct raw history with the wrong factor
         fused_ok = gain_db == 0.0 and self._hist_gain_zero
-        self._hist_gain_zero = gain_db == 0.0
         data = self._place(
             jnp.asarray(input_bytes))[:, : num_chunks * chunk_frames * ch * bps_in]
 
@@ -613,6 +638,7 @@ class Resampler:
                 jnp.asarray(np.asarray(gens, np.int32)))
             if self.post_filter:
                 self._post_hist = new_oh
+            self._hist_gain_zero = gain_db == 0.0
             return packed, gens, clipped
 
         stack = lambda field: jnp.asarray(np.stack([getattr(g, field) for g in grids]))
@@ -625,11 +651,46 @@ class Resampler:
             jnp.asarray(np.asarray(gens, np.int32)))
         if self.pre_filter or self.post_filter:
             self._biquad_state = list(new_bq)
+        self._hist_gain_zero = gain_db == 0.0
         return packed, gens, clipped
+
+    def _fused_tier_selected(self, fused_ok: bool) -> bool:
+        """Resolve the fused int16 tier decision for a stream call.
+
+        Fully-fused tier for the dominant serving shape (s16 in/out, no
+        post stage): raw int16 slabs + in-kernel quantize collapse the
+        scan body's HBM bytes ~4x (see ops/polyphase_pallas). Opt-in
+        (EAL_RESAMPLE_FUSED16=1): on this box's tunnel it measured a
+        tie with the XLA body (both structure-bound, PROFILES.md
+        round-3 fused16 note), so the default stays the measured-equal
+        simpler path; the tier exists for co-located hardware where
+        the byte reduction is the predicted win.
+        """
+        ch = self.channels
+        return (fused_ok
+                and os.environ.get("EAL_RESAMPLE_FUSED16", "") in ("1", "true")
+                and not self.post_filter and ch in (1, 2)
+                and self.input_bits == 16 and self.output_bits == 16
+                and (self.batch * ch) % 16 == 0
+                # under a multi-device mesh the kernel runs through its
+                # shard_map form (polyphase_fused16_pallas_sharded), so
+                # each shard's local [B*ch/mesh, L] block must itself
+                # meet the kernel's 16-row int16 sublane minimum; the
+                # pack/clip epilogues are plain jnp ops GSPMD partitions
+                and (self.mesh is None or self.mesh.size == 1
+                     or (self.batch % self.mesh.size == 0
+                         and (self.batch * ch // self.mesh.size) % 16 == 0))
+                # support probes last: they compile trivial kernels on TPU
+                and pallas_supported() and fused16_supported())
 
     def _get_fast_stream_fn(self, frames: int, out_max: int, num_chunks: int,
                             fused_ok: bool = False):
-        key = ("faststream", frames, out_max, num_chunks, fused_ok)
+        # key on the RESOLVED tier decision, not the caller's gain
+        # precondition: with the tier disabled (the default), gain-0 and
+        # gain!=0 calls must share one compiled fn, not trace the identical
+        # scan program twice per shape
+        fused = self._fused_tier_selected(fused_ok)
+        key = ("faststream", frames, out_max, num_chunks, fused)
         if key not in self._chunk_fns:
             ch = self.channels
             in_bits = self.input_bits
@@ -640,27 +701,6 @@ class Resampler:
             L = -(-max(hist_len + frames, K) // 128) * 128  # lane-aligned for Mosaic DMA
             poly = self._poly(use_pallas)
 
-            # Fully-fused tier for the dominant serving shape (s16 in/out, no
-            # post stage): raw int16 slabs + in-kernel quantize collapse the
-            # scan body's HBM bytes ~4x (see ops/polyphase_pallas). Opt-in
-            # (EAL_RESAMPLE_FUSED16=1): on this box's tunnel it measured a
-            # tie with the XLA body (both structure-bound, PROFILES.md
-            # round-3 fused16 note), so the default stays the measured-equal
-            # simpler path; the tier exists for co-located hardware where
-            # the byte reduction is the predicted win.
-            fused = (fused_ok
-                     and os.environ.get("EAL_RESAMPLE_FUSED16", "") in ("1", "true")
-                     and use_pallas and not post and ch in (1, 2)
-                     and in_bits == 16 and self.output_bits == 16
-                     and (self.batch * ch) % 16 == 0 and fused16_supported()
-                     # under a multi-device mesh the kernel runs through its
-                     # shard_map form (polyphase_fused16_pallas_sharded), so
-                     # each shard's local [B*ch/mesh, L] block must itself
-                     # meet the kernel's 16-row int16 sublane minimum; the
-                     # pack/clip epilogues are plain jnp ops GSPMD partitions
-                     and (self.mesh is None or self.mesh.size == 1
-                          or (self.batch % self.mesh.size == 0
-                              and (self.batch * ch // self.mesh.size) % 16 == 0)))
             if fused:
                 fn = self._build_fused_stream_fn(
                     frames, out_max, K=K, L=L, taps_p=taps_p,

@@ -42,8 +42,12 @@ def _ensure_recursion_headroom() -> None:
     exhaustion (CPython >= 3.11 keeps pure-Python frames on the heap, and
     JAX's lowering recursion is pure Python); a genuinely runaway
     recursion still raises RecursionError, which _with_pallas_fallback
-    treats as a lowering failure. Never lowers a higher user-set limit."""
-    if sys.getrecursionlimit() < 30_000:
+    treats as a lowering failure. Never lowers a higher user-set limit.
+    On CPython < 3.11 pure-Python frames still consume C stack, so raising
+    the limit there trades RecursionError for a possible hard segfault —
+    keep the default and let the fallback machinery route deep lowerings
+    to the XLA path instead."""
+    if sys.version_info >= (3, 11) and sys.getrecursionlimit() < 30_000:
         sys.setrecursionlimit(30_000)
 
 

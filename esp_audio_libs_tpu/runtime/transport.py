@@ -22,6 +22,8 @@ import contextlib
 import queue
 import threading
 
+import numpy as np
+
 # target PCM bytes per dispatch slice — sized so one slice's upload and the
 # previous slice's download overlap while per-transfer latency stays
 # amortized (throughput measured flat for 4-17 MB slices)
@@ -35,6 +37,31 @@ MP3_SLICE_PCM_BYTES = 8 << 20
 # concurrent transfers scale on the measured link and slice results are
 # order-independent
 DRAIN_THREADS = 4
+
+# escape-density ceiling for the int8+sideband transport tiers (FLAC
+# residuals, MP3 spectral planes): each escape costs 6 sideband bytes vs
+# the 1 byte/word the narrower plane saves, so the break-even is 1/6;
+# 1/64 keeps the tier safely profitable.  Typical content engages it:
+# fitted-LPC FLAC residuals and quantized MP3 spectral magnitudes rarely
+# exceed int8 range (linbits escapes are sparse by design).
+ESC_MAX_DENSITY = 1.0 / 64.0
+
+
+def escape_sideband(esc_flat_idx, flat_vals, oob_index: int, val_dtype):
+    """Sparse (position, value) escape sideband for an int8 transport plane.
+
+    Padded to a pow2 cap (min 16) so escape-count jitter doesn't recompile
+    the device fixup; padding slots carry the out-of-range ``oob_index`` so
+    the device-side ``.at[pos].set(val, mode="drop")`` scatter ignores them.
+    Returns ``(pos int32[cap], val val_dtype[cap])``.
+    """
+    n_esc = int(esc_flat_idx.size)
+    cap = max(16, 1 << int(n_esc - 1).bit_length()) if n_esc else 16
+    pos = np.full(cap, oob_index, np.int32)
+    val = np.zeros(cap, val_dtype)
+    pos[:n_esc] = esc_flat_idx
+    val[:n_esc] = flat_vals
+    return pos, val
 
 
 @contextlib.contextmanager

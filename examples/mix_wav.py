@@ -16,7 +16,8 @@ Semantics are bit-identical to running the C kernels in the same order
 feed/throttle loop as examples/resample_wav.py.
 
 Usage: mix_wav.py out.wav in1.wav in2.wav [...]
-         [--gain-db G ...]   one per input (default 0 dB -> Q15 32767)
+         [--gain-db G ...]   one per input, <= 0 dB (default 0 dB -> Q15
+                             32767; Q15 can only attenuate)
          [--shift N]         arithmetic right shift per add (headroom;
                              0 wraps on overflow exactly like the C kernel)
          [--rate R]          resample all inputs to R Hz first
@@ -42,18 +43,22 @@ from esp_audio_libs_tpu.models.resampler import (  # noqa: E402
 from esp_audio_libs_tpu.models.wav import parse_wav  # noqa: E402
 from esp_audio_libs_tpu.ops.dsp import mix_s16  # noqa: E402
 from flac_to_wav import write_wav_header  # noqa: E402
-
-CHUNK_FRAMES = 8192
+from resample_wav import resample_pcm_bytes  # noqa: E402
 
 
 def db_to_q15(gain_db: float) -> np.int16:
-    """dB -> Q15 gain factor for mulc_s16; 0 dB maps to 32767 (~unity)."""
+    """dB -> Q15 gain factor for mulc_s16; 0 dB maps to 32767 (~unity).
+
+    Q15 tops out just below unity, so the mixer can only attenuate —
+    the CLI rejects positive gains up front (a reference-kernel domain
+    limit: dsps_mulc_s16 multiplies by a Q15 constant)."""
+    assert gain_db <= 0.0, gain_db
     q = int(round((10.0 ** (gain_db / 20.0)) * 32768.0))
     return np.int16(max(-32768, min(32767, q)))
 
 
 def _resample_pcm(pcm: bytes, src_rate: int, ch: int, rate: float) -> bytes:
-    """Resample 16-bit PCM with the resample_wav feed/throttle loop
+    """Resample 16-bit PCM with the shared resample_wav feed/throttle loop
     (reference caller contract, resampler.cpp:100-160)."""
     rs = Resampler(batch=1, exact=True)
     ok = rs.initialize(ResamplerConfiguration(
@@ -63,20 +68,10 @@ def _resample_pcm(pcm: bytes, src_rate: int, ch: int, rate: float) -> bytes:
         subsample_interpolate=True, number_of_taps=64, number_of_filters=32))
     if not ok:
         raise ValueError("resampler configuration rejected")
-    frame_bytes = ch * 2
-    total_frames = len(pcm) // frame_bytes
-    out_free = int(CHUNK_FRAMES * (float(rate) / float(src_rate))) + 16
-    pos, parts = 0, []
-    while pos < total_frames:
-        avail = min(CHUNK_FRAMES, total_frames - pos)
-        data = np.frombuffer(
-            pcm[pos * frame_bytes:(pos + avail) * frame_bytes], np.uint8)[None]
-        out, res = rs.resample(data, avail, out_free)
-        parts.append(bytes(np.asarray(out)[0]))
-        if res.frames_used <= 0:
-            break
-        pos += res.frames_used
-    return b"".join(parts)
+    payload, _clipped = resample_pcm_bytes(
+        rs, pcm, ch=ch, src_bits=16,
+        ratio=float(rate) / float(src_rate))
+    return payload
 
 
 def mix(out_path: str, in_paths: list[str], gains_db: list[float],
@@ -142,6 +137,11 @@ def main():
     gains = args.gain_db if args.gain_db is not None else [0.0] * len(args.inputs)
     if len(gains) != len(args.inputs):
         print(f"ERROR: {len(gains)} --gain-db flags for {len(args.inputs)} inputs")
+        sys.exit(1)
+    bad = [g for g in gains if g > 0.0]
+    if bad:
+        print(f"ERROR: --gain-db {bad[0]:+g} not representable: the Q15 "
+              f"mixer (dsps_mulc_s16) can only attenuate — max gain is 0 dB")
         sys.exit(1)
     sys.exit(mix(args.output, args.inputs, gains, args.shift, args.rate))
 

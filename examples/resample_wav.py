@@ -37,6 +37,34 @@ from flac_to_wav import write_wav_header  # noqa: E402
 CHUNK_FRAMES = 8192
 
 
+def resample_pcm_bytes(rs: Resampler, pcm: bytes, *, ch: int, src_bits: int,
+                       ratio: float, gain_db: float = 0.0,
+                       chunk_frames: int = CHUNK_FRAMES):
+    """The reference caller contract (resampler.cpp:100-160) as a loop:
+    feed at most ``chunk_frames``, honor the required-samples throttle
+    (``frames_used``), resend the unconsumed tail next call.  Shared by the
+    CLIs that resample (this one and mix_wav.py).  Returns
+    ``(payload bytes, clipped sample count)``."""
+    bps_in = (src_bits + 7) // 8
+    frame_bytes = ch * bps_in
+    total_frames = len(pcm) // frame_bytes
+    out_free = int(chunk_frames * ratio) + 16
+    pos = 0
+    parts: list[bytes] = []
+    clipped = 0
+    while pos < total_frames:
+        avail = min(chunk_frames, total_frames - pos)
+        buf = pcm[pos * frame_bytes:(pos + avail) * frame_bytes]
+        data = np.frombuffer(buf, np.uint8)[None, :]
+        out, res = rs.resample(data, avail, out_free, gain_db=gain_db)
+        parts.append(bytes(np.asarray(out)[0]))
+        clipped += int(res.clipped_samples[0])
+        if res.frames_used <= 0:  # throttled with nothing consumed: done
+            break
+        pos += res.frames_used
+    return b"".join(parts), clipped
+
+
 def convert(in_path: str, out_path: str, *, rate: float, bits: int | None,
             gain_db: float, taps: int, filters: int, use_filter: bool,
             interpolate: bool, exact: bool) -> int:
@@ -70,28 +98,10 @@ def convert(in_path: str, out_path: str, *, rate: float, bits: int | None,
               "(taps must be a multiple of 4 in 4-1024, filters in 2-1024)")
         return 1
 
-    bps_in = src_bits // 8
-    frame_bytes = ch * bps_in
-    total_frames = len(pcm) // frame_bytes
-    ratio = float(rate) / float(src_rate)
-    out_free = int(CHUNK_FRAMES * ratio) + 16
-
-    pos = 0
-    parts: list[bytes] = []
-    clipped = 0
-    while pos < total_frames:
-        avail = min(CHUNK_FRAMES, total_frames - pos)
-        buf = pcm[pos * frame_bytes:(pos + avail) * frame_bytes]
-        data = np.frombuffer(buf, np.uint8)[None, :]
-        out, res = rs.resample(data, avail, out_free, gain_db=gain_db)
-        parts.append(bytes(np.asarray(out)[0]))
-        clipped += int(res.clipped_samples[0])
-        if res.frames_used <= 0:  # throttled with nothing consumed: done
-            break
-        pos += res.frames_used
-
-    payload = b"".join(parts)
-    bps_out = out_bits // 8 if out_bits % 8 == 0 else (out_bits + 7) // 8
+    payload, clipped = resample_pcm_bytes(
+        rs, pcm, ch=ch, src_bits=src_bits,
+        ratio=float(rate) / float(src_rate), gain_db=gain_db)
+    bps_out = (out_bits + 7) // 8
     n_out = len(payload) // (ch * bps_out)
     with open(out_path, "wb") as f:
         write_wav_header(f, int(rate), ch, out_bits, n_out, bps_out)

@@ -209,9 +209,10 @@ def test_mp3_sliced_dispatch_bitexact(monkeypatch, homogeneous):
     def run():
         bat = BatchedMP3Decoder(n)
         first = bat.decode_run([s[0] for s in streams], 3)
-        # follow-up run from carried state exercises state scatter/gather
-        pos = [sum(c for _, _, c in first[i]) for i in range(n)]
-        second = bat.decode_run([s[0][p:] for s, p in zip(streams, pos)], 2)
+        # follow-up run from carried state exercises state scatter/gather;
+        # next_pos (not summed consumed) is the sequential-caller contract
+        second = bat.decode_run(
+            [s[0][p:] for s, p in zip(streams, first.next_pos)], 2)
         return first, second
 
     want = run()
@@ -372,3 +373,43 @@ def test_mp3_parallel_batch_parse_deterministic(monkeypatch):
         np.testing.assert_array_equal(pa["huff"][i], ps["huff"][0], err_msg=f"s{i}")
         np.testing.assert_array_equal(pa["frame"][i], ps["frame"][0])
         assert pa["rc"][i] == ps["rc"][0] and pa["consumed"][i] == ps["consumed"][0]
+
+
+def test_mp3_decode_run_next_pos_on_reservoir_slack():
+    """Sequential decode_run calls on streams with reservoir slack must
+    continue via result.next_pos: every successful frame under-consumes its
+    slot (the slack bytes belong to the reference caller protocol's sync
+    skip, not to any frame's consumed), so summing consumed lands mid-slack
+    and the follow-up run would misparse. Split runs continued with
+    next_pos must match one whole run frame-for-frame."""
+    from tests.test_mp3_coverage import craft_tonal_frame
+    from esp_audio_libs_tpu.utils.errors import MP3Error
+
+    cfg = dict(ver_bits=3, bitrate_idx=9, sr_idx=0, mode=0)
+    rng = np.random.default_rng(5)
+    stream = np.frombuffer(
+        b"".join(craft_tonal_frame(cfg, rng) for _ in range(4)), np.uint8)
+
+    whole = BatchedMP3Decoder(1).decode_run([stream], 4)
+    assert [e for e, _, _ in whole[0]] == [MP3Error.NONE] * 4
+    # the premise: this stream really has slack (else the test is vacuous)
+    assert whole.next_pos[0] > sum(c for _, _, c in whole[0])
+
+    bat = BatchedMP3Decoder(1)
+    first = bat.decode_run([stream], 2)
+    assert first.next_pos[0] > sum(c for _, _, c in first[0])
+    second = bat.decode_run([stream[first.next_pos[0]:]], 2)
+    got = list(first[0]) + list(second[0])
+    assert len(got) == 4
+    for f, ((we, wp, wc), (ge, gp, gc)) in enumerate(zip(whole[0], got)):
+        assert (ge, gc) == (we, wc), f"frame {f}"
+        np.testing.assert_array_equal(np.asarray(gp), np.asarray(wp),
+                                      err_msg=f"frame {f} pcm")
+
+    # advancing by summed consumed is a real desync on this stream: the
+    # next parse starts mid-slack, not at a frame header
+    bad = BatchedMP3Decoder(1)
+    bad.decode_run([stream], 2)
+    sumc = sum(c for _, _, c in first[0])
+    broken = bad.decode_run([stream[sumc:]], 2)
+    assert [e for e, _, _ in broken[0]] != [MP3Error.NONE, MP3Error.NONE]

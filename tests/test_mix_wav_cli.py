@@ -80,7 +80,9 @@ def test_mix_wav_cli_matches_chained_kernels(oracle, tmp_path):
         streams.append(_make_wav(p, rate, ch, frames, seed=i))
         paths.append(str(p))
     out = tmp_path / "mix.wav"
-    gains = [0.0, -6.0, 3.5]
+    # attenuation only: Q15 cannot amplify and the CLI now rejects +dB
+    # (test_positive_gain_rejected covers that path)
+    gains = [0.0, -6.0, -3.5]
 
     _run_cli([str(out), *paths, "--shift", "1",
               *sum((["--gain-db", str(g)] for g in gains), [])])
@@ -123,7 +125,7 @@ def test_mix_wav_cli_resampled_input(oracle, tmp_path):
     _run_cli([str(out), str(p0), str(p1), "--rate", "16000"])
 
     # reference resample of input b with the CLI's chunk policy
-    from mix_wav import CHUNK_FRAMES
+    from resample_wav import CHUNK_FRAMES  # mix_wav shares this loop
 
     cfg = ResamplerConfiguration(44100.0, 16000.0, 16, 16, ch, True, True, 64, 32)
     ref = RefResampler(oracle, cfg)
@@ -157,3 +159,17 @@ def test_mix_wav_cli_resampled_input(oracle, tmp_path):
         diff = np.abs(got.astype(np.int32) - want.astype(np.int32))
         assert diff.max() <= 1, diff.max()
         assert (diff != 0).mean() < 0.02, (diff != 0).mean()
+
+
+def test_positive_gain_rejected(tmp_path):
+    """Q15 cannot amplify (dsps_mulc_s16 domain limit): a +dB request must
+    be rejected up front, not silently clamped to ~0 dB."""
+    a = tmp_path / "a.wav"
+    _make_wav(a, 16000, 1, 256, seed=3)
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    proc = subprocess.run(
+        [sys.executable, str(REPO / "examples" / "mix_wav.py"),
+         str(tmp_path / "out.wav"), str(a), "--gain-db", "6"],
+        capture_output=True, text=True, timeout=600, env=env)
+    assert proc.returncode == 1
+    assert "only attenuate" in proc.stdout

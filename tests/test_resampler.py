@@ -248,3 +248,88 @@ def test_fast_resample_stream_multichunk(oracle, cfg):
         a = out_np[i, :, :n].copy().view(np.int16).astype(np.int32)
         b = pe_np[i, :, :n].copy().view(np.int16).astype(np.int32)
         assert np.abs(a - b).max() <= 1
+
+
+def test_pallas_fallback_classification():
+    """_is_pallas_lowering_failure: structural classification — lowering
+    failures (type, Mosaic banner, pallas/mosaic traceback frames) fall
+    back; unrelated runtime errors surface even with scary words."""
+    from esp_audio_libs_tpu.models.resampler import _is_pallas_lowering_failure
+
+    assert _is_pallas_lowering_failure(NotImplementedError("no rule"))
+    assert _is_pallas_lowering_failure(RecursionError())
+    assert _is_pallas_lowering_failure(RuntimeError("Mosaic failed: INTERNAL"))
+    # words that used to false-positive must no longer disable Pallas
+    assert not _is_pallas_lowering_failure(
+        RuntimeError("UNIMPLEMENTED: Unsupported DMA transfer"))
+    assert not _is_pallas_lowering_failure(
+        ValueError("bad shape while lowering gain staging"))
+    assert not _is_pallas_lowering_failure(MemoryError("RESOURCE_EXHAUSTED"))
+
+    # a traceback frame inside a pallas/mosaic module marks a lowering path
+    ns = {}
+    exec(compile("def boom():\n    raise ValueError('anything')\n",
+                 "/site-packages/jax/_src/pallas/mosaic/lowering.py", "exec"), ns)
+    try:
+        ns["boom"]()
+    except ValueError as e:
+        assert _is_pallas_lowering_failure(e)
+
+
+def test_stream_gain_flag_commits_only_on_success(monkeypatch):
+    """A failed resample_stream dispatch must NOT mark the carried history
+    as gain-0: the history still holds the previous gain's values, and an
+    early flag commit would let a fused-tier retry reconstruct raw int16
+    history with the wrong factor (silent PCM corruption)."""
+    import esp_audio_libs_tpu.models.resampler as rmod
+    from esp_audio_libs_tpu.models.resampler import (Resampler,
+                                                     ResamplerConfiguration)
+
+    B, frames, ch = 4, 256, 2
+    cfg = ResamplerConfiguration(44100.0, 16000.0, 16, 16, ch, True, True, 64, 32)
+    rng = np.random.default_rng(13)
+    pcm = rng.integers(-8192, 8192, (B, frames * ch)).astype(np.int16)
+    data = pcm.view(np.uint8).reshape(B, -1)
+
+    r = Resampler(batch=B, exact=False)
+    r.initialize(cfg)
+    r.resample_stream(data, frames, 1, gain_db=12.0)
+    assert r._hist_gain_zero is False
+
+    # make the next dispatch fail AFTER the fn is fetched
+    def explode(self, *a, **k):
+        def fn(*args):
+            raise RuntimeError("transport failure")
+        return fn
+
+    monkeypatch.setattr(Resampler, "_get_fast_stream_fn", explode)
+    with pytest.raises(RuntimeError, match="transport failure"):
+        r.resample_stream(data, frames, 1, gain_db=0.0)
+    # the failed gain-0 call must not have claimed gain-0 history
+    assert r._hist_gain_zero is False
+
+    monkeypatch.undo()
+    r.resample_stream(data, frames, 1, gain_db=0.0)
+    assert r._hist_gain_zero is True
+
+
+def test_fast_stream_fn_cache_shared_across_gain(monkeypatch):
+    """With the fused tier disabled (the default), gain-0 and gain!=0
+    stream calls must share ONE compiled fn per shape — the cache keys on
+    the resolved tier decision, not the caller's gain precondition."""
+    from esp_audio_libs_tpu.models.resampler import (Resampler,
+                                                     ResamplerConfiguration)
+
+    monkeypatch.delenv("EAL_RESAMPLE_FUSED16", raising=False)
+    B, frames, ch = 4, 256, 2
+    cfg = ResamplerConfiguration(44100.0, 16000.0, 16, 16, ch, True, True, 64, 32)
+    rng = np.random.default_rng(17)
+    pcm = rng.integers(-8192, 8192, (B, frames * ch)).astype(np.int16)
+    data = pcm.view(np.uint8).reshape(B, -1)
+
+    r = Resampler(batch=B, exact=False)
+    r.initialize(cfg)
+    r.resample_stream(data, frames, 1, gain_db=0.0)
+    r.resample_stream(data, frames, 1, gain_db=6.0)
+    keys = [k for k in r._chunk_fns if k[0] == "faststream"]
+    assert len(keys) == 1, keys
