@@ -371,14 +371,17 @@ def bench_mp3_resample_composed(B=256, n_frames=8):
     r.initialize(cfg)
 
     def run(pos):
-        pcm_dev, consumed = bat.decode_run(
+        res = bat.decode_run(
             [stream[p:] for p in pos], n_frames, to_device=True)
+        pcm_dev, _consumed = res
         nb = pcm_dev.shape[1] * 2              # int16 -> bytes
         pcm_u8 = jax.lax.bitcast_convert_type(
             pcm_dev, jnp.uint8).reshape(B, nb)
         frames = nb // (2 * 2)                 # stereo s16
         out, gens, _ = r.resample_stream(pcm_u8, frames, 1)
-        return out, consumed, frames
+        # next_pos, not summed consumed: the run's internal sync skips over
+        # reservoir slack are part of the advance (MP3RunResult docs)
+        return out, res.next_pos, frames
 
     out, consumed, _ = run(pos)                # warm compiles
     jax.block_until_ready(out)
