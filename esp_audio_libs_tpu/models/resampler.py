@@ -556,8 +556,9 @@ class Resampler:
                 from ..ops import polyphase_pallas as _pp
 
                 warnings.warn(
-                    f"Pallas polyphase kernel failed to compile ({msg}); "
-                    "falling back to the XLA banded path for this process.")
+                    f"Pallas polyphase kernel failed to compile "
+                    f"({type(e).__name__}: {e}); falling back to the XLA "
+                    f"banded path for this process.")
                 _pp.mark_unsupported()
                 self._chunk_fns.clear()
                 return rebuild()(*args)

@@ -139,6 +139,21 @@ def generate_corpus(root: Path):
     total, _ = frame_sizes(3, 9, 0, 3)
     (std / "silence.mp3").write_bytes((make_header(**cfg) + bytes(total - 4)) * 3)
 
+    # VBR: the bitrate index changes frame to frame (the common LAME
+    # shape); the reference re-parses the header every frame and the frame
+    # slot size follows along
+    rng = np.random.default_rng(4100)
+    (std / "vbr_tonal.mp3").write_bytes(b"".join(
+        craft_tonal_frame(dict(ver_bits=3, bitrate_idx=br, sr_idx=0, mode=0),
+                          rng)
+        for br in (9, 13, 7, 11)))
+    rng = np.random.default_rng(4101)
+    total_by_br = {br: frame_sizes(3, br, 0, 0)[0] for br in (9, 12, 6, 11, 13)}
+    (std / "vbr_reservoir.mp3").write_bytes(b"".join(
+        make_header(ver_bits=3, bitrate_idx=br, sr_idx=0, mode=0)
+        + rng.integers(0, 256, total_by_br[br] - 4, dtype=np.uint8).tobytes()
+        for br in (9, 12, 6, 11, 13)))
+
     # mid-stream garbage: decoder must resync to the next frame (values
     # < 0xFF so no false sync word appears inside the junk)
     rng = np.random.default_rng(42)

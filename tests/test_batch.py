@@ -413,3 +413,73 @@ def test_mp3_decode_run_next_pos_on_reservoir_slack():
     sumc = sum(c for _, _, c in first[0])
     broken = bad.decode_run([stream[sumc:]], 2)
     assert [e for e, _, _ in broken[0]] != [MP3Error.NONE, MP3Error.NONE]
+
+
+def test_mp3_decode_run_vbr_stream():
+    """VBR (per-frame bitrate changes — the common LAME shape): frame slot
+    sizes change mid-run; decode_run must follow along exactly like the
+    single-stream reference caller protocol."""
+    from tests.test_mp3_coverage import craft_tonal_frame
+    from esp_audio_libs_tpu.utils.errors import MP3Error
+
+    rng = np.random.default_rng(8)
+    frames = [craft_tonal_frame(
+        dict(ver_bits=3, bitrate_idx=br, sr_idx=0, mode=0), rng)
+        for br in (9, 13, 7, 11)]
+    stream = np.frombuffer(b"".join(frames), np.uint8)
+
+    # ground truth: single-stream decode with the reference caller protocol
+    dec = MP3Decoder()
+    want, pos = [], 0
+    data = bytes(stream)
+    while pos < len(data) and len(want) < 4:
+        err, pcm, consumed = dec.decode(data[pos:])
+        want.append((int(err), np.asarray(pcm), consumed))
+        assert int(err) == 0
+        pos += consumed
+        nxt = MP3Decoder.find_sync_word(data[pos:])
+        pos = pos + nxt if nxt >= 0 else len(data)
+
+    got = BatchedMP3Decoder(1).decode_run([stream], 4)
+    assert len(got[0]) == 4
+    for f, ((we, wp, wc), (ge, gp, gc)) in enumerate(zip(want, got[0])):
+        assert (ge, gc) == (we, wc), f"frame {f}"
+        np.testing.assert_array_equal(np.asarray(gp), wp,
+                                      err_msg=f"frame {f}")
+    assert got.next_pos[0] == pos
+
+
+def test_mp3_decode_run_stops_at_format_change():
+    """A mid-stream format change (stereo -> mono here) ends the run for
+    that stream — the next decode_run call picks it up from next_pos with
+    the new format, matching single-stream decode throughout."""
+    from tests.test_mp3_coverage import craft_tonal_frame
+    from esp_audio_libs_tpu.utils.errors import MP3Error
+
+    rng = np.random.default_rng(14)
+    st = dict(ver_bits=3, bitrate_idx=9, sr_idx=0, mode=0)
+    mo = dict(ver_bits=3, bitrate_idx=9, sr_idx=0, mode=3)
+    blob = (craft_tonal_frame(st, rng) + craft_tonal_frame(st, rng)
+            + craft_tonal_frame(mo, rng) + craft_tonal_frame(mo, rng))
+    stream = np.frombuffer(blob, np.uint8)
+
+    dec = MP3Decoder()
+    want, pos = [], 0
+    data = bytes(stream)
+    while pos < len(data) and len(want) < 4:
+        err, pcm, consumed = dec.decode(data[pos:])
+        assert int(err) == 0
+        want.append(np.asarray(pcm))
+        pos += consumed
+        nxt = MP3Decoder.find_sync_word(data[pos:])
+        pos = pos + nxt if nxt >= 0 else len(data)
+
+    bat = BatchedMP3Decoder(1)
+    first = bat.decode_run([stream], 4)
+    assert len(first[0]) == 2, "run must stop at the format change"
+    second = bat.decode_run([stream[first.next_pos[0]:]], 4)
+    assert len(second[0]) == 2
+    got = [p for _, p, _ in list(first[0]) + list(second[0])]
+    for f in range(4):
+        np.testing.assert_array_equal(np.asarray(got[f]), want[f],
+                                      err_msg=f"frame {f}")

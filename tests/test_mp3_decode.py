@@ -142,6 +142,30 @@ def test_fuzz_with_reservoir(oracle, seed):
     compare_streams(oracle, stream, n_frames)
 
 
+@pytest.mark.parametrize("seed", [0, 3])
+def test_vbr_bitrate_changes_match_reference(oracle, seed):
+    """VBR streams (the common LAME shape): the bitrate index changes frame
+    to frame, so the frame slot size changes mid-stream. The reference
+    re-parses the header every frame and follows along — PCM, consumed, and
+    error codes must match exactly, including the reservoir interaction
+    (mainDataBegin left random so backreferences cross differently-sized
+    slots)."""
+    rng = np.random.default_rng(300 + seed)
+    base = dict(ver_bits=3, sr_idx=0, mode=0)
+    stream = b""
+    n_frames = 6
+    for f, br in enumerate([9, 13, 7, 11, 5, 12]):
+        cfg = dict(base, bitrate_idx=br)
+        hdr = make_header(**cfg)
+        total, side = frame_sizes(cfg["ver_bits"], br, cfg["sr_idx"], cfg["mode"])
+        body = bytearray(rng.integers(0, 256, total - 4, dtype=np.uint8).tobytes())
+        if f == 0:
+            body[0] = 0            # self-contained first frame
+            body[1] &= 0x7F
+        stream += hdr + bytes(body)
+    compare_streams(oracle, stream, n_frames)
+
+
 def test_all_zero_main_data(oracle):
     """Silence frame: all-zero side info + main data decodes to silence."""
     cfg = dict(ver_bits=3, bitrate_idx=9, sr_idx=0, mode=3)

@@ -333,3 +333,42 @@ def test_fast_stream_fn_cache_shared_across_gain(monkeypatch):
     r.resample_stream(data, frames, 1, gain_db=6.0)
     keys = [k for k in r._chunk_fns if k[0] == "faststream"]
     assert len(keys) == 1, keys
+
+
+def test_pallas_fallback_rebuilds_on_lowering_failure(monkeypatch, recwarn):
+    """A lowering-classified failure inside a compiled chunk fn must warn,
+    disable Pallas, rebuild on the XLA banded path, and return a correct
+    result (regression: the warning path itself once raised NameError)."""
+    import esp_audio_libs_tpu.models.resampler as rmod
+    import esp_audio_libs_tpu.ops.polyphase_pallas as pp
+    from esp_audio_libs_tpu.models.resampler import (Resampler,
+                                                     ResamplerConfiguration)
+
+    B, frames, ch = 4, 256, 2
+    cfg = ResamplerConfiguration(44100.0, 16000.0, 16, 16, ch, True, True, 64, 32)
+    rng = np.random.default_rng(19)
+    pcm = rng.integers(-8192, 8192, (B, frames * ch)).astype(np.int16)
+    data = pcm.view(np.uint8).reshape(B, -1)
+
+    want = Resampler(batch=B, exact=False)
+    want.initialize(cfg)
+    p_ref, g_ref, c_ref = want.resample_stream(data, frames, 1)
+
+    # auto-restore the process-wide kill switch the fallback flips; the
+    # patched probe must honor it (else the rebuild loops forever, which is
+    # exactly the production contract being tested)
+    monkeypatch.setattr(pp, "_FORCED_OFF", pp._FORCED_OFF)
+    monkeypatch.setattr(rmod, "pallas_supported", lambda: not pp._FORCED_OFF)
+
+    def boom(*a, **k):
+        raise NotImplementedError("no Mosaic lowering rule (simulated)")
+
+    monkeypatch.setattr(rmod, "polyphase_banded_pallas", boom)
+    r = Resampler(batch=B, exact=False)
+    r.initialize(cfg)
+    p, g, c = r.resample_stream(data, frames, 1)
+    assert any("falling back to the XLA banded path" in str(w.message)
+               for w in recwarn.list)
+    assert list(g) == list(g_ref)
+    np.testing.assert_array_equal(np.asarray(p), np.asarray(p_ref))
+    np.testing.assert_array_equal(np.asarray(c), np.asarray(c_ref))
