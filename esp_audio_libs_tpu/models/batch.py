@@ -93,6 +93,14 @@ class BatchedFLACDecoder:
         """Parse headers for all streams; returns list of FLACDecoderResult."""
         return [d.read_header(b) for d, b in zip(self.decoders, blobs)]
 
+    def reset_stream(self, s: int) -> None:
+        """Recycle slot ``s`` for a NEW stream (continuous-batching slot
+        reuse).  FLAC carries all per-stream state in the host front-end
+        (the device frame kernels are stateless per bucket), so a fresh
+        decoder is the whole reset; call :meth:`read_headers`-equivalent
+        ``self.decoders[s].read_header(blob)`` for the new stream next."""
+        self.decoders[s] = FLACDecoder()
+
     def decode_streams(self, buffers, verify_md5: bool = True):
         """Decode all streams' frame sections (bytes after the header).
 
@@ -183,6 +191,25 @@ class BatchedMP3Decoder:
         self._pws = self._pws.at[idx].set(new_state[2])
         self._npv = self._npv.at[idx].set(new_state[3])
         self._vbuf = self._vbuf.at[idx].set(new_state[4])
+
+    # ------------------------------------------------------- slot recycling
+    def reset_stream(self, s: int) -> None:
+        """Recycle slot ``s`` for a NEW stream (continuous-batching slot
+        reuse): fresh native front-end (bit reservoir, sync state), zeroed
+        device carried-state row, FIFO parity back to 0.  Other slots are
+        untouched — the in-place row scatter preserves the batch layout and
+        any stream sharding, so a long-lived serving fleet admits new
+        streams without re-creating the fleet or disturbing its neighbors.
+        The reference has no analog: a "new stream" there is a new decoder
+        instance (MP3InitDecoder, reference mp3_decoder.cpp:8491-8509)."""
+        self.decoders[s] = MP3Decoder()
+        self.last_frame_reference_defined[s] = True
+        self._vindex[s] = 0
+        self._over = self._over.at[s].set(0)
+        self._pt = self._pt.at[s].set(0)
+        self._pws = self._pws.at[s].set(0)
+        self._npv = self._npv.at[s].set(0)
+        self._vbuf = self._vbuf.at[s].set(0)
 
     # ---------------------------------------------------------- checkpoint
     def get_state(self) -> dict:

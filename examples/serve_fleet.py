@@ -10,8 +10,11 @@ kernels, ONE dispatch per format group per run:
   MP3:  BatchedMP3Decoder.decode_run loop — fixed-frame runs, the
         decode_run/next_pos continuation protocol (reservoir slack is
         skipped inside the run and is NOT part of any frame's consumed),
-        ragged stream lengths (streams finish at different runs and drop
-        to None), mixed formats (stereo + mono groups dispatch separately).
+        ragged stream lengths (streams finish at different runs), and
+        continuous batching: with --total-streams > --streams, finished
+        slots recycle via reset_stream and admit pending streams, so a
+        fixed-width fleet serves an open-ended queue. Mixed formats
+        (stereo + mono) dispatch as separate groups.
   FLAC: BatchedFLACDecoder.decode_streams — whole-stream fleet decode with
         per-stream MD5 self-verification, ragged stream lengths.
 
@@ -119,7 +122,12 @@ def serve_mp3(args) -> int:
     from esp_audio_libs_tpu.models.batch import BatchedMP3Decoder
 
     uniform = args.rate is not None
-    streams, metas = _mp3_corpus(args.streams, args.min_frames,
+    total = max(args.total_streams or args.streams, args.streams)
+    if uniform and total != args.streams:
+        print("ERROR: --total-streams recycling demo needs the ragged mode "
+              "(composed --rate fleets run in lockstep)")
+        return 1
+    streams, metas = _mp3_corpus(total, args.min_frames,
                                  args.max_frames, args.seed, uniform)
     fleet = BatchedMP3Decoder(args.streams, mesh=_mesh(args.mesh))
 
@@ -134,14 +142,29 @@ def serve_mp3(args) -> int:
             44100.0, float(args.rate), 16, 16, 2, True, True, 64, 32))
         assert ok
 
+    # slot_of[i]: which stream occupies slot i (None = idle); finished
+    # slots recycle via fleet.reset_stream and admit the next pending
+    # stream — continuous batching over a fixed-width fleet
+    slot_of = list(range(args.streams))
+    next_admit = args.streams
     pos = [0] * args.streams
-    done = [False] * args.streams
-    per_stream_pcm = [[] for _ in range(args.streams)]
+    per_stream_pcm = [[] for _ in range(total)]
     total_samples = 0
     run = 0
     t_all = time.perf_counter()
-    while not all(done):
-        bufs = [None if done[i] else streams[i][pos[i]:]
+
+    def finish_slot(i):
+        nonlocal next_admit
+        if next_admit < total:
+            fleet.reset_stream(i)
+            slot_of[i], pos[i] = next_admit, 0
+            next_admit += 1
+            return True   # recycled
+        slot_of[i] = None
+        return False
+
+    while any(s is not None for s in slot_of):
+        bufs = [None if slot_of[i] is None else streams[slot_of[i]][pos[i]:]
                 for i in range(args.streams)]
         t0 = time.perf_counter()
         if uniform:
@@ -158,11 +181,13 @@ def serve_mp3(args) -> int:
             if args.verify:
                 host = np.asarray(pcm_dev)
                 for i in range(args.streams):
-                    per_stream_pcm[i].append(host[i])
+                    per_stream_pcm[slot_of[i]].append(host[i])
             next_pos = res.next_pos
+            errored = [False] * args.streams
         else:
             res = fleet.decode_run(bufs, args.run_frames)
             samples = 0
+            errored = [False] * args.streams
             for i in range(args.streams):
                 if bufs[i] is None:
                     continue
@@ -170,20 +195,22 @@ def serve_mp3(args) -> int:
                     if pcm is not None:
                         samples += pcm.size
                         if args.verify:
-                            per_stream_pcm[i].append(np.asarray(pcm))
+                            per_stream_pcm[slot_of[i]].append(np.asarray(pcm))
                     if int(err) != 0:
-                        done[i] = True   # run ends a stream at first error
+                        errored[i] = True   # run ends a stream at first error
             next_pos = res.next_pos
         dt = time.perf_counter() - t0
         active = sum(1 for b in bufs if b is not None)
+        recycled = 0
         for i in range(args.streams):
-            if bufs[i] is not None:
-                pos[i] += next_pos[i]
-                if pos[i] >= streams[i].size:
-                    done[i] = True
+            if bufs[i] is None:
+                continue
+            pos[i] += next_pos[i]
+            if errored[i] or pos[i] >= streams[slot_of[i]].size:
+                recycled += int(finish_slot(i))
         total_samples += samples
         print(json.dumps({"run": run, "active": active, "samples": samples,
-                          "ms": round(dt * 1e3, 2),
+                          "recycled": recycled, "ms": round(dt * 1e3, 2),
                           "msps": round(samples / dt / 1e6, 2)}))
         run += 1
     dt_all = time.perf_counter() - t_all
@@ -204,7 +231,8 @@ def serve_mp3(args) -> int:
     # realtime equivalence: samples/s per stream at 44.1kHz x channels
     sps = total_samples / dt_all
     rt = sps / (44100 * 2)
-    print(json.dumps({"aggregate": "mp3", "streams": args.streams,
+    print(json.dumps({"aggregate": "mp3", "streams": total,
+                      "slots": args.streams,
                       "samples": total_samples, "runs": run,
                       "msps": round(sps / 1e6, 2),
                       "realtime_streams": round(rt, 1),
@@ -254,7 +282,11 @@ def serve_flac(args) -> int:
 def main():
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--codec", choices=["mp3", "flac"], default="mp3")
-    ap.add_argument("--streams", type=int, default=8)
+    ap.add_argument("--streams", type=int, default=8,
+                    help="fleet width (concurrent serving slots)")
+    ap.add_argument("--total-streams", type=int, default=None,
+                    help="MP3: total streams to serve; slots recycle via "
+                    "reset_stream as streams finish (continuous batching)")
     ap.add_argument("--min-frames", type=int, default=4)
     ap.add_argument("--max-frames", type=int, default=10)
     ap.add_argument("--run-frames", type=int, default=4,

@@ -483,3 +483,67 @@ def test_mp3_decode_run_stops_at_format_change():
     for f in range(4):
         np.testing.assert_array_equal(np.asarray(got[f]), want[f],
                                       err_msg=f"frame {f}")
+
+
+def test_mp3_reset_stream_slot_reuse():
+    """Continuous-batching slot reuse: resetting a finished slot admits a
+    NEW stream whose decode matches a fresh decoder exactly, while the
+    neighbor slot's carried state continues bit-exact across the reset."""
+    from tests.test_mp3_coverage import craft_tonal_frame
+    from esp_audio_libs_tpu.utils.errors import MP3Error
+
+    def tonal(seed, n, cfg=dict(ver_bits=3, bitrate_idx=9, sr_idx=0, mode=0)):
+        rng = np.random.default_rng(seed)
+        return np.frombuffer(
+            b"".join(craft_tonal_frame(cfg, rng) for _ in range(n)), np.uint8)
+
+    A, B, C = tonal(1, 4), tonal(2, 6), tonal(3, 2)
+
+    def single_protocol(stream, n):
+        dec, pos, out = MP3Decoder(), 0, []
+        data = bytes(stream)
+        while pos < len(data) and len(out) < n:
+            err, pcm, _c = dec.decode(data[pos:])
+            assert int(err) == 0
+            out.append(np.asarray(pcm))
+            pos += _c
+            nxt = MP3Decoder.find_sync_word(data[pos:])
+            pos = pos + nxt if nxt >= 0 else len(data)
+        return out
+
+    want_B = single_protocol(B, 6)
+    want_C = single_protocol(C, 2)
+
+    fleet = BatchedMP3Decoder(2)
+    r1 = fleet.decode_run([A, B], 4)
+    assert len(r1[0]) == 4 and len(r1[1]) == 4
+    fleet.reset_stream(0)          # slot 0 finished: admit stream C
+    r2 = fleet.decode_run([C, B[r1.next_pos[1]:]], 2)
+    # recycled slot: identical to a fresh decoder on C
+    assert [e for e, _, _ in r2[0]] == [MP3Error.NONE] * 2
+    for f in range(2):
+        np.testing.assert_array_equal(np.asarray(r2[0][f][1]), want_C[f],
+                                      err_msg=f"recycled slot frame {f}")
+    # neighbor slot: frames 5-6 continue bit-exact across the reset
+    for f in range(2):
+        np.testing.assert_array_equal(np.asarray(r2[1][f][1]), want_B[4 + f],
+                                      err_msg=f"neighbor frame {4 + f}")
+
+
+def test_flac_reset_stream_slot_reuse():
+    blobs = _flac_corpus()[:2]
+    bat = BatchedFLACDecoder(2)
+    bat.read_headers(blobs)
+    bat.decode_streams([b[d.get_bytes_index():]
+                        for b, d in zip(blobs, bat.decoders)])
+    bat.reset_stream(0)
+    new_blob = _flac_corpus()[2]
+    assert bat.decoders[0].read_header(new_blob) == FLACDecoderResult.SUCCESS
+    results = bat.decode_streams(
+        [new_blob[bat.decoders[0].get_bytes_index():], None])
+    assert results[0][1]["md5_ok"] is True
+
+    ref = FLACDecoder()
+    ref.read_header(new_blob)
+    ref_pcm, _ = ref.decode_stream(new_blob[ref.get_bytes_index():])
+    assert results[0][0] == ref_pcm

@@ -251,3 +251,31 @@ def test_resampler_mesh_requires_even_division():
 
     with pytest.raises(ValueError):
         Resampler(batch=3, mesh=stream_mesh(jax.devices()[:2]))
+
+
+def test_sharded_reset_stream_preserves_layout(mesh):
+    """Slot recycling on a sharded fleet: the in-place row scatter must
+    keep every carried-state tensor stream-sharded (a replicated or
+    gathered result would silently serialize later steps), and decode
+    after the reset must stay bit-exact vs an unsharded fleet doing the
+    same recycle."""
+    streams = _mp3_fleet()
+    ref = BatchedMP3Decoder(N)
+    shd = BatchedMP3Decoder(N, mesh=mesh)
+    ref.decode_run(streams, 2)
+    shd.decode_run(streams, 2)
+
+    ref.reset_stream(1)
+    shd.reset_stream(1)
+    assert shd._vbuf.sharding.is_equivalent_to(batch_sharding(mesh, 2), 2)
+    assert shd._over.sharding.is_equivalent_to(batch_sharding(mesh, 3), 3)
+    assert shd._pt.sharding.is_equivalent_to(batch_sharding(mesh, 2), 2)
+
+    # recycled slot restarts its stream; the others continue
+    bufs = [streams[1] if s == 1 else None for s in range(N)]
+    want = ref.decode_run(bufs, 1)
+    got = shd.decode_run(bufs, 1)
+    for (eg, pg, cg), (ew, pw, cw) in zip(got[1], want[1]):
+        assert (eg, cg) == (ew, cw)
+        np.testing.assert_array_equal(pg, pw)
+    assert shd._vbuf.sharding.is_equivalent_to(batch_sharding(mesh, 2), 2)

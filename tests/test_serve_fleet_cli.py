@@ -42,6 +42,20 @@ def test_serve_fleet_mp3_ragged_verified():
     assert agg["samples"] == sum(r["samples"] for r in runs) > 0
 
 
+def test_serve_fleet_mp3_continuous_batching_verified():
+    """--total-streams > --streams: finished slots recycle via
+    reset_stream; every admitted stream's PCM must still verify against a
+    fresh single-stream decode (a stale carried-state row after recycle
+    would corrupt the admitted stream's first frames)."""
+    lines = _run(["--codec", "mp3", "--streams", "4", "--total-streams", "9",
+                  "--min-frames", "3", "--max-frames", "6", "--run-frames",
+                  "3", "--verify", "--seed", "11"])
+    agg = lines[-1]
+    assert agg["verified"] is True
+    assert agg["streams"] == 9 and agg["slots"] == 4
+    assert sum(r["recycled"] for r in lines[:-1]) == 9 - 4
+
+
 def test_serve_fleet_flac_verified():
     lines = _run(["--codec", "flac", "--streams", "3", "--min-frames", "2",
                   "--max-frames", "3", "--seed", "4"])
