@@ -300,6 +300,35 @@ def bench_mp3(B=256, n_frames=8):
                       "realtime_streams": int(dev_rate / (RT * 2))}))
 
 
+def bench_flac_e2e_24b(B=128, n_frames=8, block=4096):
+    """Config 1b: 24-bit stereo FLAC decode — the reference's other
+    published decode number (~5% CPU ≈ 20x realtime on ESP32-S3, always
+    the 64-bit LPC path: BASELINE.md row 2, reference
+    src/decode/flac/README.md:325).  24-bit fitted-LPC residuals overflow
+    the int8 tier, so this row also exercises the wider transport classes
+    and the int64-accumulator LPC path end to end."""
+    import jax
+    jax.config.update("jax_enable_x64", True)
+    from flacgen import SubframePlan, make_flac
+
+    from esp_audio_libs_tpu.models.batch import BatchedFLACDecoder
+
+    blob, _ = make_flac(rng_seed=3, depth=24, channels=2, block_size=block,
+                        n_frames=n_frames,
+                        plans=[[SubframePlan("lpc", order=8, fit=True),
+                                SubframePlan("lpc", order=8, fit=True)]] * n_frames)
+    blobs = [blob] * B
+    bat = BatchedFLACDecoder(B)
+    bat.read_headers(blobs)
+    bodies = [b[d.get_bytes_index():] for b, d in zip(blobs, bat.decoders)]
+    bat.decode_streams(bodies, verify_md5=False)   # warm compile
+    t0 = time.perf_counter()
+    results = bat.decode_streams(bodies, verify_md5=False)
+    dt = time.perf_counter() - t0
+    samples = sum(r[1]["num_samples"] for r in results)
+    report("flac_decode_e2e_24b_stereo", samples / dt)
+
+
 def bench_flac_resample_composed(B=256, n_frames=16, block=4096):
     """Composed serving pipeline: FLAC fleet decode -> 44.1k->16k resample,
     PCM staying ON DEVICE between stages (decode_streams_to_device).  The
@@ -493,6 +522,7 @@ def main():
     bench_wav_quant()
     bench_biquad()
     bench_flac_e2e()
+    bench_flac_e2e_24b()
     bench_flac_resample_composed()
     bench_mp3()
     bench_mp3_resample_composed()
