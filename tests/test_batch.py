@@ -547,3 +547,55 @@ def test_flac_reset_stream_slot_reuse():
     ref.read_header(new_blob)
     ref_pcm, _ = ref.decode_stream(new_blob[ref.get_bytes_index():])
     assert results[0][0] == ref_pcm
+
+
+def test_mp3_sliced_run_transport_failure_leaves_state_consistent(monkeypatch):
+    """A transport failure mid-run (a slice's PCM download raising) must
+    surface AND leave host/device state coherent: vindex commits eagerly at
+    each slice's dispatch, so a follow-up decode_run from the correct
+    positions synthesizes bit-exactly — the failure loses that run's PCM,
+    never the fleet's carried state."""
+    import jax as jax_mod
+
+    from tests.test_mp3_coverage import craft_tonal_frame
+    from esp_audio_libs_tpu.runtime import transport
+
+    def tonal(seed, n):
+        rng = np.random.default_rng(seed)
+        cfg = dict(ver_bits=3, bitrate_idx=9, sr_idx=0, mode=0)
+        return np.frombuffer(
+            b"".join(craft_tonal_frame(cfg, rng) for _ in range(n)), np.uint8)
+
+    streams = [tonal(30 + i, 5) for i in range(4)]
+
+    control = BatchedMP3Decoder(4)
+    r1c = control.decode_run(streams, 3)
+    r2c = control.decode_run(
+        [s[p:] for s, p in zip(streams, r1c.next_pos)], 2)
+
+    monkeypatch.setattr(transport, "MP3_SLICE_PCM_BYTES", 1)  # force slices
+    calls = []
+    orig = jax_mod.device_get
+
+    def flaky(x):
+        calls.append(1)
+        if len(calls) == 1:
+            raise RuntimeError("injected transport failure")
+        return orig(x)
+
+    monkeypatch.setattr(jax_mod, "device_get", flaky)
+    bat = BatchedMP3Decoder(4)
+    with pytest.raises(RuntimeError, match="injected transport failure"):
+        bat.decode_run(streams, 3)
+    assert len(calls) > 1, "expected multiple slices (one failed download)"
+
+    # carried state must be coherent: the follow-up run from the correct
+    # positions matches the unbroken control frame-for-frame
+    r2 = bat.decode_run([s[p:] for s, p in zip(streams, r1c.next_pos)], 2)
+    for i in range(4):
+        assert len(r2[i]) == len(r2c[i]), f"stream {i}"
+        for f, ((we, wp, wc), (ge, gp, gc)) in enumerate(zip(r2c[i], r2[i])):
+            assert (ge, gc) == (we, wc), f"stream {i} frame {f}"
+            np.testing.assert_array_equal(np.asarray(gp), np.asarray(wp),
+                                          err_msg=f"stream {i} frame {f}")
+    assert r2.next_pos == r2c.next_pos
