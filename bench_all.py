@@ -408,8 +408,8 @@ def bench_mp3_resample_composed(B=256, n_frames=8):
             pcm_dev, jnp.uint8).reshape(B, nb)
         frames = nb // (2 * 2)                 # stereo s16
         out, gens, _ = r.resample_stream(pcm_u8, frames, 1)
-        # next_pos, not summed consumed: the run's internal sync skips over
-        # reservoir slack are part of the advance (MP3RunResult docs)
+        # next_pos, not summed consumed: the reservoir-slack bytes skipped
+        # by the run's internal syncs are part of the advance (MP3RunResult)
         return out, res.next_pos, frames
 
     out, consumed, _ = run(pos)                # warm compiles

@@ -410,9 +410,9 @@ class BatchedMP3Decoder:
         Returns: :class:`MP3RunResult` — a list over streams of lists of
         (err, pcm|None, consumed), with ``next_pos[s]`` giving the buffer
         offset where stream s's NEXT run starts.  Sequential callers must
-        advance with ``next_pos``, not summed ``consumed``: the internal
-        sync skips over reservoir slack appear in no frame's ``consumed``
-        (see MP3RunResult).  With ``to_device=True`` (uniform error-free
+        advance with ``next_pos``, not summed ``consumed``: the bytes the
+        internal sync skips (reservoir slack) appear in no frame's
+        ``consumed`` (see MP3RunResult).  With ``to_device=True`` (uniform error-free
         fleets only — one format group covering every stream), returns
         :class:`MP3DeviceRunResult` — unpacks as ``(pcm_dev,
         consumed_list)`` with the same ``next_pos`` attribute; ``pcm_dev``

@@ -364,8 +364,13 @@ class Resampler:
             return packed, ResamplerResults(
                 frames_to_process, frames_to_process, frames_to_process, np.asarray(clipped))
 
+        # compute the schedule on a SCRATCH phase and commit it only after a
+        # successful dispatch: phase_grid advances its state in place, and a
+        # failed device call must leave self.phase aligned with the carried
+        # history (same retry-safety contract as _hist_gain_zero below)
+        phase = dataclasses.replace(self.phase)
         grid = phase_grid(
-            self.phase, cfg.number_of_filters, self.bank_flags, self.sample_ratio,
+            phase, cfg.number_of_filters, self.bank_flags, self.sample_ratio,
             frames_to_process, output_frames_free)
         grid_args = (jnp.asarray(grid.win0), jnp.asarray(grid.idx1), jnp.asarray(grid.idx2),
                      jnp.asarray(grid.weight), jnp.asarray(grid.mode.astype(np.int32)))
@@ -404,6 +409,7 @@ class Resampler:
             if self.post_filter:
                 self._post_hist = new_oh
 
+        self.phase = phase
         self._hist_gain_zero = gain_db == 0.0
         bps_out = q.bytes_per_sample(self.output_bits)
         out = packed[:, : grid.output_generated * ch * bps_out]
@@ -590,9 +596,13 @@ class Resampler:
         cfg = self.config
         out_max = int(np.ceil(chunk_frames * float(self.sample_ratio))) + 8
 
+        # schedules compute on a SCRATCH phase, committed only after a
+        # successful dispatch — a failed device call must leave self.phase
+        # aligned with the carried history (retry-safety, like _hist_gain_zero)
+        phase = dataclasses.replace(self.phase)
         grids = []
         for _ in range(num_chunks):
-            g = phase_grid(self.phase, cfg.number_of_filters, self.bank_flags,
+            g = phase_grid(phase, cfg.number_of_filters, self.bank_flags,
                            self.sample_ratio, chunk_frames, out_max)
             # generous out_max guarantees every input sample is consumed
             assert g.input_used == chunk_frames, (g.input_used, chunk_frames)
@@ -639,6 +649,7 @@ class Resampler:
                 jnp.asarray(np.asarray(gens, np.int32)))
             if self.post_filter:
                 self._post_hist = new_oh
+            self.phase = phase
             self._hist_gain_zero = gain_db == 0.0
             return packed, gens, clipped
 
@@ -652,6 +663,7 @@ class Resampler:
             jnp.asarray(np.asarray(gens, np.int32)))
         if self.pre_filter or self.post_filter:
             self._biquad_state = list(new_bq)
+        self.phase = phase
         self._hist_gain_zero = gain_db == 0.0
         return packed, gens, clipped
 

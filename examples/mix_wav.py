@@ -49,10 +49,15 @@ from resample_wav import resample_pcm_bytes  # noqa: E402
 def db_to_q15(gain_db: float) -> np.int16:
     """dB -> Q15 gain factor for mulc_s16; 0 dB maps to 32767 (~unity).
 
-    Q15 tops out just below unity, so the mixer can only attenuate —
-    the CLI rejects positive gains up front (a reference-kernel domain
-    limit: dsps_mulc_s16 multiplies by a Q15 constant)."""
-    assert gain_db <= 0.0, gain_db
+    Q15 tops out just below unity, so the mixer can only attenuate — a
+    reference-kernel domain limit (dsps_mulc_s16 multiplies by a Q15
+    constant). Raises for positive gains so importers of mix() get the
+    same protection as the CLI arg check (an assert would vanish under
+    python -O and silently clamp +dB to ~unity)."""
+    if gain_db > 0.0:
+        raise ValueError(
+            f"gain_db {gain_db:+g} not representable: the Q15 mixer can "
+            f"only attenuate (max gain is 0 dB)")
     q = int(round((10.0 ** (gain_db / 20.0)) * 32768.0))
     return np.int16(max(-32768, min(32767, q)))
 

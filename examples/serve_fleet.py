@@ -149,7 +149,9 @@ def serve_mp3(args) -> int:
     next_admit = args.streams
     pos = [0] * args.streams
     per_stream_pcm = [[] for _ in range(total)]
+    nch_of = [1 if m[0]["mode"] == 3 else 2 for m in metas]
     total_samples = 0
+    audio_seconds = 0.0   # per-stream channel-aware realtime equivalence
     run = 0
     t_all = time.perf_counter()
 
@@ -178,6 +180,7 @@ def serve_mp3(args) -> int:
                 pcm_u8, nb // 4, 1)
             jax.block_until_ready(out)
             samples = int(pcm_dev.shape[0]) * int(pcm_dev.shape[1])
+            audio_seconds += samples / (44100.0 * 2)   # uniform = stereo
             if args.verify:
                 host = np.asarray(pcm_dev)
                 for i in range(args.streams):
@@ -194,6 +197,7 @@ def serve_mp3(args) -> int:
                 for err, pcm, _c in res[i]:
                     if pcm is not None:
                         samples += pcm.size
+                        audio_seconds += pcm.size / (44100.0 * nch_of[slot_of[i]])
                         if args.verify:
                             per_stream_pcm[slot_of[i]].append(np.asarray(pcm))
                     if int(err) != 0:
@@ -228,9 +232,11 @@ def serve_mp3(args) -> int:
                     got[:refcat.size], refcat):
                 verified = False
                 print(f"VERIFY FAIL: stream {i}", file=sys.stderr)
-    # realtime equivalence: samples/s per stream at 44.1kHz x channels
+    # realtime equivalence: decoded audio seconds per wall second (each
+    # stream weighted by its own channel count — a mono stream producing
+    # 44100 interleaved samples/s is one realtime stream, not half)
     sps = total_samples / dt_all
-    rt = sps / (44100 * 2)
+    rt = audio_seconds / dt_all
     print(json.dumps({"aggregate": "mp3", "streams": total,
                       "slots": args.streams,
                       "samples": total_samples, "runs": run,
@@ -268,7 +274,8 @@ def serve_flac(args) -> int:
         [b[d.get_bytes_index():] for b, d in zip(blobs, fleet.decoders)])
     dt = time.perf_counter() - t0
 
-    total_samples = sum(info["num_samples"] * 2 for _pcm, info in results)
+    # num_samples is already interleaved (channels included)
+    total_samples = sum(info["num_samples"] for _pcm, info in results)
     verified = all(info["md5_ok"] for _pcm, info in results)
     sps = total_samples / dt
     print(json.dumps({"aggregate": "flac", "streams": args.streams,
@@ -303,6 +310,11 @@ def main():
     if args.codec == "flac" and args.rate is not None:
         print("ERROR: --rate composition is demonstrated for --codec mp3 "
               "(FLAC composition: models/flac.decode_streams_to_device)")
+        return 1
+    if args.codec == "flac" and args.total_streams is not None:
+        print("ERROR: --total-streams slot recycling is demonstrated for "
+              "--codec mp3 (FLAC serves whole streams per decode_streams "
+              "call; recycle with BatchedFLACDecoder.reset_stream)")
         return 1
     return serve_mp3(args) if args.codec == "mp3" else serve_flac(args)
 

@@ -303,14 +303,31 @@ def test_stream_gain_flag_commits_only_on_success(monkeypatch):
         return fn
 
     monkeypatch.setattr(Resampler, "_get_fast_stream_fn", explode)
+    phase_before = (float(r.phase.offset), int(r.phase.input_index))
     with pytest.raises(RuntimeError, match="transport failure"):
         r.resample_stream(data, frames, 1, gain_db=0.0)
-    # the failed gain-0 call must not have claimed gain-0 history
+    # the failed gain-0 call must not have claimed gain-0 history, and must
+    # not have advanced the phase past the carried history (retry safety:
+    # a retry's schedule would otherwise be misaligned -> silent corruption)
     assert r._hist_gain_zero is False
+    assert (float(r.phase.offset), int(r.phase.input_index)) == phase_before
 
     monkeypatch.undo()
     r.resample_stream(data, frames, 1, gain_db=0.0)
     assert r._hist_gain_zero is True
+    assert (float(r.phase.offset), int(r.phase.input_index)) != phase_before
+
+    # and the retry after the failure produced the same result a clean
+    # sequence produces: replay the whole gain sequence on a fresh instance
+    clean = Resampler(batch=B, exact=False)
+    clean.initialize(cfg)
+    clean.resample_stream(data, frames, 1, gain_db=12.0)
+    p_c, g_c, _ = clean.resample_stream(data, frames, 1, gain_db=0.0)
+    p_r, g_r, _ = r.resample_stream(data, frames, 1, gain_db=0.0)
+    # r is one call ahead of clean (its successful retry); align by replay
+    p_c2, g_c2, _ = clean.resample_stream(data, frames, 1, gain_db=0.0)
+    assert list(g_r) == list(g_c2)
+    np.testing.assert_array_equal(np.asarray(p_r), np.asarray(p_c2))
 
 
 def test_fast_stream_fn_cache_shared_across_gain(monkeypatch):
