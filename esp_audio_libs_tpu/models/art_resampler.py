@@ -18,6 +18,7 @@ Carried state per instance:
 
 from __future__ import annotations
 
+import dataclasses
 import functools
 
 import jax
@@ -128,7 +129,12 @@ class BatchedResample:
         if x.shape[: len(self.batch_shape)] != self.batch_shape:
             raise ValueError(f"expected batch shape {self.batch_shape}, got {x.shape}")
         n_in = x.shape[-1]
-        grid = phase_grid(self.state, self.num_filters, self.flags, ratio, n_in, num_output_frames)
+        # schedule computes on a scratch phase, committed only after the
+        # kernel call succeeds — phase_grid advances its state in place, and
+        # a failed dispatch must leave self.state aligned with self.history
+        # (retry safety; same contract as models/resampler.py)
+        state = dataclasses.replace(self.state)
+        grid = phase_grid(state, self.num_filters, self.flags, ratio, n_in, num_output_frames)
         compute_second = bool(self.flags & sinc.SUBSAMPLE_INTERPOLATE)
         out, self.history = _chunk_kernel(
             x, self.history, self.filters,
@@ -137,4 +143,5 @@ class BatchedResample:
             jnp.int32(grid.input_used),
             hist_len=self.hist_len, half=self.num_taps // 2,
             exact=self.exact, compute_second=compute_second)
+        self.state = state
         return out[..., : grid.output_generated], ResampleResult(grid.input_used, grid.output_generated)
