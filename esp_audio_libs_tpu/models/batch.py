@@ -407,6 +407,13 @@ class BatchedMP3Decoder:
         before a mid-stream format change (rare; the next call picks it up).
         ``last_frame_reference_defined`` aggregates over the whole run.
 
+        Error recovery: if a dispatch or download raises mid-run, the
+        fleet's carried state stays coherent (per-slice vindex commits at
+        dispatch; pinned by test) but that run's PCM and ``next_pos`` are
+        lost and the native reservoirs have advanced — a caller that needs
+        retry-the-same-bytes semantics should snapshot with
+        :meth:`get_state` before the run and :meth:`set_state` on failure.
+
         Returns: :class:`MP3RunResult` — a list over streams of lists of
         (err, pcm|None, consumed), with ``next_pos[s]`` giving the buffer
         offset where stream s's NEXT run starts.  Sequential callers must

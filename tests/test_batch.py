@@ -585,9 +585,22 @@ def test_mp3_sliced_run_transport_failure_leaves_state_consistent(monkeypatch):
 
     monkeypatch.setattr(jax_mod, "device_get", flaky)
     bat = BatchedMP3Decoder(4)
+    snap = bat.get_state()   # the documented retry recipe
     with pytest.raises(RuntimeError, match="injected transport failure"):
         bat.decode_run(streams, 3)
     assert len(calls) > 1, "expected multiple slices (one failed download)"
+
+    # retry-the-same-bytes via the checkpoint recipe: restore the pre-run
+    # snapshot and repeat the WHOLE run — must match the unbroken control
+    retry_fleet = BatchedMP3Decoder(4)
+    retry_fleet.set_state(snap)
+    r1 = retry_fleet.decode_run(streams, 3)
+    for i in range(4):
+        assert len(r1[i]) == len(r1c[i]), f"retry stream {i}"
+        for f, ((we, wp, wc), (ge, gp, gc)) in enumerate(zip(r1c[i], r1[i])):
+            assert (ge, gc) == (we, wc), f"retry stream {i} frame {f}"
+            np.testing.assert_array_equal(np.asarray(gp), np.asarray(wp))
+    assert r1.next_pos == r1c.next_pos
 
     # carried state must be coherent: the follow-up run from the correct
     # positions matches the unbroken control frame-for-frame
