@@ -246,7 +246,7 @@ def test_mp3_pipelined_runs_match_sequential():
     for _ in range(n_runs):
         r = ref.decode_run([s[p:] for s, p in zip(streams, pos)], n_frames)
         expected.append(r)
-        pos = [p + sum(x[2] for x in rr) for p, rr in zip(pos, r)]
+        pos = [p + np_ for p, np_ in zip(pos, r.next_pos)]
 
     bat = BatchedMP3Decoder(n)
     got = list(bat.decode_run_pipelined(streams, n_frames, n_runs))
@@ -612,3 +612,41 @@ def test_mp3_sliced_run_transport_failure_leaves_state_consistent(monkeypatch):
             np.testing.assert_array_equal(np.asarray(gp), np.asarray(wp),
                                           err_msg=f"stream {i} frame {f}")
     assert r2.next_pos == r2c.next_pos
+
+
+def test_mp3_pipelined_to_device_matches_sequential():
+    """decode_run_pipelined(to_device=True): a uniform fleet's multi-run
+    composed serving path (PCM device-resident per run) must match
+    sequential decode_run(to_device=True) calls run for run."""
+    from tests.test_mp3_coverage import craft_tonal_frame
+
+    def tonal(seed, nf):
+        rng = np.random.default_rng(seed)
+        cfg = dict(ver_bits=3, bitrate_idx=9, sr_idx=0, mode=0)
+        return b"".join(craft_tonal_frame(cfg, rng) for _ in range(nf))
+
+    streams = [tonal(120 + i, 9) for i in range(4)]
+    n, n_frames, n_runs = len(streams), 3, 3
+
+    ref = BatchedMP3Decoder(n)
+    pos = [0] * n
+    expected = []
+    for _ in range(n_runs):
+        r = ref.decode_run([s[p:] for s, p in zip(streams, pos)], n_frames,
+                           to_device=True)
+        expected.append((np.asarray(r[0]), list(r[1]), list(r.next_pos)))
+        pos = [p + np_ for p, np_ in zip(pos, r.next_pos)]
+
+    bat = BatchedMP3Decoder(n)
+    got = list(bat.decode_run_pipelined(streams, n_frames, n_runs,
+                                        to_device=True))
+    assert len(got) == len(expected)
+    abs_pos = [0] * n
+    for run, ((e_pcm, e_con, e_next), g) in enumerate(zip(expected, got)):
+        g_pcm, g_con = g
+        np.testing.assert_array_equal(np.asarray(g_pcm), e_pcm,
+                                      err_msg=f"run {run}")
+        assert list(g_con) == e_con, f"run {run}"
+        # pipelined next_pos is ABSOLUTE within the original buffers
+        abs_pos = [p + np_ for p, np_ in zip(abs_pos, e_next)]
+        assert list(g.next_pos) == abs_pos, f"run {run}"
