@@ -21,6 +21,7 @@ from __future__ import annotations
 import ctypes as C
 import functools
 import hashlib
+import os
 
 import jax
 import jax.numpy as jnp
@@ -155,16 +156,84 @@ class _ParseGroup:
         self.cap = new_cap
 
 
+def _parse_one_stream(lib, dec, buffer, g):
+    """Parse every frame of one stream into group ``g`` (appending at
+    ``g.nf``), one native call per capacity window
+    (``eal_flac_parse_stream``).  Returns ``(rows, codes_s)``: the group
+    row indices appended and the stream's result-code list (same protocol
+    as the old per-frame loop — SUCCESS per parsed frame plus the terminal
+    code that ended the stream, if any)."""
+    u8p = C.POINTER(C.c_uint8)
+    i16p = C.POINTER(C.c_int16)
+    buf = np.frombuffer(buffer, np.uint8) if isinstance(buffer, (bytes, bytearray)) else np.ascontiguousarray(buffer)
+    mbs = g.mbs
+    rows, codes_s = [], []
+    pos = 0
+    while pos < buf.size:
+        room = g.room()
+        if room == 0:
+            g.grow()
+            continue
+        last_rc = C.c_int32(0)
+        sub = buf[pos:]
+        f0 = g.nf
+        nf = lib.eal_flac_parse_stream(
+            dec._ctx, sub.ctypes.data_as(u8p), sub.size, room, mbs,
+            g.data8.ctypes.data_as(C.POINTER(C.c_int8)),
+            g.data16.ctypes.data_as(i16p), g.data32.ctypes.data_as(_i32p),
+            g.cursors[0:].ctypes.data_as(_i32p), g.cursors[1:].ctypes.data_as(_i32p),
+            g.cursors[2:].ctypes.data_as(_i32p),
+            g.wide[f0:].ctypes.data_as(_i32p), g.slot[f0:].ctypes.data_as(_i32p),
+            g.order[f0:].ctypes.data_as(_i32p), g.shift[f0:].ctypes.data_as(_i32p),
+            g.wasted[f0:].ctypes.data_as(_i32p), g.use64[f0:].ctypes.data_as(_i32p),
+            g.coeffs[f0:].ctypes.data_as(_i32p), g.bs[f0:].ctypes.data_as(_i32p),
+            g.ca[f0:].ctypes.data_as(_i32p), g.depth[f0:].ctypes.data_as(_i32p),
+            g.crc_ok[f0:].ctypes.data_as(_i32p), g.consumed[f0:].ctypes.data_as(_i32p),
+            C.byref(last_rc))
+        g.nf += nf
+        pos += int(g.consumed[f0 : f0 + nf].sum())
+        codes_s.extend([FLACDecoderResult.SUCCESS] * nf)
+        rows.extend(range(f0, f0 + nf))
+        rc = last_rc.value
+        if rc != 0:
+            codes_s.append(FLACDecoderResult(rc))
+            break
+        if nf < room:   # clean exhaustion (pos >= size)
+            break
+    return rows, codes_s
+
+
+def _parse_thread_count(n_live: int) -> int:
+    """Host-parse pool size for a fleet of ``n_live`` streams — the same
+    heuristic as the MP3 fleet parse (native/src/mp3_frontend.cpp,
+    eal_mp3_parse_frame_batch): auto-engage only above a minimum fleet with
+    >=32 streams per thread, EAL_PARSE_THREADS overrides (lets tests force
+    the pool on single-core boxes and deployments pin the parse fleet's
+    footprint next to the transport threads)."""
+    forced = 0
+    env = os.environ.get("EAL_PARSE_THREADS")
+    if env:
+        try:
+            forced = int(env)
+        except ValueError:
+            forced = 0
+    hw = os.cpu_count() or 1
+    n = forced if forced > 0 else hw
+    if forced > 0:
+        return n if (n > 1 and n_live >= 2) else 1
+    if n <= 1 or n_live < max(64, 2 * n):
+        return 1
+    if n > n_live // 32:   # >=32 streams per thread when auto-sized
+        n = n_live // 32
+    return max(min(n, n_live), 1)
+
+
 def _parse_streams(decoders, buffers, groups=None, codes=None, frames_of=None,
                    on_stream=None):
-    """Host front-end for a fleet: parse every frame of every stream.
-
-    One native call per stream per capacity window (``eal_flac_parse_stream``)
-    fills the shared :class:`_ParseGroup` tables.  Returns
-    ``(groups, codes, frames_of)``: per-stream result-code lists (same
-    protocol as the old per-frame loop — SUCCESS per parsed frame plus the
-    terminal code that ended the stream, if any) and per-stream lists of
-    (group key, frame row) pairs.
+    """Host front-end for a fleet: parse every frame of every stream into
+    the shared :class:`_ParseGroup` tables.  Returns
+    ``(groups, codes, frames_of)``: per-stream result-code lists and
+    per-stream lists of (group key, frame row) pairs.
 
     ``groups``/``codes``/``frames_of`` may be passed in pre-allocated and
     ``on_stream(s)`` is then called after stream ``s`` is fully parsed —
@@ -173,58 +242,97 @@ def _parse_streams(decoders, buffers, groups=None, codes=None, frames_of=None,
     releases the GIL; ``_ParseGroup.grow`` publishes reallocated tables
     only after the copy, so rows of completed streams are always
     consistent for a concurrent reader).
+
+    At serving fleet sizes on a multi-core host the per-stream entropy
+    decode parallelizes (SURVEY.md §7 hard part (d) — keep the host
+    front-end from starving the device): streams are independent contexts,
+    so workers parse into PRIVATE staging groups and the main thread
+    commits them into the shared tables in stream order — the committed
+    layout (row order, width-slot assignment) is bit-identical to the
+    serial path, so downstream bucketing/dispatch and ``on_stream``
+    ordering are unaffected by thread scheduling.
     """
     lib = host_lib()
-    u8p = C.POINTER(C.c_uint8)
-    i16p = C.POINTER(C.c_int16)
     groups = {} if groups is None else groups
     codes = [[] for _ in buffers] if codes is None else codes
     frames_of = [[] for _ in buffers] if frames_of is None else frames_of
-    for s, (dec, buffer) in enumerate(zip(decoders, buffers)):
-        if buffer is None:
-            if on_stream is not None:
-                on_stream(s)
-            continue
-        buf = np.frombuffer(buffer, np.uint8) if isinstance(buffer, (bytes, bytearray)) else np.ascontiguousarray(buffer)
-        nch, mbs = dec.num_channels, dec.max_block_size
-        key = (nch, mbs)
+
+    def key_of(dec):
+        return (dec.num_channels, dec.max_block_size)
+
+    def shared_group(key):
         g = groups.get(key)
         if g is None:   # setdefault would CONSTRUCT the group per stream
-            g = groups[key] = _ParseGroup(nch, mbs)
-        pos = 0
-        while pos < buf.size:
-            room = g.room()
-            if room == 0:
-                g.grow()
-                continue
-            last_rc = C.c_int32(0)
-            sub = buf[pos:]
-            f0 = g.nf
-            nf = lib.eal_flac_parse_stream(
-                dec._ctx, sub.ctypes.data_as(u8p), sub.size, room, mbs,
-                g.data8.ctypes.data_as(C.POINTER(C.c_int8)),
-                g.data16.ctypes.data_as(i16p), g.data32.ctypes.data_as(_i32p),
-                g.cursors[0:].ctypes.data_as(_i32p), g.cursors[1:].ctypes.data_as(_i32p),
-                g.cursors[2:].ctypes.data_as(_i32p),
-                g.wide[f0:].ctypes.data_as(_i32p), g.slot[f0:].ctypes.data_as(_i32p),
-                g.order[f0:].ctypes.data_as(_i32p), g.shift[f0:].ctypes.data_as(_i32p),
-                g.wasted[f0:].ctypes.data_as(_i32p), g.use64[f0:].ctypes.data_as(_i32p),
-                g.coeffs[f0:].ctypes.data_as(_i32p), g.bs[f0:].ctypes.data_as(_i32p),
-                g.ca[f0:].ctypes.data_as(_i32p), g.depth[f0:].ctypes.data_as(_i32p),
-                g.crc_ok[f0:].ctypes.data_as(_i32p), g.consumed[f0:].ctypes.data_as(_i32p),
-                C.byref(last_rc))
-            g.nf += nf
-            pos += int(g.consumed[f0 : f0 + nf].sum())
-            codes[s].extend([FLACDecoderResult.SUCCESS] * nf)
-            frames_of[s].extend((key, f0 + i) for i in range(nf))
-            rc = last_rc.value
-            if rc != 0:
-                codes[s].append(FLACDecoderResult(rc))
-                break
-            if nf < room:   # clean exhaustion (pos >= size)
-                break
-        if on_stream is not None:
-            on_stream(s)
+            g = groups[key] = _ParseGroup(*key)
+        return g
+
+    n_live = sum(1 for b in buffers if b is not None)
+    n_threads = _parse_thread_count(n_live)
+    if n_threads <= 1:
+        for s, (dec, buffer) in enumerate(zip(decoders, buffers)):
+            if buffer is not None:
+                key = key_of(dec)
+                rows, codes_s = _parse_one_stream(lib, dec, buffer, shared_group(key))
+                codes[s].extend(codes_s)
+                frames_of[s].extend((key, r) for r in rows)
+            if on_stream is not None:
+                on_stream(s)
+        return groups, codes, frames_of
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    def worker(s):
+        # small initial capacity: private groups exist only worker-to-commit,
+        # but a whole submission window of them can be alive at once
+        gp = _ParseGroup(*key_of(decoders[s]), cap=8)
+        rows, codes_s = _parse_one_stream(lib, decoders[s], buffers[s], gp)
+        return gp, rows, codes_s
+
+    def commit(s, gp, rows, codes_s):
+        """Append a private group's rows to the shared group, reproducing
+        exactly the layout the serial path would have produced."""
+        key = key_of(decoders[s])
+        g = shared_group(key)
+        while g.cap - g.nf < gp.nf or any(
+                g.cap - int(g.cursors[w]) < int(gp.cursors[w]) for w in range(3)):
+            g.grow()
+        f0, base = g.nf, g.cursors.copy()
+        pnf = gp.nf
+        for name in ("wide", "order", "shift", "wasted", "use64", "coeffs",
+                     "bs", "ca", "depth", "crc_ok", "consumed"):
+            getattr(g, name)[f0 : f0 + pnf] = getattr(gp, name)[:pnf]
+        # private width-slot counters start at 0, so global slot = width's
+        # shared cursor at commit + private slot
+        g.slot[f0 : f0 + pnf] = gp.slot[:pnf] + base[gp.wide[:pnf]]
+        for w, name in enumerate(("data8", "data16", "data32")):
+            cw = int(gp.cursors[w])
+            if cw:
+                getattr(g, name)[base[w] : base[w] + cw] = getattr(gp, name)[:cw]
+        g.cursors += gp.cursors
+        g.nf = f0 + pnf
+        codes[s].extend(codes_s)
+        frames_of[s].extend((key, f0 + r) for r in rows)
+
+    window = 4 * n_threads   # bounds live private-group memory
+    futs = {}
+    submit_i = 0
+    with ThreadPoolExecutor(max_workers=n_threads) as pool:
+        def maybe_submit():
+            nonlocal submit_i
+            while submit_i < len(buffers) and len(futs) < window:
+                s = submit_i
+                submit_i += 1
+                if buffers[s] is not None:
+                    futs[s] = pool.submit(worker, s)
+
+        maybe_submit()
+        for s in range(len(buffers)):
+            if buffers[s] is not None:
+                gp, rows, codes_s = futs.pop(s).result()
+                maybe_submit()
+                commit(s, gp, rows, codes_s)
+            if on_stream is not None:
+                on_stream(s)
     return groups, codes, frames_of
 
 

@@ -354,6 +354,76 @@ def test_mp3_int8_escape_sideband_bitexact(monkeypatch):
     assert n_frames > 0
 
 
+def test_flac_parallel_fleet_parse_deterministic(monkeypatch):
+    """The threaded fleet parse (workers fill private staging groups, main
+    thread commits in stream order) must produce tables BIT-IDENTICAL to the
+    serial path — row order, width-slot assignment, codes, frame maps, and
+    on_stream ordering — regardless of thread scheduling.  The corpus mixes
+    residual width tiers, (channels, block_size) shape keys, a skipped
+    stream, and a mid-stream error so the commit remap covers every case."""
+    from flacgen import SubframePlan, make_flac
+    from esp_audio_libs_tpu.models import flac as flac_mod
+
+    cfgs = [
+        dict(rng_seed=41, depth=16, channels=2, block_size=1024, n_frames=3,
+             stereo_modes=["ms", None, "ls"],
+             plans=[[SubframePlan("lpc", order=8, fit=True)] * 2] * 3),   # int8-ish
+        dict(rng_seed=42, depth=16, channels=2, block_size=1024, n_frames=2,
+             plans=[[SubframePlan("verbatim"), SubframePlan("lpc", order=4)]] * 2),
+        dict(rng_seed=43, depth=24, channels=1, block_size=512, n_frames=2,
+             plans=[[SubframePlan("verbatim")], [SubframePlan("lpc", order=6)]]),  # int32
+        dict(rng_seed=44, depth=8, channels=2, block_size=1024, n_frames=2,
+             plans=[[SubframePlan("constant"), SubframePlan("fixed", order=2)]] * 2),
+    ]
+    blobs = [make_flac(**c)[0] for c in cfgs] * 3   # 12 streams, keys interleave
+    blobs.append(blobs[0][: len(blobs[0]) - 7])     # mid-frame truncation -> error code
+
+    def parse(n_threads):
+        monkeypatch.setenv("EAL_PARSE_THREADS", str(n_threads))
+        decs, bufs = [], []
+        for blob in blobs:
+            d = FLACDecoder()
+            assert d.read_header(blob) == FLACDecoderResult.SUCCESS
+            decs.append(d)
+            bufs.append(np.frombuffer(blob[d.get_bytes_index():], np.uint8))
+        bufs[5] = None   # skipped slot
+        seen = []
+        groups, codes, frames_of = flac_mod._parse_streams(
+            decs, bufs, on_stream=seen.append)
+        return groups, codes, frames_of, seen
+
+    sg, sc, sf, sseen = parse(1)   # forced serial
+    tg, tc, tf, tseen = parse(4)   # forced 4-thread pool on this 1-core box
+
+    assert sseen == tseen == list(range(len(blobs)))
+    assert sc == tc and sf == tf
+    assert sorted(sg) == sorted(tg)
+    for key in sg:
+        a, b = sg[key], tg[key]
+        assert a.nf == b.nf and list(a.cursors) == list(b.cursors)
+        for name in ("wide", "slot", "order", "shift", "wasted", "use64",
+                     "coeffs", "bs", "ca", "depth", "crc_ok", "consumed"):
+            np.testing.assert_array_equal(getattr(a, name)[: a.nf],
+                                          getattr(b, name)[: b.nf], err_msg=name)
+        for w, name in enumerate(("data8", "data16", "data32")):
+            cw = int(a.cursors[w])
+            np.testing.assert_array_equal(getattr(a, name)[:cw],
+                                          getattr(b, name)[:cw], err_msg=name)
+    # and through the serving layer: threaded fleet decode == per-stream
+    monkeypatch.setenv("EAL_PARSE_THREADS", "3")
+    bat = BatchedFLACDecoder(len(blobs) - 1)
+    bat.read_headers(blobs[:-1])
+    results = bat.decode_streams(
+        [b[d.get_bytes_index():] for b, d in zip(blobs, bat.decoders)])
+    monkeypatch.delenv("EAL_PARSE_THREADS")
+    for blob, (pcm, info) in zip(blobs, results):
+        ref = FLACDecoder()
+        assert ref.read_header(blob) == FLACDecoderResult.SUCCESS
+        ref_pcm, ref_info = ref.decode_stream(blob[ref.get_bytes_index():])
+        assert pcm == ref_pcm
+        assert info["frame_results"] == ref_info["frame_results"]
+
+
 def test_mp3_parallel_batch_parse_deterministic(monkeypatch):
     """The native batch parse's thread pool (streams are independent
     contexts with disjoint output rows) must produce results identical to
