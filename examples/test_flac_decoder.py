@@ -378,7 +378,7 @@ def test_single_file(path: Path, oracle_lib, expect_fail: bool, cli_out: Path | 
     blob = path.read_bytes()
     t0 = time.perf_counter()
     result = {"file": path.name, "md5": None, "reference_match": None,
-              "cli": None, "status": "fail", "seconds": 0.0}
+              "cli": None, "status": "fail", "parity": None, "seconds": 0.0}
 
     dec = FLACDecoder()
     ok = dec.read_header(blob) == FLACDecoderResult.SUCCESS
@@ -388,6 +388,10 @@ def test_single_file(path: Path, oracle_lib, expect_fail: bool, cli_out: Path | 
         pcm, r = dec.decode_stream(blob[dec.get_bytes_index():])
         decode_ok = all(x == FLACDecoderResult.SUCCESS for x in r["frame_results"])
         result["md5"] = bool(r["md5_ok"]) if r["md5_ok"] is not None else None
+    # decode-parity (PCM produced and compared) vs reject-parity (both
+    # decoders produced nothing) are different verification strengths;
+    # every row says which it achieved (subset/uncommon REQUIRE decode)
+    result["parity"] = "decode" if decode_ok and pcm else "reject"
 
     ref_ok, ref_pcm = (None, None)
     if oracle_lib is not None and not path.name.startswith("hardened_"):
@@ -476,10 +480,19 @@ def main():
                     r["status"] = "fail"
             total += 1
             passed += r["status"] == "pass"
-            lines.append(f"[{cat}] {r['file']}: {r['status'].upper()} "
+            label = r["status"].upper()
+            if r["status"] == "pass" and r["parity"] == "reject":
+                label = "PASS-reject"   # visibly weaker than decode-parity
+            lines.append(f"[{cat}] {r['file']}: {label} "
                          f"(md5={r['md5']}, ref={r['reference_match']}, cli={r['cli']}, {r['seconds']}s)")
-    report["summary"] = {"total": total, "passed": passed, "failed": total - passed}
-    lines.insert(2, f"{passed}/{total} passed")
+    n_dec = sum(r["parity"] == "decode"
+                for rs in report["categories"].values() for r in rs)
+    report["summary"] = {"total": total, "passed": passed,
+                         "failed": total - passed,
+                         "decode_parity": n_dec,
+                         "reject_parity": total - n_dec}
+    lines.insert(2, f"{passed}/{total} passed "
+                    f"({n_dec} decode-parity, {total - n_dec} reject-parity)")
 
     args.out.mkdir(parents=True, exist_ok=True)
     (args.out / "test_report.txt").write_text("\n".join(lines) + "\n")

@@ -62,10 +62,26 @@ from esp_audio_libs_tpu.models.mp3 import MP3Decoder  # noqa: E402
 # PCM-producing frames) gets the same value, far above any corpus file
 MAX_FRAMES = 100_000
 
+# bump when generate_corpus changes so stale build/ corpora regenerate
+CORPUS_VERSION = b"2"
+
 
 def generate_corpus(root: Path):
-    """Synthesize the corpus from the repo's oracle-validated generators."""
-    from tests.test_mp3_coverage import craft_tonal_frame, crafted_frame, fuzz_frame
+    """Synthesize the corpus from the repo's oracle-validated generators.
+
+    Every file carries an INTENT recorded in ``intent.json``:
+      decode — the file must actually decode (>= 1 PCM frame); a report row
+               that only achieves reject-parity is a FAIL for these.
+      parity — fuzz inputs: pass = both decoders behave identically,
+               success not promised by the name.
+      reject — the stream must produce zero frames in both decoders.
+    Intended-success generators are verified AT BUILD TIME: generation
+    fails if a decode-intent file produces no PCM, so the corpus can never
+    again ship a 'reservoir'/'tonal' file that silently tests rejection.
+    """
+    from tests.test_mp3_coverage import (craft_reservoir_stream,
+                                         craft_tonal_frame, crafted_frame,
+                                         fuzz_frame)
     from tests.test_mp3_decode import make_header
     from tests.test_mp3_modes import make_free_frame
 
@@ -74,8 +90,21 @@ def generate_corpus(root: Path):
     faulty = root / "faulty"
     for d in (std, modes, faulty):
         d.mkdir(parents=True, exist_ok=True)
+    intent = {}
+
+    def emit(path: Path, blob: bytes, what: str):
+        path.write_bytes(blob)
+        intent[path.name] = what
+        if what == "decode":
+            _, n_ok, _, _ = our_decode_loop(blob)
+            assert n_ok >= 1, (
+                f"{path.name} is an intended-SUCCESS corpus file but decoded "
+                f"zero frames — generator bug, refusing to ship it")
 
     # ---- standard: every version x rate x channel-mode family ------------
+    # (MPEG-2.5 configs live in faulty/: the reference's 12-bit sync mask
+    # makes ver_bits==0 unreachable — dead code in the reference itself,
+    # include/mp3_decoder.h:41-42, mp3_decoder.cpp:8309-8318; see PARITY.md)
     fuzz_cfgs = [
         ("mpeg1_mono_128k", dict(ver_bits=3, bitrate_idx=9, sr_idx=0, mode=3)),
         ("mpeg1_stereo_192k", dict(ver_bits=3, bitrate_idx=11, sr_idx=0, mode=0)),
@@ -85,13 +114,11 @@ def generate_corpus(root: Path):
         ("mpeg2_stereo", dict(ver_bits=2, bitrate_idx=8, sr_idx=0, mode=0)),
         ("mpeg2_intensity", dict(ver_bits=2, bitrate_idx=8, sr_idx=1, mode=1, mode_ext=1)),
         ("mpeg2_mono", dict(ver_bits=2, bitrate_idx=7, sr_idx=2, mode=3)),
-        ("mpeg25_mono", dict(ver_bits=0, bitrate_idx=8, sr_idx=0, mode=3)),
-        ("mpeg25_stereo", dict(ver_bits=0, bitrate_idx=8, sr_idx=1, mode=0)),
     ]
     for i, (name, cfg) in enumerate(fuzz_cfgs):
         rng = np.random.default_rng(1000 + i)
         blob = b"".join(fuzz_frame(cfg, rng) for _ in range(4))
-        (std / f"fuzz_{name}.mp3").write_bytes(blob)
+        emit(std / f"fuzz_{name}.mp3", blob, "parity")
 
     tonal_cfgs = [
         ("mpeg1_stereo", dict(ver_bits=3, bitrate_idx=9, sr_idx=0, mode=0)),
@@ -106,53 +133,63 @@ def generate_corpus(root: Path):
                                 mode=1, mode_ext=1)),
         ("mpeg1_joint_ms_is", dict(ver_bits=3, bitrate_idx=9, sr_idx=0,
                                    mode=1, mode_ext=3)),
-        ("mpeg25_mono", dict(ver_bits=0, bitrate_idx=8, sr_idx=0, mode=3)),
     ]
     for i, (name, cfg) in enumerate(tonal_cfgs):
         rng = np.random.default_rng(2000 + i)
         blob = b"".join(craft_tonal_frame(cfg, rng) for _ in range(4))
-        (std / f"tonal_{name}.mp3").write_bytes(blob)
+        emit(std / f"tonal_{name}.mp3", blob, "decode")
 
     win_cfg = dict(ver_bits=3, bitrate_idx=9, sr_idx=0, mode=0)
     for bt, mixed in [(1, 0), (2, 0), (2, 1), (3, 0)]:
         rng = np.random.default_rng(3000 + bt * 2 + mixed)
         blob = b"".join(crafted_frame(win_cfg, bt, mixed, rng) for _ in range(3))
-        (std / f"windows_bt{bt}_mixed{mixed}.mp3").write_bytes(blob)
+        emit(std / f"windows_bt{bt}_mixed{mixed}.mp3", blob, "decode")
     rng = np.random.default_rng(3100)
     blob = b"".join(crafted_frame(dict(ver_bits=2, bitrate_idx=8, sr_idx=0, mode=0),
                                   2, 1, rng) for _ in range(3))
-    (std / "windows_mpeg2_short_mixed.mp3").write_bytes(blob)
+    emit(std / "windows_mpeg2_short_mixed.mp3", blob, "decode")
 
-    # bit reservoir: random mainDataBegin (early frames underflow, later
-    # frames consume reservoir bytes — reference :8774-8802)
-    cfg = dict(ver_bits=3, bitrate_idx=11, sr_idx=0, mode=0)
-    hdr = make_header(**cfg)
-    from tests.test_mp3_decode import frame_sizes
-    total, _ = frame_sizes(3, 11, 0, 0)
+    # bit reservoir: REAL backreferences — mainDataBegin computed from
+    # packing the main-data byte stream across frames, every frame decodes
+    # (reference mainBuf assembly :8774-8802).  The old random-payload
+    # reservoir files never decoded a frame; they live on as fuzz parity
+    # inputs below.
     for seed in (0, 1):
         rng = np.random.default_rng(100 + seed)
-        blob = b"".join(hdr + rng.integers(0, 256, total - 4, dtype=np.uint8).tobytes()
-                        for _ in range(5))
-        (std / f"reservoir_{seed}.mp3").write_bytes(blob)
+        cfgs = [dict(ver_bits=3, bitrate_idx=11, sr_idx=0, mode=0)] * 5
+        emit(std / f"reservoir_{seed}.mp3",
+             craft_reservoir_stream(cfgs, rng, gains=(200 + seed, 235)),
+             "decode")
+    rng = np.random.default_rng(102)
+    from tests.test_mp3_decode import frame_sizes
+    cfg = dict(ver_bits=3, bitrate_idx=11, sr_idx=0, mode=0)
+    total, _ = frame_sizes(3, 11, 0, 0)
+    emit(std / "fuzz_reservoir_random.mp3",
+         b"".join(make_header(**cfg)
+                  + rng.integers(0, 256, total - 4, dtype=np.uint8).tobytes()
+                  for _ in range(5)),
+         "parity")
 
     cfg = dict(ver_bits=3, bitrate_idx=9, sr_idx=0, mode=3)
     total, _ = frame_sizes(3, 9, 0, 3)
-    (std / "silence.mp3").write_bytes((make_header(**cfg) + bytes(total - 4)) * 3)
+    emit(std / "silence.mp3",
+         (make_header(**cfg) + bytes(total - 4)) * 3, "decode")
 
     # VBR: the bitrate index changes frame to frame (the common LAME
     # shape); the reference re-parses the header every frame and the frame
     # slot size follows along
     rng = np.random.default_rng(4100)
-    (std / "vbr_tonal.mp3").write_bytes(b"".join(
+    emit(std / "vbr_tonal.mp3", b"".join(
         craft_tonal_frame(dict(ver_bits=3, bitrate_idx=br, sr_idx=0, mode=0),
                           rng)
-        for br in (9, 13, 7, 11)))
+        for br in (9, 13, 7, 11)), "decode")
+    # VBR + reservoir: backreferences cross differently-sized slots
     rng = np.random.default_rng(4101)
-    total_by_br = {br: frame_sizes(3, br, 0, 0)[0] for br in (9, 12, 6, 11, 13)}
-    (std / "vbr_reservoir.mp3").write_bytes(b"".join(
-        make_header(ver_bits=3, bitrate_idx=br, sr_idx=0, mode=0)
-        + rng.integers(0, 256, total_by_br[br] - 4, dtype=np.uint8).tobytes()
-        for br in (9, 12, 6, 11, 13)))
+    emit(std / "vbr_reservoir.mp3",
+         craft_reservoir_stream(
+             [dict(ver_bits=3, bitrate_idx=br, sr_idx=0, mode=0)
+              for br in (9, 12, 6, 11, 13)], rng),
+         "decode")
 
     # mid-stream garbage: decoder must resync to the next frame (values
     # < 0xFF so no false sync word appears inside the junk)
@@ -160,41 +197,58 @@ def generate_corpus(root: Path):
     f1 = craft_tonal_frame(dict(ver_bits=3, bitrate_idx=9, sr_idx=0, mode=0), rng)
     junk = bytes(int(x) for x in rng.integers(0, 0xFE, 37))
     f2 = craft_tonal_frame(dict(ver_bits=3, bitrate_idx=9, sr_idx=0, mode=0), rng)
-    (std / "midstream_garbage.mp3").write_bytes(f1 + junk + f2)
+    emit(std / "midstream_garbage.mp3", f1 + junk + f2, "decode")
 
     # ---- modes: free bitrate (bitrate_idx=0, size discovered from the
     # second sync — reference MP3FindFreeSync :8570-8610) -----------------
-    (modes / "free_silent.mp3").write_bytes(
-        b"".join(make_free_frame(100) for _ in range(4)))
+    emit(modes / "free_silent.mp3",
+         b"".join(make_free_frame(100) for _ in range(4)), "decode")
     rng = np.random.default_rng(7)
-    (modes / "free_tonal.mp3").write_bytes(
-        b"".join(make_free_frame(120, tonal_rng=rng, mode=0) for _ in range(4)))
-    (modes / "free_padding.mp3").write_bytes(
-        b"".join(make_free_frame(100, padding=p) for p in (0, 1, 1, 0)))
+    emit(modes / "free_tonal.mp3",
+         b"".join(make_free_frame(120, tonal_rng=rng, mode=0) for _ in range(4)),
+         "decode")
+    emit(modes / "free_padding.mp3",
+         b"".join(make_free_frame(100, padding=p) for p in (0, 1, 1, 0)),
+         "decode")
 
     # ---- faulty: whole-stream reject classes -----------------------------
     rng = np.random.default_rng(13)
-    (faulty / "garbage.mp3").write_bytes(
-        bytes(int(x) for x in rng.integers(0, 0xFE, 512)))
-    (faulty / "empty.mp3").write_bytes(b"")
+    emit(faulty / "garbage.mp3",
+         bytes(int(x) for x in rng.integers(0, 0xFE, 512)), "reject")
+    emit(faulty / "empty.mp3", b"", "reject")
+    # MPEG-2.5 is UNREACHABLE in the reference: its sync mask demands 12 set
+    # bits, so a header with ver_bits==0 never syncs (verIdx==0 is dead
+    # code, include/mp3_decoder.h:41-42, mp3_decoder.cpp:8309-8318).  These
+    # verify that this decoder rejects them the same way — reject-parity,
+    # named as such (they used to sit in standard/ as tonal_/fuzz_mpeg25).
+    rng = np.random.default_rng(1008)
+    emit(faulty / "mpeg25_sync_unreachable_mono.mp3",
+         b"".join(craft_tonal_frame(
+             dict(ver_bits=0, bitrate_idx=8, sr_idx=0, mode=3),
+             np.random.default_rng(2006)) for _ in range(4)), "reject")
+    emit(faulty / "mpeg25_sync_unreachable_stereo.mp3",
+         b"".join(fuzz_frame(dict(ver_bits=0, bitrate_idx=8, sr_idx=1, mode=0),
+                             rng) for _ in range(4)), "reject")
     # hardened_: the reference over-reads a truncated input buffer here
     # (one of the ASan-documented reference memory-safety bugs,
     # native/sanitize_check.sh), so its result is undefined garbage; pass =
     # this repo's hardened decoder and the CLI reject. The C oracle is
     # skipped for hardened_ files, as in the FLAC runner.
-    (faulty / "hardened_truncated_header.mp3").write_bytes(b"\xff\xfb")
-    (faulty / "reserved_layer.mp3").write_bytes(
-        make_header(layer_bits=0) + bytes(200))
-    (faulty / "reserved_version.mp3").write_bytes(
-        make_header(ver_bits=1) + bytes(200))
-    (faulty / "reserved_samplerate.mp3").write_bytes(
-        make_header(sr_idx=3) + bytes(200))
-    (faulty / "invalid_bitrate.mp3").write_bytes(
-        make_header(bitrate_idx=15) + bytes(200))
-    (faulty / "free_no_second_sync.mp3").write_bytes(make_free_frame(100))
+    emit(faulty / "hardened_truncated_header.mp3", b"\xff\xfb", "reject")
+    emit(faulty / "reserved_layer.mp3",
+         make_header(layer_bits=0) + bytes(200), "reject")
+    emit(faulty / "reserved_version.mp3",
+         make_header(ver_bits=1) + bytes(200), "reject")
+    emit(faulty / "reserved_samplerate.mp3",
+         make_header(sr_idx=3) + bytes(200), "reject")
+    emit(faulty / "invalid_bitrate.mp3",
+         make_header(bitrate_idx=15) + bytes(200), "reject")
+    emit(faulty / "free_no_second_sync.mp3", make_free_frame(100), "reject")
+    (root / "intent.json").write_text(json.dumps(intent, indent=1))
     # completeness sentinel: an interrupted generation (dirs exist, files
-    # partial) must regenerate on the next run, not silently test a subset
-    (root / ".complete").write_bytes(b"1")
+    # partial) must regenerate on the next run, not silently test a subset;
+    # the value versions the corpus layout (bump on generator changes)
+    (root / ".complete").write_bytes(CORPUS_VERSION)
 
 
 def our_decode_loop(data: bytes):
@@ -295,11 +349,13 @@ def drive_cli(path: Path, out_dir: Path, expect_fail: bool, expected_payload):
 
 
 def test_single_file(path: Path, oracle, expect_fail: bool,
-                     cli_out: Path | None = None, cli_pool=None):
+                     cli_out: Path | None = None, cli_pool=None,
+                     intent: str = "parity"):
     blob = path.read_bytes()
     t0 = time.perf_counter()
     result = {"file": path.name, "frames": 0, "reference_match": None,
-              "cli": None, "status": "fail", "seconds": 0.0}
+              "cli": None, "status": "fail", "intent": intent,
+              "parity": None, "seconds": 0.0}
 
     frames, n_ok, payload, pcms = our_decode_loop(blob)
     result["frames"] = n_ok
@@ -330,19 +386,27 @@ def test_single_file(path: Path, oracle, expect_fail: bool,
 
 def finalize_status(result):
     """Compute pass/fail once every oracle has resolved (the CLI drive runs
-    as a deferred future).  standard/modes pass on PARITY, not on success:
-    some fuzz streams legitimately reject every frame — the contract is
-    that both decoders reject identically and the CLI is consistent with
-    the library (WAV payload on >= 1 frame, nonzero exit on 0).  At least
-    one oracle must have run; otherwise the file fails rather than passing
+    as a deferred future).  Parity is necessary but NOT sufficient: a
+    decode-parity row (frames >= 1, PCM compared) and a reject-parity row
+    (both decoders produced nothing) are different verification strengths,
+    so each row reports which one it achieved and its generator-declared
+    INTENT is enforced — a file named/intended for success that only
+    achieves reject-parity is a FAIL, never a silent PASS.  At least one
+    oracle must have run; otherwise the file fails rather than passing
     vacuously."""
+    n_ok = result["_n_ok"]
+    result["parity"] = "decode" if n_ok > 0 else "reject"
     checks = []
     if result["reference_match"] is not None:
         checks.append(result["reference_match"])
     if result["cli"] is not None:
         checks.append(result["cli"])
     if result.pop("_expect_fail"):
-        checks.append(result["_n_ok"] == 0)
+        checks.append(n_ok == 0)
+    if result["intent"] == "decode":
+        checks.append(n_ok >= 1)
+    elif result["intent"] == "reject":
+        checks.append(n_ok == 0)
     result.pop("_n_ok")
     result["status"] = "pass" if checks and all(checks) else "fail"
 
@@ -355,9 +419,11 @@ def main():
     ap.add_argument("--no-cli", action="store_true")
     args = ap.parse_args()
 
-    if not (args.corpus / ".complete").exists():
+    sentinel = args.corpus / ".complete"
+    if not sentinel.exists() or sentinel.read_bytes() != CORPUS_VERSION:
         print(f"generating corpus at {args.corpus}")
         generate_corpus(args.corpus)
+    intents = json.loads((args.corpus / "intent.json").read_text())
 
     oracle = None
     ref = Path(os.environ.get("REF", "/root/reference"))
@@ -382,7 +448,8 @@ def main():
             cli_out = args.out / "mp3_wav" / cat
             cli_out.mkdir(parents=True, exist_ok=True)
         results = [test_single_file(f, oracle, expect_fail=(cat == "faulty"),
-                                    cli_out=cli_out, cli_pool=cli_pool)
+                                    cli_out=cli_out, cli_pool=cli_pool,
+                                    intent=intents.get(f.name, "parity"))
                    for f in sorted(d.glob("*.mp3"))]
         report["categories"][cat] = results
     for cat, results in report["categories"].items():
@@ -393,14 +460,24 @@ def main():
             finalize_status(r)
             total += 1
             passed += r["status"] == "pass"
-            lines.append(f"[{cat}] {r['file']}: {r['status'].upper()} "
-                         f"(frames={r['frames']}, ref={r['reference_match']}, "
+            label = r["status"].upper()
+            if r["status"] == "pass" and r["parity"] == "reject":
+                label = "PASS-reject"   # visibly weaker than decode-parity
+            lines.append(f"[{cat}] {r['file']}: {label} "
+                         f"(frames={r['frames']}, intent={r['intent']}, "
+                         f"ref={r['reference_match']}, "
                          f"cli={r['cli']}, {r['seconds']}s)")
-    report["summary"] = {"total": total, "passed": passed, "failed": total - passed}
+    n_dec = sum(r["parity"] == "decode"
+                for rs in report["categories"].values() for r in rs)
+    report["summary"] = {"total": total, "passed": passed,
+                         "failed": total - passed,
+                         "decode_parity": n_dec,
+                         "reject_parity": total - n_dec}
     if total == 0:
         print("ERROR: empty corpus — nothing was tested")
         return 1
-    lines.insert(2, f"{passed}/{total} passed")
+    lines.insert(2, f"{passed}/{total} passed "
+                    f"({n_dec} decode-parity, {total - n_dec} reject-parity)")
 
     args.out.mkdir(parents=True, exist_ok=True)
     (args.out / "mp3_test_report.txt").write_text("\n".join(lines) + "\n")

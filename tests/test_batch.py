@@ -446,19 +446,23 @@ def test_mp3_parallel_batch_parse_deterministic(monkeypatch):
 
 
 def test_mp3_decode_run_next_pos_on_reservoir_slack():
-    """Sequential decode_run calls on streams with reservoir slack must
-    continue via result.next_pos: every successful frame under-consumes its
-    slot (the slack bytes belong to the reference caller protocol's sync
-    skip, not to any frame's consumed), so summing consumed lands mid-slack
-    and the follow-up run would misparse. Split runs continued with
-    next_pos must match one whole run frame-for-frame."""
+    """Sequential decode_run calls on streams with inter-frame slack must
+    continue via result.next_pos: slack bytes (ancillary data / tag blocks
+    between frames, which real encoder output carries) belong to the
+    reference caller protocol's MP3FindSyncWord skip, not to any frame's
+    consumed, so summing consumed lands mid-slack and the follow-up run
+    would misparse. Split runs continued with next_pos must match one
+    whole run frame-for-frame."""
     from tests.test_mp3_coverage import craft_tonal_frame
     from esp_audio_libs_tpu.utils.errors import MP3Error
 
     cfg = dict(ver_bits=3, bitrate_idx=9, sr_idx=0, mode=0)
     rng = np.random.default_rng(5)
+    # ancillary blocks between frames: byte values < 0xFF so no false sync
     stream = np.frombuffer(
-        b"".join(craft_tonal_frame(cfg, rng) for _ in range(4)), np.uint8)
+        b"".join(craft_tonal_frame(cfg, rng)
+                 + bytes(int(x) for x in rng.integers(0, 0xFE, 21 + 7 * i))
+                 for i in range(4)), np.uint8)
 
     whole = BatchedMP3Decoder(1).decode_run([stream], 4)
     assert [e for e, _, _ in whole[0]] == [MP3Error.NONE] * 4
