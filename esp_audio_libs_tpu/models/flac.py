@@ -220,7 +220,11 @@ def _parse_thread_count(n_live: int) -> int:
     hw = os.cpu_count() or 1
     n = forced if forced > 0 else hw
     if forced > 0:
-        return n if (n > 1 and n_live >= 2) else 1
+        # clamp to the live-stream count like the native MP3 heuristic
+        # (mp3_frontend.cpp caps n_threads <= B): EAL_PARSE_THREADS=16 with
+        # 2 streams must not spin 16 idle workers / a 16-wide window
+        n = max(min(n, n_live), 1)
+        return n if n > 1 else 1
     if n <= 1 or n_live < max(64, 2 * n):
         return 1
     if n > n_live // 32:   # >=32 streams per thread when auto-sized
@@ -313,7 +317,12 @@ def _parse_streams(decoders, buffers, groups=None, codes=None, frames_of=None,
         codes[s].extend(codes_s)
         frames_of[s].extend((key, f0 + r) for r in rows)
 
-    window = 4 * n_threads   # bounds live private-group memory
+    # Bounds live private-group memory.  Each in-flight _ParseGroup holds all
+    # three width tables (int8+int16+int32 = 7 B/sample per frame row at its
+    # grown capacity), so peak host RSS scales with window x longest-stream
+    # frame count on top of the shared tables; n_threads + 2 keeps the pool
+    # fed through the in-order commit without the old 4x multiplier.
+    window = n_threads + 2
     futs = {}
     submit_i = 0
     with ThreadPoolExecutor(max_workers=n_threads) as pool:
