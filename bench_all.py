@@ -277,27 +277,39 @@ def bench_mp3(B=256, n_frames=8):
     # alike in one process state), but a D2H of real output bytes cannot
     # return early; the per-rep fetch latency is a fixed cost the slope
     # cancels.  Method: tools/mp3_device_leg.py.
-    def time_at(glen, reps=6):
+    def time_at(fn, glen, reps=6):
         h = jnp.asarray(np.ascontiguousarray(
             np.broadcast_to(np.asarray(huff_gs)[:1], (glen,) + huff_gs.shape[1:])))
         s = jnp.asarray(np.ascontiguousarray(
             np.broadcast_to(side[:1], (glen,) + side.shape[1:])))
         st = state
-        out = scan_fn(h, s, *st, jnp.int32(0))
+        out = fn(h, s, *st, jnp.int32(0))
         _ = np.asarray(out[2])   # warm + barrier
         t0 = time.perf_counter()
         for _ in range(reps):
-            pcm, st, ru = scan_fn(h, s, *st, jnp.int32(0))
+            pcm, st, ru = fn(h, s, *st, jnp.int32(0))
             _ = np.asarray(ru)
         return (time.perf_counter() - t0) / reps
 
     g_lo, g_hi = 48, 144
-    slope = (time_at(g_hi) - time_at(g_lo)) / (g_hi - g_lo)   # s/granule
+    slope = (time_at(scan_fn, g_hi) - time_at(scan_fn, g_lo)) / (g_hi - g_lo)
     dev_rate = B * 576 * nch / slope
     print(json.dumps({"metric": "mp3_decode_device_only",
                       "value": round(dev_rate / 1e6, 2),
                       "unit": "Msamples/s/chip (device leg, G-slope method)",
                       "realtime_streams": int(dev_rate / (RT * 2))}))
+
+    # FAST tier (ops/mp3fast.py): same schedule, f32 value-mirror granule
+    # body — the VERDICT r3 north-star row (10k realtime stereo streams
+    # needs >= 882 Msamples/s on this leg)
+    fast_fn = mp3_pipeline._granules_scan_fast_for(0, 0, nch, cutoff)
+    slope_f = (time_at(fast_fn, g_hi) - time_at(fast_fn, g_lo)) / (g_hi - g_lo)
+    fast_rate = B * 576 * nch / slope_f
+    print(json.dumps({"metric": "mp3_decode_device_only_fast",
+                      "value": round(fast_rate / 1e6, 2),
+                      "unit": "Msamples/s/chip (device leg, G-slope method, "
+                              "opt-in f32 fast tier <=1 LSB)",
+                      "realtime_streams": int(fast_rate / (RT * 2))}))
 
 
 def bench_flac_e2e_24b(B=128, n_frames=8, block=4096):
@@ -428,6 +440,30 @@ def bench_mp3_resample_composed(B=256, n_frames=8):
     report("mp3_decode_resample_composed", rep_samples / min(dts))
 
 
+def _host_cpu_context():
+    """Same-run CPU-weather context for the host-reference rows, so
+    cross-snapshot readers can normalize instead of misreading host load /
+    frequency scaling as a codec regression (PROFILES.md documents 2-3x
+    weather across sessions).  ``spin_ms`` is the min-of-5 wall time of a
+    FIXED single-core workload (256x256 f64 matmul x4) — a machine-speed
+    calibration constant: compare two snapshots' host rows only after
+    scaling by their spin_ms ratio."""
+    a = np.random.default_rng(0).standard_normal((256, 256))
+    best = float("inf")
+    for _ in range(5):
+        t0 = time.perf_counter()
+        b = a
+        for _ in range(4):
+            b = b @ a
+        b.sum()
+        best = min(best, time.perf_counter() - t0)
+    try:
+        load1 = round(_os.getloadavg()[0], 2)
+    except OSError:
+        load1 = None
+    return {"loadavg_1m": load1, "spin_ms": round(best * 1e3, 3)}
+
+
 def bench_host_reference(n_reps=3):
     """Decode the SAME corpora with the reference C library compiled on THIS
     host (single core) — so matching-or-beating is measured where the
@@ -477,10 +513,11 @@ def bench_host_reference(n_reps=3):
     for _ in range(n_reps):
         ns = flac_once()
     flac_rate = ns * n_reps / (time.perf_counter() - t0)
+    ctx = _host_cpu_context()
     print(json.dumps({"metric": "flac_decode_host_reference",
                       "value": round(flac_rate / 1e6, 2),
                       "unit": "Msamples/s (reference C, 1 host core)",
-                      "realtime_streams": int(flac_rate / (RT * 2))}))
+                      "realtime_streams": int(flac_rate / (RT * 2)), **ctx}))
 
     # ---- MP3: same silence-frame stream as bench_mp3 ----
     from esp_audio_libs_tpu.runtime.tables import mp3_tables
@@ -511,10 +548,11 @@ def bench_host_reference(n_reps=3):
     for _ in range(n_reps * 3):
         n = mp3_once()
     mp3_rate = n * n_reps * 3 / (time.perf_counter() - t0)
+    ctx = _host_cpu_context()
     print(json.dumps({"metric": "mp3_decode_host_reference",
                       "value": round(mp3_rate / 1e6, 2),
                       "unit": "Msamples/s (reference C, 1 host core)",
-                      "realtime_streams": int(mp3_rate / (RT * 2))}))
+                      "realtime_streams": int(mp3_rate / (RT * 2)), **ctx}))
 
 
 def main():

@@ -124,6 +124,26 @@ class BatchedFLACDecoder:
         comes back stream-sharded, ready for a sharded resample stage."""
         return decode_streams_to_device(self.decoders, buffers, mesh=self.mesh)
 
+    # ---------------------------------------------------------- checkpoint
+    def get_state(self) -> dict:
+        """Serializable snapshot of the WHOLE fleet, symmetric with
+        :meth:`BatchedMP3Decoder.get_state` (SURVEY.md §5 checkpoint/resume
+        at the serving layer).  FLAC carries all per-stream state in the
+        host front-end (STREAMINFO, partial-header resume, CRC toggle —
+        reference flac_decoder.h:485-490; the device frame kernels are
+        stateless per bucket), so the fleet snapshot is the per-stream
+        state list.  Restore with :meth:`set_state` into a
+        ``BatchedFLACDecoder`` of the same width."""
+        return {"streams": [d.get_state() for d in self.decoders]}
+
+    def set_state(self, state: dict) -> None:
+        if len(state["streams"]) != len(self.decoders):
+            raise ValueError(
+                f"state holds {len(state['streams'])} streams, decoder has "
+                f"{len(self.decoders)}")
+        for d, s in zip(self.decoders, state["streams"]):
+            d.set_state(s)
+
 
 class BatchedMP3Decoder:
     """Decode many independent MP3 streams in lockstep.
@@ -136,15 +156,24 @@ class BatchedMP3Decoder:
     dispatch; outputs are bit-identical to per-stream decoding.
     """
 
-    def __init__(self, n_streams: int, mesh=None):
+    def __init__(self, n_streams: int, mesh=None, fast=False):
         """``mesh``: optional ``parallel.mesh.stream_mesh`` — when given, the
         fleet's carried device state and every per-run upload are placed
         stream-sharded across the mesh, so the fused granule scan runs SPMD
         (one shard of streams per chip).  ``n_streams`` should be a multiple
-        of the mesh size (XLA requires evenly divisible shardings)."""
+        of the mesh size (XLA requires evenly divisible shardings).
+
+        ``fast``: opt-in relaxed-precision tier (the resampler exact/fast
+        duality): granule synthesis runs the f32 value-mirror pipeline
+        (ops/mp3fast.py) — <= 1 LSB int16 vs the exact path on decodable
+        streams (tests/test_mp3_fast.py), NOT bit-exact, and the
+        reference-UB detector (``last_frame_reference_defined``) is inert
+        (always True).  Carried ``over``/``vbuf`` device state rides f32;
+        checkpoints interconvert between tiers by value (see set_state)."""
         self.decoders = [MP3Decoder() for _ in range(n_streams)]
         self.last_frame_reference_defined = [True] * n_streams
         self.mesh = mesh
+        self.fast = bool(fast)
         if mesh is not None and n_streams % mesh.size != 0:
             raise ValueError(
                 f"n_streams={n_streams} must be a multiple of the mesh size "
@@ -155,11 +184,12 @@ class BatchedMP3Decoder:
         N = n_streams
         place = ((lambda x: x) if mesh is None
                  else (lambda x: mesh_mod.shard_streams(x, mesh)))
-        self._over = place(jnp.zeros((N, 2, 288), jnp.int32))
+        num_dt = jnp.float32 if self.fast else jnp.int32
+        self._over = place(jnp.zeros((N, 2, 288), num_dt))
         self._pt = place(jnp.zeros((N, 2), jnp.int32))
         self._pws = place(jnp.zeros((N, 2), jnp.int32))
         self._npv = place(jnp.zeros((N, 2), jnp.int32))
-        self._vbuf = place(jnp.zeros((N, 2176), jnp.int32))
+        self._vbuf = place(jnp.zeros((N, 2176), num_dt))
         self._vindex = [0] * N
 
     def _group_mesh(self, n_group: int):
@@ -241,11 +271,21 @@ class BatchedMP3Decoder:
                 raise RuntimeError("MP3 state load failed (bad/incompatible blob)")
         place = ((lambda x: jnp.asarray(x)) if self.mesh is None
                  else (lambda x: mesh_mod.shard_streams(x, self.mesh)))
-        self._over = place(np.asarray(state["over"], np.int32))
+        num_dt = np.float32 if self.fast else np.int32
+
+        def conv(a):
+            # snapshots interconvert between tiers BY VALUE (the f32 tensors
+            # mirror the exact path's integer values): round, don't truncate
+            a = np.asarray(a)
+            if a.dtype.kind == "f" and num_dt == np.int32:
+                a = np.rint(np.clip(a, -2 ** 31, 2 ** 31 - 1))
+            return a.astype(num_dt)
+
+        self._over = place(conv(state["over"]))
         self._pt = place(np.asarray(state["pt"], np.int32))
         self._pws = place(np.asarray(state["pws"], np.int32))
         self._npv = place(np.asarray(state["npv"], np.int32))
-        self._vbuf = place(np.asarray(state["vbuf"], np.int32))
+        self._vbuf = place(conv(state["vbuf"]))
         self._vindex = list(state["vindex"])
         self.last_frame_reference_defined = list(state["ref_defined"])
 
@@ -360,7 +400,8 @@ class BatchedMP3Decoder:
             sfjs = np.stack([p[5] for _, p, _ in items])
             pcm, new_state, ref_undef = mp3_pipeline.decode_granules_batch_dev(
                 huff, params, sf, frame, sfjs, self._gather_state(streams),
-                vindex, ngr_run, mesh=self._group_mesh(len(streams)))
+                vindex, ngr_run, mesh=self._group_mesh(len(streams)),
+                fast=self.fast)
             self._scatter_state(streams, new_state)
             new_vindex = mp3_pipeline._advance_vindex(vindex, ngr_run)
             # the ONLY per-group sync: PCM + the reference-UB flags, pulled
@@ -578,7 +619,7 @@ class BatchedMP3Decoder:
                     pcm, new_state, ref_undef = mp3_pipeline.decode_granules_run(
                         huff_g, params_g, sf_g, frame_g, sfjs_g,
                         self._gather_state(streams), vindex,
-                        mesh=self._group_mesh(len(streams)))
+                        mesh=self._group_mesh(len(streams)), fast=self.fast)
                     self._scatter_state(streams, new_state)
                     undef = np.asarray(ref_undef)   # tiny [B] bool sync only
                     for bi, s in enumerate(streams):
@@ -607,7 +648,7 @@ class BatchedMP3Decoder:
                         sf_g[c0:c0 + per], frame_g[c0:c0 + per],
                         sfjs_g[c0:c0 + per],
                         self._gather_state(chunk), vindex,
-                        mesh=self._group_mesh(len(chunk)))
+                        mesh=self._group_mesh(len(chunk)), fast=self.fast)
                     self._scatter_state(chunk, new_state)
                     # commit the host-side vindex the moment the device
                     # state advances — deferring it to the drain loop would

@@ -111,6 +111,43 @@ def _granule_body(huff_g, nzb_in, compact, maps, over, prev_type,
     return pcm, over, prev_type, prev_win_switch, num_prev, vbuf, vindex, ref_undef
 
 
+def _granule_body_fast(huff_g, nzb_in, compact, maps, over, prev_type,
+                       prev_win_switch, num_prev, vbuf, block_type, mixed,
+                       vindex, *, nch, cutoff):
+    """Relaxed-precision granule: the f32 value-mirror pipeline
+    (ops/mp3fast.py — opt-in FAST tier, <=1 LSB int16 vs the exact path,
+    no reference-UB tracking).  Carried ``over``/``vbuf`` ride f32; all
+    other state and the block-selection logic are identical ints."""
+    from ..ops import mp3fast
+
+    B = huff_g.shape[0]
+    v = huff_g.astype(jnp.int32)
+    mag = v & 0x7FFF
+    huff_g = jnp.where(v < 0, mag | jnp.int32(-(2 ** 31)), mag)
+    hp = expand_hp_device(compact, maps, nch)
+    sfb_s_key = tuple(int(v) for v in np.asarray(maps["sfb_s"]))
+    dq = mp3fast.dequantize_granule_fast(huff_g, nzb_in, hp, nch=nch,
+                                         sfb_s=sfb_s_key)
+    x = dq["x"].reshape(B * nch, 576)
+
+    nzb = dq["nzb"][:, :nch].reshape(-1)
+    out, new_over, _, n_out, cws = mp3fast.imdct_granule_fast(
+        x, over[:, :nch].reshape(B * nch, 32, 9),
+        nzb, block_type, mixed,
+        prev_type[:, :nch].reshape(-1), prev_win_switch[:, :nch].reshape(-1),
+        jnp.full((B * nch,), cutoff, jnp.int32), num_prev[:, :nch].reshape(-1))
+
+    over = over.at[:, :nch].set(new_over.reshape(B, nch, 288))
+    prev_type = prev_type.at[:, :nch].set(block_type.reshape(B, nch))
+    prev_win_switch = prev_win_switch.at[:, :nch].set(cws.reshape(B, nch))
+    num_prev = num_prev.at[:, :nch].set(n_out.reshape(B, nch))
+
+    pcm, vbuf = mp3fast.subband_granule_fast(
+        out.reshape(B, nch, 18, 32), vbuf, vindex, nch=nch)
+    vindex = (vindex - 9) & 7
+    return pcm, over, prev_type, prev_win_switch, num_prev, vbuf, vindex
+
+
 _SCAN_JIT: dict = {}    # (ver, sr_idx, nch, cutoff) -> jitted scan
 
 
@@ -167,20 +204,66 @@ def _granules_scan_for(ver: int, sr_idx: int, nch: int, cutoff: int):
     return scan_fn
 
 
+_SCAN_FAST_JIT: dict = {}
+
+
+def _granules_scan_fast_for(ver: int, sr_idx: int, nch: int, cutoff: int):
+    """FAST-tier counterpart of :func:`_granules_scan_for`: same one-upload /
+    one-dispatch whole-run scan, f32 granule body, no ref-UB accumulator
+    (returned as constant False for interface compatibility)."""
+    key = (ver, sr_idx, nch, cutoff)
+    fn = _SCAN_FAST_JIT.get(key)
+    if fn is not None:
+        return fn
+    from .mp3 import format_maps
+    maps = format_maps(ver, sr_idx)
+
+    @jax.jit
+    def scan_fn(huff_gs, side_gs, over, prev_type, prev_win_switch,
+                num_prev, vbuf, vindex0):
+        B = huff_gs.shape[1]
+        nzb_gs = side_gs[:, :, 0:nch]
+        block_gs = side_gs[:, :, nch:2 * nch].reshape(side_gs.shape[0], -1)
+        mixed_gs = side_gs[:, :, 2 * nch:3 * nch].reshape(side_gs.shape[0], -1)
+        compact_gs = side_gs[:, :, 3 * nch:]
+
+        def step(carry, xs):
+            over, pt, pws, npv, vbuf, vindex = carry
+            huff_g, nzb, compact, bt, mx = xs
+            pcm, over, pt, pws, npv, vbuf, vindex = _granule_body_fast(
+                huff_g, nzb, compact, maps, over, pt, pws, npv, vbuf, bt, mx,
+                vindex, nch=nch, cutoff=cutoff)
+            return (over, pt, pws, npv, vbuf, vindex), pcm
+
+        carry0 = (over.astype(jnp.float32), prev_type, prev_win_switch,
+                  num_prev, vbuf.astype(jnp.float32),
+                  vindex0.astype(jnp.int32))
+        (over, prev_type, prev_win_switch, num_prev, vbuf, _), pcm_gs = \
+            jax.lax.scan(step, carry0,
+                         (huff_gs, nzb_gs, compact_gs, block_gs, mixed_gs))
+        return (pcm_gs, (over, prev_type, prev_win_switch, num_prev, vbuf),
+                jnp.zeros(B, bool))
+
+    _SCAN_FAST_JIT[key] = scan_fn
+    return scan_fn
+
+
 _SCAN_ESC_JIT: dict = {}
 
 
-def _granules_scan_esc_for(ver: int, sr_idx: int, nch: int, cutoff: int):
+def _granules_scan_esc_for(ver: int, sr_idx: int, nch: int, cutoff: int,
+                           fast: bool = False):
     """Sideband variant of :func:`_granules_scan_for`: the spectral plane
     arrives int8 (sign in bit 7) plus a sparse escape sideband and re-widens
     to the int16-packed form ON DEVICE before the same fused scan — the
     widen + scatter fuse into the one run dispatch, so only the transport
     narrows (the dominant upload halves again vs the int16 tier)."""
-    key = (ver, sr_idx, nch, cutoff)
+    key = (ver, sr_idx, nch, cutoff, fast)
     fn = _SCAN_ESC_JIT.get(key)
     if fn is not None:
         return fn
-    scan_fn = _granules_scan_for(ver, sr_idx, nch, cutoff)
+    scan_fn = (_granules_scan_fast_for if fast
+               else _granules_scan_for)(ver, sr_idx, nch, cutoff)
 
     @jax.jit
     def esc_fn(huff8_gs, esc_pos, esc_val, side_gs, over, prev_type,
@@ -258,7 +341,7 @@ def decode_granules_batch(huff, params, sf, frame, sfjs, states, vindex, ngr):
 
 
 def decode_granules_batch_dev(huff, params, sf, frame, sfjs, dev_state,
-                              vindex, ngr, mesh=None):
+                              vindex, ngr, mesh=None, fast=False):
     """Device-resident variant: carried state stays on device across frames.
 
     Args are as decode_granules_batch except ``dev_state`` — a tuple of
@@ -279,11 +362,11 @@ def decode_granules_batch_dev(huff, params, sf, frame, sfjs, dev_state,
     sfjs_g = np.repeat(np.asarray(sfjs)[:, None], max(G, 1), axis=1)
     return decode_granules_run(huff[:, :G], params[:, :G], sf[:, :G],
                                frame_g[:, :G], sfjs_g[:, :G], dev_state, vindex,
-                               mesh=mesh)
+                               mesh=mesh, fast=fast)
 
 
 def decode_granules_run(huff_g, params_g, sf_g, frame_g, sfjs_g, dev_state,
-                        vindex, mesh=None):
+                        vindex, mesh=None, fast=False):
     """Synthesize an arbitrary RUN of G granules (any mix of frames) for B
     format-uniform streams in ONE upload + ONE fused scan dispatch.
 
@@ -353,12 +436,14 @@ def decode_granules_run(huff_g, params_g, sf_g, frame_g, sfjs_g, dev_state,
     if narrowed is not None:
         _, esc_pos, esc_val = narrowed
         pcm_gs, new_state, ref_undef = _granules_scan_esc_for(
-            ver, sr_idx, nch, cutoff)(
+            ver, sr_idx, nch, cutoff, fast=fast)(
             huff_dev, jnp.asarray(esc_pos), jnp.asarray(esc_val), side_dev,
             over, prev_type, prev_win_switch, num_prev, vbuf,
             jnp.int32(vindex))
     else:
-        pcm_gs, new_state, ref_undef = _granules_scan_for(ver, sr_idx, nch, cutoff)(
+        pcm_gs, new_state, ref_undef = (
+            _granules_scan_fast_for if fast else _granules_scan_for)(
+            ver, sr_idx, nch, cutoff)(
             huff_dev, side_dev,
             over, prev_type, prev_win_switch, num_prev, vbuf,
             jnp.int32(vindex))

@@ -162,6 +162,68 @@ def test_bad_state_blob_rejected():
         pass
 
 
+def test_batched_flac_save_restore():
+    """Fleet-level FLAC checkpoint, symmetric with the MP3 fleet pair: a
+    BatchedFLACDecoder snapshot (pickle round trip) restored into a FRESH
+    fleet continues decoding bit-identically.  FLAC fleet state is host-only
+    (per-stream native front-ends; device frame kernels are stateless), so
+    this pins the serving checkpoint API's uniformity across codecs."""
+    import pickle
+
+    from flacgen import SubframePlan, make_flac
+
+    from esp_audio_libs_tpu.models.batch import BatchedFLACDecoder
+
+    B = 4
+    blobs, bodies, splits = [], [], []
+    for s in range(B):
+        blob, _ = make_flac(rng_seed=400 + s, depth=16, channels=2,
+                            block_size=256, n_frames=6,
+                            stereo_modes=["ms", None, "ls", "rs", None, "ms"],
+                            plans=[[SubframePlan("lpc", order=4 + s),
+                                    SubframePlan("fixed", order=2)]] * 6)
+        scout = FLACDecoder()
+        assert scout.read_header(blob) == FLACDecoderResult.SUCCESS
+        body = blob[scout.get_bytes_index():]
+        # find the byte boundary after 3 frames for the mid-stream split
+        pos = 0
+        for _ in range(3):
+            res, _, _ = scout.decode_frame(body[pos:])
+            assert res == FLACDecoderResult.SUCCESS
+            pos += scout.get_bytes_index()
+        blobs.append(blob)
+        bodies.append(body)
+        splits.append(pos)
+
+    ref = BatchedFLACDecoder(B)
+    assert all(r == FLACDecoderResult.SUCCESS for r in ref.read_headers(blobs))
+    full = ref.decode_streams(bodies)
+    assert all(res["md5_ok"] for _, res in full)
+
+    fleet = BatchedFLACDecoder(B)
+    fleet.read_headers(blobs)
+    part1 = fleet.decode_streams([b[:p] for b, p in zip(bodies, splits)],
+                                 verify_md5=False)
+
+    blob = pickle.dumps(fleet.get_state())
+    fleet2 = BatchedFLACDecoder(B)
+    fleet2.set_state(pickle.loads(blob))
+    part2 = fleet2.decode_streams([b[p:] for b, p in zip(bodies, splits)],
+                                  verify_md5=False)
+
+    for s in range(B):
+        assert part1[s][0] + part2[s][0] == full[s][0], f"stream {s}"
+        assert (part1[s][1]["num_frames"] + part2[s][1]["num_frames"]
+                == full[s][1]["num_frames"])
+
+    # width mismatch must be rejected, like the MP3 fleet pair
+    try:
+        BatchedFLACDecoder(B + 1).set_state(pickle.loads(blob))
+        raise AssertionError("accepted mismatched fleet width")
+    except ValueError:
+        pass
+
+
 def test_batched_mp3_save_restore():
     """Fleet-level checkpoint: a BatchedMP3Decoder snapshot restored into a
     FRESH fleet (pickle round trip, as a serving layer migrating streams

@@ -14,6 +14,11 @@ whatever real backend the environment provides (axon TPU on this box):
    expansion (models/mp3.expand_hp_device) relies on integer-valued f32
    matmuls staying exact for values > 256 — exact only at HIGHEST on TPU
    (the repo's documented bf16-on-TPU failure class).
+3. the MP3 FAST-tier tolerance contract (ops/mp3fast.py): <= 1 LSB int16 vs
+   the bit-exact tier on non-saturating streams, <= 4 LSB on massively
+   clipping content.  The fast tier's dequantizer runs exp2/log2 on the
+   backend's transcendental units, so CPU-CI passing does NOT pin the TPU
+   behavior — this is where the contract is pinned on hardware.
 
 Usage: python tools/tpu_checks.py   (exits nonzero on any failure)
 """
@@ -80,11 +85,59 @@ def check_onehot_highest_exact() -> str:
     return "PASS one-hot matmul exact at HIGHEST on this backend"
 
 
+def check_mp3_fast_tier() -> str:
+    import jax
+    jax.config.update("jax_enable_x64", True)
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    from tests.test_mp3_coverage import (WINDOWS, craft_reservoir_stream,
+                                         craft_tonal_frame, crafted_frame)
+
+    from esp_audio_libs_tpu.models.batch import BatchedMP3Decoder
+
+    def pcm_of(dec, stream, n=16):
+        res = dec.decode_run([stream], n)
+        parts = [p for (e, p, c) in res[0] if p is not None]
+        return np.concatenate(parts) if parts else np.zeros(0, np.int16)
+
+    cfg = dict(ver_bits=3, bitrate_idx=9, sr_idx=0, mode=1, mode_ext=2)
+    rng = np.random.default_rng(11)
+    frames = []
+    for bt, mixed in WINDOWS:
+        frames.append(craft_tonal_frame(cfg, rng))
+        frames.append(crafted_frame(cfg, bt, mixed, rng))
+    windows_stream = b"".join(frames)
+    res_stream = craft_reservoir_stream(
+        [dict(ver_bits=3, bitrate_idx=11, sr_idx=0, mode=0)] * 5,
+        np.random.default_rng(7), gains=(150, 180))
+    hot_stream = craft_reservoir_stream(
+        [dict(ver_bits=3, bitrate_idx=11, sr_idx=0, mode=0)] * 5,
+        np.random.default_rng(7), gains=(230, 250))
+
+    failures = []
+    for name, stream, tol in [("windows+joint-ms", windows_stream, 1),
+                              ("reservoir", res_stream, 1),
+                              ("hot-clipping", hot_stream, 4)]:
+        pe = pcm_of(BatchedMP3Decoder(1), stream)
+        pf = pcm_of(BatchedMP3Decoder(1, fast=True), stream)
+        if pe.shape != pf.shape:
+            failures.append(f"{name}: shape {pe.shape} vs {pf.shape}")
+            continue
+        d = np.abs(pe.astype(np.int32) - pf.astype(np.int32))
+        if d.max(initial=0) > tol:
+            failures.append(f"{name}: max {int(d.max())} LSB > {tol}")
+    if failures:
+        return "FAIL mp3 fast tier: " + "; ".join(failures)
+    return ("PASS mp3 fast tier within contract tolerance "
+            "(1 LSB / 4 LSB hot) on this backend")
+
+
 def main() -> int:
     import jax
 
     print(f"backend: {jax.default_backend()}  devices: {jax.devices()}")
-    results = [check_onehot_highest_exact(), check_fast_path_precision_high()]
+    results = [check_onehot_highest_exact(), check_fast_path_precision_high(),
+               check_mp3_fast_tier()]
     ok = True
     for r in results:
         print(r)
