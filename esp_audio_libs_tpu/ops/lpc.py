@@ -91,7 +91,17 @@ def lpc_restore(data: jax.Array, coeffs: jax.Array, order: jax.Array, shift: jax
         # Shift the window left by (32 - order) per lane so c[j] pairs with
         # window[32 - order + j]; implemented as a gather-free dot against a
         # per-lane rotated coefficient vector prepared below.
-        dot = jnp.sum(window.astype(acc_dtype) * c_aligned, axis=-1)  # [...]
+        # dtype=acc_dtype is LOAD-BEARING in the 32-bit path: jnp.sum of
+        # int32 otherwise upcasts the accumulator to int64 (numpy
+        # promotion), which computes the EXACT sum where the reference's
+        # int32 `sum += buf[i+j]*coefs[j]` WRAPS (flac_lpc.cpp:85-105).
+        # Valid streams never overflow here (can_use_32bit_lpc's guarantee)
+        # — but corrupted streams whose CRC still validates do, the
+        # reference emits the wrapped value as PCM, and parity requires
+        # wrapping with it (found by the oracle-filtered mutation corpus,
+        # corpus/independent/).
+        dot = jnp.sum(window.astype(acc_dtype) * c_aligned, axis=-1,
+                      dtype=acc_dtype)  # [...]
         pred = (dot >> shift_acc).astype(jnp.int32)
         y = jnp.where(i < order, x, x + pred)
         new_window = jnp.concatenate([window[..., 1:], y[..., None]], axis=-1)
