@@ -329,28 +329,37 @@ def _wav_data_payload(path: Path) -> bytes:
     return b""
 
 
-def drive_cli(path: Path, out_dir: Path, expect_fail: bool, expected_payload):
-    """Drive the mp3_to_wav CLI subprocess: exit code + WAV payload.
+def drive_cli(path: Path, out_dir: Path, expect_fail: bool, expected_payload,
+              warm_pool=None):
+    """Drive the mp3_to_wav CLI: exit code + WAV payload.
     ``expected_payload is None`` means the library produced zero frames, so
-    the CLI must exit nonzero (it writes no WAV without frames)."""
+    the CLI must exit nonzero (it writes no WAV without frames).  Served by
+    a WarmCliPool by default (examples/cli_worker.py — per-file cost is
+    decode, not JAX startup); ``--cold-cli`` restores one fresh subprocess
+    per file."""
     out_wav = out_dir / (path.stem + ".wav")
     try:
-        proc = subprocess.run(
-            [sys.executable, str(REPO / "examples" / "mp3_to_wav.py"),
-             str(path), str(out_wav), "--max-frames", str(MAX_FRAMES)],
-            capture_output=True, text=True, timeout=900, env=os.environ.copy())
+        if warm_pool is not None:
+            rc, _ = warm_pool.drive(str(path), str(out_wav),
+                                    max_frames=MAX_FRAMES)
+        else:
+            proc = subprocess.run(
+                [sys.executable, str(REPO / "examples" / "mp3_to_wav.py"),
+                 str(path), str(out_wav), "--max-frames", str(MAX_FRAMES)],
+                capture_output=True, text=True, timeout=900, env=os.environ.copy())
+            rc = proc.returncode
     except Exception:
         return False
     if expect_fail or expected_payload is None:
-        return proc.returncode != 0
-    if proc.returncode != 0:
+        return rc != 0
+    if rc != 0:
         return False
     return _wav_data_payload(out_wav) == expected_payload
 
 
 def test_single_file(path: Path, oracle, expect_fail: bool,
                      cli_out: Path | None = None, cli_pool=None,
-                     intent: str = "parity"):
+                     intent: str = "parity", warm_pool=None):
     blob = path.read_bytes()
     t0 = time.perf_counter()
     result = {"file": path.name, "frames": 0, "reference_match": None,
@@ -376,7 +385,8 @@ def test_single_file(path: Path, oracle, expect_fail: bool,
 
     if cli_out is not None:
         result["_cli_future"] = cli_pool.submit(
-            drive_cli, path, cli_out, expect_fail, payload if n_ok else None)
+            drive_cli, path, cli_out, expect_fail,
+            payload if n_ok else None, warm_pool)
 
     result["_expect_fail"] = expect_fail
     result["_n_ok"] = n_ok
@@ -417,13 +427,28 @@ def main():
     ap.add_argument("--out", type=Path, default=REPO / "build" / "test_results")
     ap.add_argument("--no-reference", action="store_true")
     ap.add_argument("--no-cli", action="store_true")
+    ap.add_argument("--cold-cli", action="store_true",
+                    help="one fresh CLI subprocess per file instead of the "
+                         "warm worker pool")
     args = ap.parse_args()
+    t_run0 = time.perf_counter()
 
     sentinel = args.corpus / ".complete"
     if not sentinel.exists() or sentinel.read_bytes() != CORPUS_VERSION:
         print(f"generating corpus at {args.corpus}")
         generate_corpus(args.corpus)
     intents = json.loads((args.corpus / "intent.json").read_text())
+
+    # committed independent category (tools/mp3mut.py): oracle-accepted
+    # structural mutants, none authored by the generator path above; each
+    # was verified >= 1 decoded frame at generation, so intent is decode
+    ind_src = REPO / "corpus" / "independent_mp3"
+    if ind_src.is_dir():
+        ind_dst = args.corpus / "independent"
+        ind_dst.mkdir(parents=True, exist_ok=True)
+        for f in ind_src.glob("*.mp3"):
+            (ind_dst / f.name).write_bytes(f.read_bytes())
+            intents.setdefault(f.name, "decode")
 
     oracle = None
     ref = Path(os.environ.get("REF", "/root/reference"))
@@ -435,11 +460,15 @@ def main():
 
     from concurrent.futures import ThreadPoolExecutor
     cli_pool = ThreadPoolExecutor(max_workers=4)
+    warm_pool = None
+    if not args.no_cli and not args.cold_cli:
+        from cli_worker import WarmCliPool
+        warm_pool = WarmCliPool("mp3", n_workers=4)
 
     report = {"categories": {}, "summary": {}}
     total = passed = 0
     lines = ["MP3 conformance report (esp-audio-libs-tpu)", "=" * 45]
-    for cat in ["standard", "modes", "faulty"]:
+    for cat in ["standard", "modes", "faulty", "independent"]:
         d = args.corpus / cat
         if not d.exists():
             continue
@@ -449,7 +478,8 @@ def main():
             cli_out.mkdir(parents=True, exist_ok=True)
         results = [test_single_file(f, oracle, expect_fail=(cat == "faulty"),
                                     cli_out=cli_out, cli_pool=cli_pool,
-                                    intent=intents.get(f.name, "parity"))
+                                    intent=intents.get(f.name, "parity"),
+                                    warm_pool=warm_pool)
                    for f in sorted(d.glob("*.mp3"))]
         report["categories"][cat] = results
     for cat, results in report["categories"].items():
@@ -476,8 +506,16 @@ def main():
     if total == 0:
         print("ERROR: empty corpus — nothing was tested")
         return 1
+    if warm_pool is not None:
+        warm_pool.close()
+    wall = time.perf_counter() - t_run0
+    report["summary"]["wall_seconds"] = round(wall, 1)
+    report["summary"]["cli_mode"] = ("none" if args.no_cli else
+                                     "cold" if args.cold_cli else "warm-pool")
     lines.insert(2, f"{passed}/{total} passed "
-                    f"({n_dec} decode-parity, {total - n_dec} reject-parity)")
+                    f"({n_dec} decode-parity, {total - n_dec} reject-parity); "
+                    f"suite wall {wall:.1f}s "
+                    f"(cli={report['summary']['cli_mode']})")
 
     args.out.mkdir(parents=True, exist_ok=True)
     (args.out / "mp3_test_report.txt").write_text("\n".join(lines) + "\n")
