@@ -383,6 +383,95 @@ def bench_flac_resample_composed(B=256, n_frames=16, block=4096):
     samples = sum(x["num_samples"] for x in res)
     report("flac_decode_resample_composed", samples / min(dts))
 
+    # serving-shaped TRUE e2e: same chain but the 16 kHz PCM is FETCHED to
+    # the host (compressed FLAC up, resampled s16 down — what a deployment
+    # moves through the link; block_until_ready alone is not a trustworthy
+    # completion signal on this tunnel, a real D2H is).  Compare with the
+    # same-run flac_decode_resample_host_reference row.
+    dts = []
+    for _ in range(2):
+        t0 = time.perf_counter()
+        out, res = run()
+        _ = np.asarray(out)                    # D2H of the 16 kHz PCM
+        dts.append(time.perf_counter() - t0)
+    report("flac_decode_resample_e2e_16k", samples / min(dts))
+
+
+def bench_flac_resample_composed_host_reference(n_reps=3, n_frames=16,
+                                                block=4096):
+    """The host-C counterpart of flac_decode_resample_composed/e2e_16k: the
+    REFERENCE decoder feeding the REFERENCE Resampler (44.1k->16k s16,
+    same taps/filters config) on one host core — the chain a real
+    deployment of the reference runs, measured in the same snapshot so the
+    composed TPU rows have an apples-to-apples baseline (VERDICT r3 #5)."""
+    import ctypes as C
+    from tests.oracle import load
+    try:
+        lib = load().lib
+    except Exception:
+        print(json.dumps({"metric": "flac_decode_resample_host_reference",
+                          "value": None, "note": "reference not available"}))
+        return
+    from flacgen import SubframePlan, make_flac
+
+    blob, _ = make_flac(rng_seed=1, depth=16, channels=2, block_size=block,
+                        n_frames=n_frames,
+                        plans=[[SubframePlan("lpc", order=8, fit=True)] * 2] * n_frames)
+    buf = np.frombuffer(blob, np.uint8)
+    u8p = C.POINTER(C.c_uint8)
+    frames_total = n_frames * block
+
+    def once():
+        d = lib.ref_flac_create()
+        try:
+            assert lib.ref_flac_read_header(d, buf.ctypes.data_as(u8p), buf.size) == 0
+            pos = lib.ref_flac_bytes_index(d)
+            out = np.zeros(lib.ref_flac_output_buffer_size_bytes(d) + 64, np.uint8)
+            pcm = np.zeros(frames_total * 2 * 2 + 64, np.uint8)
+            w = 0
+            while pos < buf.size:
+                ns = C.c_uint32(0)
+                chunk = buf[pos:]
+                if lib.ref_flac_decode_frame(
+                        d, chunk.ctypes.data_as(u8p), chunk.size,
+                        out.ctypes.data_as(u8p), C.byref(ns)) != 0:
+                    break
+                nb = ns.value * 2
+                pcm[w:w + nb] = out[:nb]
+                w += nb
+                pos += lib.ref_flac_bytes_index(d)
+        finally:
+            lib.ref_flac_destroy(d)
+
+        r = lib.ref_resampler_create(frames_total + 1024, frames_total + 1024)
+        try:
+            assert lib.ref_resampler_initialize(
+                r, 44100.0, 16000.0, 16, 16, 2, 1, 1, 64, 32) == 1
+            res_out = np.zeros(frames_total * 2 * 2, np.uint8)
+            used = C.c_size_t(0)
+            gen = C.c_size_t(0)
+            pred = C.c_size_t(0)
+            clipped = C.c_uint32(0)
+            lib.ref_resampler_resample(
+                r, pcm.ctypes.data_as(u8p), res_out.ctypes.data_as(u8p),
+                w // 4, frames_total, np.float32(0.0),
+                C.byref(used), C.byref(gen), C.byref(pred), C.byref(clipped))
+        finally:
+            lib.ref_resampler_destroy(r)
+        return w // 4 * 2   # decoded input samples (frames * ch)
+
+    ns = once()
+    t0 = time.perf_counter()
+    for _ in range(n_reps):
+        ns = once()
+    rate = ns * n_reps / (time.perf_counter() - t0)
+    ctx = _host_cpu_context()
+    print(json.dumps({"metric": "flac_decode_resample_host_reference",
+                      "value": round(rate / 1e6, 2),
+                      "unit": "Msamples/s (reference C decode + reference "
+                              "Resampler 44.1->16k, 1 host core)",
+                      "realtime_streams": int(rate / (RT * 2)), **ctx}))
+
 
 def bench_mp3_resample_composed(B=256, n_frames=8):
     """Composed serving pipeline for MP3: fleet decode_run(to_device=True)
@@ -565,6 +654,7 @@ def main():
     bench_mp3()
     bench_mp3_resample_composed()
     bench_host_reference()
+    bench_flac_resample_composed_host_reference()
 
 
 if __name__ == "__main__":

@@ -10,7 +10,8 @@ several run lengths G with all inputs DEVICE-RESIDENT, one dispatch per
 call, many reps, and fits time-vs-G: the slope is the per-granule device
 cost with the tunnel's fixed per-dispatch noise cancelled out.
 
-Usage: python tools/mp3_device_leg.py [B] [reps]
+Usage: python tools/mp3_device_leg.py [B] [reps] [tier]
+``tier`` = exact (default) | fast (the opt-in f32 tier, ops/mp3fast.py).
 Prints one JSON line with the fit and derived throughput.
 """
 
@@ -29,6 +30,7 @@ import numpy as np
 def main() -> None:
     B = int(sys.argv[1]) if len(sys.argv) > 1 else 256
     reps = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+    tier = sys.argv[3] if len(sys.argv) > 3 else "exact"
 
     import jax
     jax.config.update("jax_enable_x64", True)
@@ -40,7 +42,8 @@ def main() -> None:
     nch = 2
     ver, sr_idx, cutoff = 0, 0, 576 // 18   # MPEG-1 44.1k stereo
     cw = 2 * 22 + 2 * 39 + 2 * 6 + 23 + 39 + 23 + 13 + 3
-    scan = mp3_pipeline._granules_scan_for(ver, sr_idx, nch, cutoff)
+    scan = (mp3_pipeline._granules_scan_fast_for if tier == "fast"
+            else mp3_pipeline._granules_scan_for)(ver, sr_idx, nch, cutoff)
 
     rng = np.random.default_rng(0)
     results = {}
@@ -88,7 +91,8 @@ def main() -> None:
     msps = 576 * nch * B / slope / 1e6 if slope > 0 else float("inf")
     streams_rt = msps * 1e6 / (2 * 44100)
     print(json.dumps({
-        "B": B, "reps": reps, "times_s": {str(g): results[g] for g in Gs},
+        "B": B, "reps": reps, "tier": tier,
+        "times_s": {str(g): results[g] for g in Gs},
         "per_granule_us": per_granule_us, "intercept_ms": intercept * 1e3,
         "device_msamples_per_s": msps,
         "realtime_stereo_streams_per_chip": streams_rt,

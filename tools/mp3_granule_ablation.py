@@ -19,7 +19,9 @@ Variants:
   no_imdct     stub mp3imdct.imdct_granule (antialias + hybrid IMDCT)
   no_subband   stub mp3subband.subband_granule (FDCT32 + PQMF, int64 MACs)
 
-Usage: python tools/mp3_granule_ablation.py [B] [reps] [variants,comma,sep]
+Usage: python tools/mp3_granule_ablation.py [B] [reps] [variants,comma,sep] [tier]
+``tier`` = exact (default) | fast — ablates the opt-in f32 tier's stages
+(ops/mp3fast.py) through the same harness.
 Prints one JSON line per variant plus attributed per-granule costs.
 """
 
@@ -83,20 +85,31 @@ def main():
     sys.path.insert(0, os.path.join(
         os.path.dirname(os.path.abspath(__file__)), ".."))
     from esp_audio_libs_tpu.models import mp3_pipeline
-    from esp_audio_libs_tpu.ops import mp3dsp, mp3imdct, mp3subband
+    from esp_audio_libs_tpu.ops import mp3dsp, mp3fast, mp3imdct, mp3subband
 
+    tier = sys.argv[4] if len(sys.argv) > 4 else "exact"
     nch = 2
     ver, sr_idx, cutoff = 0, 0, 576 // 18   # MPEG-1 44.1k stereo
     cw = 2 * 22 + 2 * 39 + 2 * 6 + 23 + 39 + 23 + 13 + 3
 
-    PATCHES = {
-        "full": None,
-        "no_expand": (mp3_pipeline, "expand_hp_device"),
-        "no_dequant": (mp3dsp, "dequantize_granule"),
-        "no_imdct": (mp3imdct, "imdct_granule"),
-        "no_subband": (mp3subband, "subband_granule"),
-    }
-    want = (sys.argv[3].split(",") if len(sys.argv) > 3 else list(PATCHES))
+    if tier == "fast":
+        PATCHES = {
+            "full": None,
+            "no_expand": (mp3_pipeline, "expand_hp_device"),
+            "no_dequant": (mp3fast, "dequantize_granule_fast"),
+            "no_imdct": (mp3fast, "imdct_granule_fast"),
+            "no_subband": (mp3fast, "subband_granule_fast"),
+        }
+    else:
+        PATCHES = {
+            "full": None,
+            "no_expand": (mp3_pipeline, "expand_hp_device"),
+            "no_dequant": (mp3dsp, "dequantize_granule"),
+            "no_imdct": (mp3imdct, "imdct_granule"),
+            "no_subband": (mp3subband, "subband_granule"),
+        }
+    want = (sys.argv[3].split(",") if len(sys.argv) > 3 and sys.argv[3]
+            else list(PATCHES))
 
     rng = np.random.default_rng(0)
     Gs = [128, 512]
@@ -120,8 +133,11 @@ def main():
             saved = getattr(mod, name)
             setattr(mod, name, _stubbed(saved))
         mp3_pipeline._SCAN_JIT.clear()
+        mp3_pipeline._SCAN_FAST_JIT.clear()
         try:
-            scan = mp3_pipeline._granules_scan_for(ver, sr_idx, nch, cutoff)
+            scan = (mp3_pipeline._granules_scan_fast_for if tier == "fast"
+                    else mp3_pipeline._granules_scan_for)(
+                ver, sr_idx, nch, cutoff)
             times = {}
             for G in Gs:
                 huff_d, side_d = inputs[G]
@@ -148,6 +164,7 @@ def main():
             if saved is not None:
                 setattr(mod, name, saved)
     mp3_pipeline._SCAN_JIT.clear()
+    mp3_pipeline._SCAN_FAST_JIT.clear()
 
     if "full" in slopes:
         full = slopes["full"]
