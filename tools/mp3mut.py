@@ -121,6 +121,26 @@ MUTATORS_1 = [mut_swap_frames, mut_flip_maindata, mut_ancillary_junk]
 MUTATORS_2 = [mut_transplant, mut_splice_streams]
 
 
+def signature(mutant: bytes) -> dict:
+    """Oracle-anchored hermetic signature: accept() has already asserted our
+    decode is frame-for-frame identical to the reference's, so hashing OUR
+    PCM here pins the reference's bytes for runs without the oracle."""
+    import hashlib
+
+    from tests.test_mp3_decode import our_decode
+
+    h = hashlib.sha256()
+    errs, consumed, n_pcm = [], [], 0
+    for err, pcm, c, _d in our_decode(mutant, MAX_FRAMES):
+        errs.append(int(err))
+        consumed.append(int(c))
+        if err == 0 and pcm is not None:
+            h.update(np.asarray(pcm, dtype="<i2").tobytes())
+            n_pcm += len(pcm)
+    return {"pcm_sha256": h.hexdigest(), "pcm_samples": n_pcm,
+            "frame_errs": errs, "frame_consumed": consumed}
+
+
 def accept(mutant: bytes, oracle) -> bool:
     """Keep a mutant iff the reference decodes >= 1 PCM frame from it AND
     this repo's decoder matches the reference frame-for-frame (error codes,
@@ -184,6 +204,7 @@ def main():
     rng = np.random.default_rng(4096)
     kept = tried = 0
     counts = {}
+    sigs = {}
     while kept < n_target and tried < 400:
         tried += 1
         if rng.random() < 0.7:
@@ -202,11 +223,15 @@ def main():
         name = f"mut_{op.__name__[4:]}_{counts.get(op.__name__, 0):02d}.mp3"
         counts[op.__name__] = counts.get(op.__name__, 0) + 1
         (outdir / name).write_bytes(m)
+        sigs[name] = signature(m)
         kept += 1
         print(f"kept {name} ({len(m)} B) after {tried} tries")
     if kept < n_target:
         print(f"WARNING: only {kept}/{n_target} accepted in {tried} tries")
         return 1
+    import json
+    (outdir / "signatures.json").write_text(
+        json.dumps(sigs, indent=1, sort_keys=True))
     print(f"{kept} oracle-accepted MP3 mutants in {outdir} ({tried} tried)")
     return 0
 
