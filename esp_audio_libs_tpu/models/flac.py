@@ -90,6 +90,26 @@ def _frame_kernel_esc(data8, esc_pos, esc_val, coeffs, order, shift, wasted,
                               depth=depth, nch=nch, mode32=mode32, use64=use64)
 
 
+@functools.partial(jax.jit, static_argnames=("depth", "nch", "mode32", "use64"))
+def _frame_kernel_esc_sharded(data8, esc_pos, esc_val, coeffs, order, shift,
+                              wasted, chan_assign, *, depth, nch, mode32,
+                              use64=True):
+    """Mesh form of the sideband fixup (VERDICT r3 #4): escape positions are
+    LOCAL to each shard's contiguous frame block — ``esc_pos``/``esc_val``
+    are ``[S, cap]`` with one row per shard, ``data8``'s frame axis is
+    sharded into those S blocks — so the fixup is a vmap'd scatter over the
+    shard axis.  Each chip rewrites only its own block and GSPMD partitions
+    the batched scatter without collectives, so the sharded serving path
+    keeps the ~2x upload win of the int8 tier instead of falling back to
+    int16."""
+    S = esc_pos.shape[0]
+    wide = data8.astype(jnp.int32).reshape(S, -1)
+    fixed = jax.vmap(lambda w, p, v: w.at[p].set(v, mode="drop"))(
+        wide, esc_pos, esc_val).reshape(data8.shape)
+    return _frame_kernel_body(fixed, coeffs, order, shift, wasted, chan_assign,
+                              depth=depth, nch=nch, mode32=mode32, use64=use64)
+
+
 # escape-density ceiling for choosing the int8+sideband transport tier
 # (shared rationale in runtime/transport.py); tests force it to 0.0/1.0
 ESC_MAX_DENSITY = transport.ESC_MAX_DENSITY
@@ -375,13 +395,24 @@ def _run_frame_bucket(g, rows, frs, bkey, mesh=None):
 
     # int8 + escape-sideband transport tier: int16 frames whose words are
     # int8-sized except for rare escapes ship at half width plus a sparse
-    # fixup (see _frame_kernel_esc).  Skipped under a mesh: the escape
-    # positions index the whole bucket tensor and a cross-shard scatter
-    # would insert collectives into an otherwise collective-free kernel.
-    if wide == 1 and not sharded:
+    # fixup (see _frame_kernel_esc).  Under a mesh the sideband is built
+    # per SHARD (positions local to each shard's contiguous frame block,
+    # _frame_kernel_esc_sharded) so the fixup scatter stays shard-local —
+    # the sharded serving path pays the same ~1 B/word upload as the
+    # single-chip path.
+    if wide == 1:
         esc_mask = np.abs(data.astype(np.int32)) > 127
         n_esc = int(esc_mask.sum())
         if n_esc <= ESC_MAX_DENSITY * data.size:
+            if sharded:
+                flat2 = data.reshape(mesh.size, -1)
+                pos, val = transport.escape_sideband_blocked(
+                    esc_mask.reshape(mesh.size, -1), flat2, np.int32)
+                return _frame_kernel_esc_sharded(
+                    put(data.astype(np.int8)), put(pos), put(val),
+                    put(g.coeffs[frs]), put(g.order[frs]),
+                    put(g.shift[frs]), put(g.wasted[frs]), put(g.ca[frs]),
+                    depth=depth, nch=nch, mode32=m32, use64=acc64)
             flat = np.flatnonzero(esc_mask)
             pos, val = transport.escape_sideband(
                 flat, data.reshape(-1)[flat], oob_index=data.size,

@@ -64,6 +64,31 @@ def escape_sideband(esc_flat_idx, flat_vals, oob_index: int, val_dtype):
     return pos, val
 
 
+def escape_sideband_blocked(mask2d, vals2d, val_dtype):
+    """Block-LOCAL escape sidebands for a leading-axis-sharded int8 plane.
+
+    ``mask2d``/``vals2d`` are the escape mask and source values reshaped to
+    ``[S, M]`` — one row per mesh shard, each row the shard's contiguous
+    block flattened.  Positions are local to the row (so the device-side
+    fixup is a vmap'd scatter each chip runs on its own block, no
+    collectives — VERDICT r3 #4), padded to ONE shared pow2 cap (min 16)
+    so shard shapes stay uniform; padding slots carry the out-of-range
+    local index ``M`` and drop in the scatter.
+    Returns ``(pos int32[S, cap], val val_dtype[S, cap])``.
+    """
+    S, M = mask2d.shape
+    counts = mask2d.sum(axis=1)
+    n_max = int(counts.max()) if S else 0
+    cap = max(16, 1 << int(n_max - 1).bit_length()) if n_max else 16
+    pos = np.full((S, cap), M, np.int32)
+    val = np.zeros((S, cap), val_dtype)
+    for s in range(S):
+        idx = np.flatnonzero(mask2d[s])
+        pos[s, :idx.size] = idx
+        val[s, :idx.size] = vals2d[s, idx]
+    return pos, val
+
+
 @contextlib.contextmanager
 def overlapped_parse(parse_call, n_streams: int):
     """Run ``parse_call(on_stream)`` with per-stream completion signals.

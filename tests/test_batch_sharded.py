@@ -97,6 +97,50 @@ def test_sharded_flac_to_device(mesh):
     np.testing.assert_array_equal(np.asarray(pcm_shd), np.asarray(pcm_ref))
 
 
+def test_sharded_flac_int8_escape_sideband_bitexact(mesh, monkeypatch):
+    """VERDICT r3 #4: the int8+escape-sideband transport tier must run
+    UNDER A MESH (shard-local escape indices, _frame_kernel_esc_sharded) and
+    stay byte-identical to the sharded int16 tier — the sharded serving path
+    previously fell back to int16 and paid double the upload bytes.
+    Fitted-LPC streams give realistic escape statistics; forcing the density
+    ceiling to 1.0 engages the tier on every int16 bucket."""
+    from flacgen import SubframePlan, make_flac
+    from esp_audio_libs_tpu.models import flac as flac_model
+
+    blobs = []
+    for i in range(N):
+        blob, _ = make_flac(
+            rng_seed=700 + i, depth=16, channels=2, block_size=2048,
+            n_frames=3, plans=[[SubframePlan("lpc", order=8, fit=True),
+                                SubframePlan("lpc", order=12, fit=True)]] * 3)
+        blobs.append(blob)
+
+    calls = {"sharded_esc": 0}
+    real = flac_model._frame_kernel_esc_sharded
+
+    def counting(*a, **k):
+        calls["sharded_esc"] += 1
+        return real(*a, **k)
+
+    def run():
+        bat = BatchedFLACDecoder(N, mesh=mesh)
+        bat.read_headers(blobs)
+        return bat.decode_streams(
+            [b[d.get_bytes_index():] for b, d in zip(blobs, bat.decoders)])
+
+    monkeypatch.setattr(flac_model, "ESC_MAX_DENSITY", 0.0)   # tier disabled
+    want = run()
+    monkeypatch.setattr(flac_model, "ESC_MAX_DENSITY", 1.0)   # tier forced
+    monkeypatch.setattr(flac_model, "_frame_kernel_esc_sharded", counting)
+    got = run()
+    assert calls["sharded_esc"] >= 1, (
+        "no bucket took the sharded int8+sideband path — the mesh tier is "
+        "not engaging (fell back to int16 or to the unsharded kernel)")
+    for s in range(N):
+        assert got[s][0] == want[s][0], f"stream {s}: mesh sideband changed PCM"
+        assert got[s][1]["md5_ok"] and want[s][1]["md5_ok"]
+
+
 # ----------------------------------------------------------------- MP3
 
 def test_sharded_mp3_decode_run_bitexact(mesh):
