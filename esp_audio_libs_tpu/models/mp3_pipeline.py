@@ -64,6 +64,29 @@ def _pack_huff8(huff16: np.ndarray):
     return plane8, pos, val
 
 
+def _pack_huff8_sharded(huff16: np.ndarray, n_shards: int):
+    """Mesh form of :func:`_pack_huff8`: the stacked plane's STREAM axis
+    (axis 1 of ``[G, B, ...]``) splits into ``n_shards`` contiguous blocks
+    and each block gets its own escape sideband with positions local to the
+    block (granule-major flat order), so the device fixup scatter is a vmap
+    over the shard axis — no cross-shard scatter, and the sharded serving
+    path keeps the int8 upload win (VERDICT r3 #4, same fix as the FLAC
+    tier).  Returns ``(plane8, pos [S, cap], val [S, cap])`` or ``None``.
+    """
+    G, B = huff16.shape[:2]
+    u = huff16.view(np.uint16)
+    mag = u & 0x7FFF
+    esc = mag > 127
+    if int(np.count_nonzero(esc)) > ESC_MAX_DENSITY * huff16.size:
+        return None
+    plane8 = ((mag & 0x7F) | ((u >> 8) & 0x80)).astype(np.uint8).view(np.int8)
+    blk = (B // n_shards) * int(np.prod(huff16.shape[2:]))
+    mask2 = esc.reshape(G, n_shards, blk).swapaxes(0, 1).reshape(n_shards, -1)
+    vals2 = huff16.reshape(G, n_shards, blk).swapaxes(0, 1).reshape(n_shards, -1)
+    pos, val = transport.escape_sideband_blocked(mask2, vals2, np.int16)
+    return plane8, pos, val
+
+
 def _granule_body(huff_g, nzb_in, compact, maps, over, prev_type,
                   prev_win_switch, num_prev, vbuf, block_type, mixed,
                   vindex, ref_undef, *, nch, cutoff):
@@ -279,6 +302,41 @@ def _granules_scan_esc_for(ver: int, sr_idx: int, nch: int, cutoff: int,
     return esc_fn
 
 
+_SCAN_ESC_SHARDED_JIT: dict = {}
+
+
+def _granules_scan_esc_sharded_for(ver: int, sr_idx: int, nch: int,
+                                   cutoff: int, fast: bool = False):
+    """Mesh variant of :func:`_granules_scan_esc_for`: the sideband rows are
+    per-shard-local (see ``_pack_huff8_sharded``), so the widen+scatter is a
+    vmap over the shard axis — each chip fixes up only its own stream block
+    and GSPMD partitions the batched scatter without collectives."""
+    key = (ver, sr_idx, nch, cutoff, fast)
+    fn = _SCAN_ESC_SHARDED_JIT.get(key)
+    if fn is not None:
+        return fn
+    scan_fn = (_granules_scan_fast_for if fast
+               else _granules_scan_for)(ver, sr_idx, nch, cutoff)
+
+    @jax.jit
+    def esc_fn(huff8_gs, esc_pos, esc_val, side_gs, over, prev_type,
+               prev_win_switch, num_prev, vbuf, vindex0):
+        v8 = huff8_gs.astype(jnp.int16)          # sign-extends bit 7
+        mag = v8 & 0x7F
+        h16 = jnp.where(v8 < 0, mag | jnp.int16(-(2 ** 15)), mag)
+        S = esc_pos.shape[0]
+        G, B = h16.shape[:2]
+        hs = jnp.swapaxes(h16.reshape(G, S, -1), 0, 1).reshape(S, -1)
+        hs = jax.vmap(lambda w, p, v: w.at[p].set(v, mode="drop"))(
+            hs, esc_pos, esc_val)
+        h16 = jnp.swapaxes(hs.reshape(S, G, -1), 0, 1).reshape(h16.shape)
+        return scan_fn(h16, side_gs, over, prev_type,
+                       prev_win_switch, num_prev, vbuf, vindex0)
+
+    _SCAN_ESC_SHARDED_JIT[key] = esc_fn
+    return esc_fn
+
+
 def decode_granules(huff, params, sf, frame, sfjs, state, n_granules=None):
     """Decode all granules of one parsed frame (single stream).
 
@@ -421,19 +479,30 @@ def decode_granules_run(huff_g, params_g, sf_g, frame_g, sfjs_g, dev_state,
         side_gs[g, :, 2 * nch:3 * nch] = params_g[:, g, :nch, 6]
         side_gs[g, :, 3 * nch:] = blob
     if mesh is not None:
-        # Escape positions index the whole stacked plane, so the sideband
-        # scatter would cross shards under a mesh (same reasoning as the
-        # FLAC tier, models/flac.py:245) — ship int16 there.
-        from ..parallel.mesh import shard_streams_axis
+        # sideband rows are per-shard-local under a mesh (the fixup scatter
+        # stays on-chip, see _pack_huff8_sharded), so the sharded serving
+        # path keeps the int8 upload win too
+        from ..parallel.mesh import shard_streams, shard_streams_axis
 
-        huff_dev = shard_streams_axis(huff_gs, 1, mesh)
+        narrowed = _pack_huff8_sharded(huff_gs, mesh.size)
+        huff_dev = shard_streams_axis(
+            narrowed[0] if narrowed else huff_gs, 1, mesh)
         side_dev = shard_streams_axis(side_gs, 1, mesh)
-        narrowed = None
+        if narrowed is not None:
+            _, esc_pos, esc_val = narrowed
+            pcm_gs, new_state, ref_undef = _granules_scan_esc_sharded_for(
+                ver, sr_idx, nch, cutoff, fast=fast)(
+                huff_dev, shard_streams(esc_pos, mesh),
+                shard_streams(esc_val, mesh), side_dev,
+                over, prev_type, prev_win_switch, num_prev, vbuf,
+                jnp.int32(vindex))
+            pcm_all = jnp.swapaxes(pcm_gs, 0, 1).reshape(B, -1).astype(jnp.int16)
+            return pcm_all, new_state, ref_undef
     else:
         narrowed = _pack_huff8(huff_gs)
         huff_dev = jnp.asarray(narrowed[0] if narrowed else huff_gs)
         side_dev = jnp.asarray(side_gs)
-    if narrowed is not None:
+    if mesh is None and narrowed is not None:
         _, esc_pos, esc_val = narrowed
         pcm_gs, new_state, ref_undef = _granules_scan_esc_for(
             ver, sr_idx, nch, cutoff, fast=fast)(

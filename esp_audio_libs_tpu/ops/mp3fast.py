@@ -657,13 +657,33 @@ def _fdct32_f(x, dct_np):
     return buf
 
 
-@functools.partial(jax.jit, static_argnames=("nch",))
-def subband_granule_fast(outbuf, vbuf, vindex, *, nch):
-    """f32 subband synthesis; identical FIFO layout/phase protocol to the
-    exact ``subband_granule`` (carried vbuf interconverts by dtype cast).
+def _v33(xb_ch, dct_np):
+    """FDCT32 outputs folded to the 33 distinct FIFO values of one step
+    (buf[0] | 16 row-sums | 16 qrow-sums) — the linear map the PQMF stores;
+    probed by ops/mp3mxu to build the fused-matmul operator."""
+    buf = _fdct32_f(xb_ch, dct_np)
+    vals = [buf[0]]
+    for r in range(16):
+        t = buf[_ROWS[r][0]]
+        for k in _ROWS[r][1:]:
+            t = t + buf[k]
+        vals.append(t)
+    for q in range(16):
+        t = buf[_QROWS[q][0]]
+        for k in _QROWS[q][1:]:
+            t = t + buf[k]
+        vals.append(t)
+    return jnp.stack(vals, axis=-1)
 
-    outbuf: f32 [L, C, 18, 32]; vbuf: f32 [L, 2176].
-    Returns (pcm int16 [L, 18*32*nch], new vbuf f32)."""
+
+def _subband_scan_acc(outbuf, vbuf, vindex, *, nch):
+    """The v1 FIFO scan returning the PRE-QUANTIZATION accumulators.
+
+    outbuf f32 [L, C, 18, 32]; vbuf f32 [L, 2176].  Returns
+    (acc f32 [L, 18, C, 32] in PCM units, new vbuf f32 [L, 2176]).
+    Shared by :func:`subband_granule_fast` (which quantizes) and the
+    operator probes in ops/mp3mxu (which need the linear map un-rounded).
+    """
     dct_np = np.asarray(mp3_tables()["dcttab"])
     outbuf = outbuf.astype(jnp.float32)
     L = outbuf.shape[0]
@@ -679,19 +699,7 @@ def subband_granule_fast(outbuf, vbuf, vindex, *, nch):
         row_off, qrow_off = 17 * odd, 17 * (1 - odd)
         c0 = (v - odd) & 7
         for ch in range(nch):
-            buf = _fdct32_f(xb[:, ch, :], dct_np)
-            vals = [buf[0]]
-            for r in range(16):
-                t = buf[_ROWS[r][0]]
-                for k in _ROWS[r][1:]:
-                    t = t + buf[k]
-                vals.append(t)
-            for q in range(16):
-                t = buf[_QROWS[q][0]]
-                for k in _QROWS[q][1:]:
-                    t = t + buf[k]
-                vals.append(t)
-            v33 = jnp.stack(vals, axis=-1)
+            v33 = _v33(xb[:, ch, :], dct_np)
             cc = 32 * ch
 
             def place(vals2, r0, nrows, col_a, col_b):
@@ -705,7 +713,7 @@ def subband_granule_fast(outbuf, vbuf, vindex, *, nch):
             m3, v3 = place(v33[:, 0:1], qrow_off + 16, 1, c0 + cc, c0 + cc + 8)
             vb = jnp.where(m1, v1, jnp.where(m2, v2, jnp.where(m3, v3, vb)))
 
-        pcm_ch = []
+        acc_ch = []
         for ch in range(nch):
             sl = jax.lax.dynamic_slice(
                 vb, (jnp.int32(0), jnp.int32(17 * odd), v + 32 * ch),
@@ -714,26 +722,41 @@ def subband_granule_fast(outbuf, vbuf, vindex, *, nch):
             Bv = sl[:, :, 16:24][..., ::-1]
             lo = jnp.sum(C1 * A - C2 * Bv, axis=-1)
             hi = jnp.sum(C2 * A + C1 * Bv, axis=-1)
-            acc = jnp.concatenate([lo, hi[:, 1:16][:, ::-1]], axis=-1)
-            # (+ RND) >> 26 == floor(pcm + 1/2): round-half-up in PCM units
-            x = jnp.floor(acc + 0.5)
-            x = jnp.clip(x, -32768.0, 32767.0)
-            pcm_ch.append(x.astype(jnp.int16))
-        if nch == 2:
-            pcm = jnp.stack([pcm_ch[0], pcm_ch[1]], axis=-1).reshape(L, 64)
-        else:
-            pcm = pcm_ch[0]
-        return vb, (v - odd) & 7, pcm
+            acc_ch.append(jnp.concatenate([lo, hi[:, 1:16][:, ::-1]], axis=-1))
+        return vb, (v - odd) & 7, jnp.stack(acc_ch, axis=1)   # [L, C, 32]
 
     xs = jnp.moveaxis(outbuf, 2, 0).reshape(9, 2, L, outbuf.shape[1], 32)
 
     def pair(carry, x2):
         vb, v = carry
-        vb, v, pcm0 = one_step(vb, v, x2[0], 0)
-        vb, v, pcm1 = one_step(vb, v, x2[1], 1)
-        return (vb, v), jnp.concatenate([pcm0, pcm1], axis=-1)
+        vb, v, acc0 = one_step(vb, v, x2[0], 0)
+        vb, v, acc1 = one_step(vb, v, x2[1], 1)
+        return (vb, v), jnp.stack([acc0, acc1], axis=0)   # [2, L, C, 32]
 
     vb0 = vbuf.astype(jnp.float32).reshape(L, 34, 64)
-    (vb, _), pcm_pairs = jax.lax.scan(pair, (vb0, vindex.astype(jnp.int32)), xs)
-    pcm = jnp.moveaxis(pcm_pairs, 0, 1).reshape(L, -1)
-    return pcm, vb.reshape(L, 2176)
+    (vb, _), acc_pairs = jax.lax.scan(pair, (vb0, vindex.astype(jnp.int32)), xs)
+    # [9, 2, L, C, 32] -> [L, 18, C, 32]
+    acc = jnp.moveaxis(acc_pairs.reshape(18, L, nch, 32), 0, 1)
+    return acc, vb.reshape(L, 2176)
+
+
+def _quantize_pcm(acc):
+    """Value-space PCM quantization: (+ RND) >> 26 == floor(x + 0.5)
+    round-half-up in PCM units, then int16 clip.  acc [L, 18, C, 32] ->
+    pcm int16 [L, 18*32*C] (slot-major, samples channel-interleaved)."""
+    x = jnp.floor(acc + 0.5)
+    x = jnp.clip(x, -32768.0, 32767.0).astype(jnp.int16)
+    # [L, t, c, i] -> [L, t, i, c] -> flat
+    pcm = jnp.swapaxes(x, 2, 3)
+    return pcm.reshape(pcm.shape[0], -1)
+
+
+@functools.partial(jax.jit, static_argnames=("nch",))
+def subband_granule_fast(outbuf, vbuf, vindex, *, nch):
+    """f32 subband synthesis; identical FIFO layout/phase protocol to the
+    exact ``subband_granule`` (carried vbuf interconverts by dtype cast).
+
+    outbuf: f32 [L, C, 18, 32]; vbuf: f32 [L, 2176].
+    Returns (pcm int16 [L, 18*32*nch], new vbuf f32)."""
+    acc, vb = _subband_scan_acc(outbuf, vbuf, vindex, nch=nch)
+    return _quantize_pcm(acc), vb

@@ -166,6 +166,43 @@ def test_sharded_mp3_decode_run_bitexact(mesh):
     assert shd._over.sharding.is_equivalent_to(batch_sharding(mesh, 3), 3)
 
 
+def test_sharded_mp3_int8_escape_sideband_bitexact(mesh, monkeypatch):
+    """VERDICT r3 #4 (MP3 side): the int8+escape-sideband upload tier must
+    run UNDER A MESH — escape positions are re-indexed per shard block
+    (_pack_huff8_sharded) so the fixup scatter is shard-local and GSPMD
+    partitions it without collectives — and stay bit-identical to the int16
+    tier.  Forcing the density ceiling to 1.0 engages the tier on every run;
+    0.0 disables it (int16 upload)."""
+    from esp_audio_libs_tpu.models import mp3_pipeline as pipe
+
+    streams = _mp3_fleet()
+    calls = {"sharded_pack": 0}
+    real = pipe._pack_huff8_sharded
+
+    def counting(*a, **k):
+        out = real(*a, **k)
+        if out is not None:
+            calls["sharded_pack"] += 1
+        return out
+
+    def run():
+        shd = BatchedMP3Decoder(N, mesh=mesh)
+        return shd.decode_run(streams, 3)
+
+    monkeypatch.setattr(pipe, "ESC_MAX_DENSITY", 0.0)   # tier disabled
+    want = run()
+    monkeypatch.setattr(pipe, "ESC_MAX_DENSITY", 1.0)   # tier forced
+    monkeypatch.setattr(pipe, "_pack_huff8_sharded", counting)
+    got = run()
+    assert calls["sharded_pack"] >= 1, (
+        "no run took the sharded int8+sideband pack — the mesh tier is not "
+        "engaging (fell back to int16 or the unsharded pack)")
+    for s in range(N):
+        for (eg, pg, cg), (ew, pw, cw) in zip(got[s], want[s]):
+            assert (eg, cg) == (ew, cw)
+            np.testing.assert_array_equal(pg, pw)
+
+
 def test_sharded_mp3_to_device(mesh):
     streams = _mp3_fleet()
     ref = BatchedMP3Decoder(N)
