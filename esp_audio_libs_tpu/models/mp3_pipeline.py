@@ -171,6 +171,44 @@ def _granule_body_fast(huff_g, nzb_in, compact, maps, over, prev_type,
     return pcm, over, prev_type, prev_win_switch, num_prev, vbuf, vindex
 
 
+def _granule_body_mxu(huff_g, nzb_in, compact, maps, over, prev_type,
+                      prev_win_switch, num_prev, vbuf, block_type, mixed,
+                      vindex, ops, *, nch, cutoff):
+    """MXU-form relaxed granule: f32 dequant (value mirror) feeding the
+    probed-operator IMDCT + subband matmuls (ops/mp3mxu.py).  Carried
+    state layout is identical to the mirror tier, so the two fast tiers'
+    checkpoints interconvert freely."""
+    from ..ops import mp3fast, mp3mxu
+
+    B = huff_g.shape[0]
+    v = huff_g.astype(jnp.int32)
+    mag = v & 0x7FFF
+    huff_g = jnp.where(v < 0, mag | jnp.int32(-(2 ** 31)), mag)
+    hp = expand_hp_device(compact, maps, nch)
+    sfb_s_key = tuple(int(v) for v in np.asarray(maps["sfb_s"]))
+    dq = mp3fast.dequantize_granule_fast(huff_g, nzb_in, hp, nch=nch,
+                                         sfb_s=sfb_s_key)
+    x = dq["x"].reshape(B * nch, 576)
+
+    nzb = dq["nzb"][:, :nch].reshape(-1)
+    out, new_over, _, n_out, cws = mp3mxu.imdct_granule_mxu(
+        x, over[:, :nch].reshape(B * nch, 32, 9),
+        nzb, block_type, mixed,
+        prev_type[:, :nch].reshape(-1), prev_win_switch[:, :nch].reshape(-1),
+        jnp.full((B * nch,), cutoff, jnp.int32), num_prev[:, :nch].reshape(-1),
+        ops)
+
+    over = over.at[:, :nch].set(new_over.reshape(B, nch, 288))
+    prev_type = prev_type.at[:, :nch].set(block_type.reshape(B, nch))
+    prev_win_switch = prev_win_switch.at[:, :nch].set(cws.reshape(B, nch))
+    num_prev = num_prev.at[:, :nch].set(n_out.reshape(B, nch))
+
+    pcm, vbuf = mp3mxu.subband_granule_mxu(
+        out.reshape(B, nch, 18, 32), vbuf, vindex, ops, nch=nch)
+    vindex = (vindex - 9) & 7
+    return pcm, over, prev_type, prev_win_switch, num_prev, vbuf, vindex
+
+
 _SCAN_JIT: dict = {}    # (ver, sr_idx, nch, cutoff) -> jitted scan
 
 
@@ -271,6 +309,72 @@ def _granules_scan_fast_for(ver: int, sr_idx: int, nch: int, cutoff: int):
     return scan_fn
 
 
+_SCAN_MXU_JIT: dict = {}
+
+
+def _granules_scan_mxu_for(ver: int, sr_idx: int, nch: int, cutoff: int):
+    """MXU-tier counterpart of :func:`_granules_scan_for`: the probed
+    operator bundle (ops/mp3mxu.mxu_operators — ~55MB of stacked f32
+    matrices) rides as a jit ARGUMENT so it lives in HBM once instead of
+    being baked into the executable as constants."""
+    key = (ver, sr_idx, nch, cutoff)
+    fn = _SCAN_MXU_JIT.get(key)
+    if fn is not None:
+        return fn
+    from .mp3 import format_maps
+    from ..ops import mp3mxu
+    maps = format_maps(ver, sr_idx)
+
+    @jax.jit
+    def scan_jit(ops, huff_gs, side_gs, over, prev_type, prev_win_switch,
+                 num_prev, vbuf, vindex0):
+        B = huff_gs.shape[1]
+        nzb_gs = side_gs[:, :, 0:nch]
+        block_gs = side_gs[:, :, nch:2 * nch].reshape(side_gs.shape[0], -1)
+        mixed_gs = side_gs[:, :, 2 * nch:3 * nch].reshape(side_gs.shape[0], -1)
+        compact_gs = side_gs[:, :, 3 * nch:]
+
+        def step(carry, xs):
+            over, pt, pws, npv, vbuf, vindex = carry
+            huff_g, nzb, compact, bt, mx = xs
+            pcm, over, pt, pws, npv, vbuf, vindex = _granule_body_mxu(
+                huff_g, nzb, compact, maps, over, pt, pws, npv, vbuf, bt, mx,
+                vindex, ops, nch=nch, cutoff=cutoff)
+            return (over, pt, pws, npv, vbuf, vindex), pcm
+
+        carry0 = (over.astype(jnp.float32), prev_type, prev_win_switch,
+                  num_prev, vbuf.astype(jnp.float32),
+                  vindex0.astype(jnp.int32))
+        (over, prev_type, prev_win_switch, num_prev, vbuf, _), pcm_gs = \
+            jax.lax.scan(step, carry0,
+                         (huff_gs, nzb_gs, compact_gs, block_gs, mixed_gs))
+        return (pcm_gs, (over, prev_type, prev_win_switch, num_prev, vbuf),
+                jnp.zeros(B, bool))
+
+    def scan_fn(*args):
+        return scan_jit(mp3mxu.mxu_operators(), *args)
+
+    _SCAN_MXU_JIT[key] = scan_fn
+    return scan_fn
+
+
+def _tier(fast) -> str:
+    """Normalize the ``fast`` tier selector: False -> exact int pipeline,
+    "mirror" -> the f32 value-mirror (ops/mp3fast), True / "mxu" -> the
+    probed-operator matmul form (ops/mp3mxu, the production fast tier)."""
+    if fast is False or fast is None:
+        return "exact"
+    if fast == "mirror":
+        return "mirror"
+    return "mxu"
+
+
+def _scan_builder(tier: str):
+    return {"exact": _granules_scan_for,
+            "mirror": _granules_scan_fast_for,
+            "mxu": _granules_scan_mxu_for}[tier]
+
+
 _SCAN_ESC_JIT: dict = {}
 
 
@@ -281,12 +385,11 @@ def _granules_scan_esc_for(ver: int, sr_idx: int, nch: int, cutoff: int,
     to the int16-packed form ON DEVICE before the same fused scan — the
     widen + scatter fuse into the one run dispatch, so only the transport
     narrows (the dominant upload halves again vs the int16 tier)."""
-    key = (ver, sr_idx, nch, cutoff, fast)
+    key = (ver, sr_idx, nch, cutoff, _tier(fast))
     fn = _SCAN_ESC_JIT.get(key)
     if fn is not None:
         return fn
-    scan_fn = (_granules_scan_fast_for if fast
-               else _granules_scan_for)(ver, sr_idx, nch, cutoff)
+    scan_fn = _scan_builder(_tier(fast))(ver, sr_idx, nch, cutoff)
 
     @jax.jit
     def esc_fn(huff8_gs, esc_pos, esc_val, side_gs, over, prev_type,
@@ -311,12 +414,11 @@ def _granules_scan_esc_sharded_for(ver: int, sr_idx: int, nch: int,
     per-shard-local (see ``_pack_huff8_sharded``), so the widen+scatter is a
     vmap over the shard axis — each chip fixes up only its own stream block
     and GSPMD partitions the batched scatter without collectives."""
-    key = (ver, sr_idx, nch, cutoff, fast)
+    key = (ver, sr_idx, nch, cutoff, _tier(fast))
     fn = _SCAN_ESC_SHARDED_JIT.get(key)
     if fn is not None:
         return fn
-    scan_fn = (_granules_scan_fast_for if fast
-               else _granules_scan_for)(ver, sr_idx, nch, cutoff)
+    scan_fn = _scan_builder(_tier(fast))(ver, sr_idx, nch, cutoff)
 
     @jax.jit
     def esc_fn(huff8_gs, esc_pos, esc_val, side_gs, over, prev_type,
@@ -510,8 +612,7 @@ def decode_granules_run(huff_g, params_g, sf_g, frame_g, sfjs_g, dev_state,
             over, prev_type, prev_win_switch, num_prev, vbuf,
             jnp.int32(vindex))
     else:
-        pcm_gs, new_state, ref_undef = (
-            _granules_scan_fast_for if fast else _granules_scan_for)(
+        pcm_gs, new_state, ref_undef = _scan_builder(_tier(fast))(
             ver, sr_idx, nch, cutoff)(
             huff_dev, side_dev,
             over, prev_type, prev_win_switch, num_prev, vbuf,
