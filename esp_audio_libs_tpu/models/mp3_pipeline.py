@@ -351,9 +351,21 @@ def _granules_scan_mxu_for(ver: int, sr_idx: int, nch: int, cutoff: int):
         return (pcm_gs, (over, prev_type, prev_win_switch, num_prev, vbuf),
                 jnp.zeros(B, bool))
 
-    def scan_fn(*args):
-        return scan_jit(mp3mxu.mxu_operators(), *args)
+    # Probe the operator bundle EAGERLY, outside any jit trace: builders are
+    # only ever called from Python (the per-key cache miss path), so the
+    # probe's own scan compiles run un-traced.  Passing the bundle through a
+    # closure into an OUTER jit (e.g. _granules_scan_esc_for's esc_fn) would
+    # otherwise run the probe under that trace and leak tracers
+    # (round-4 regression: tests/test_mp3_fast.py, mp3mxu.py probe-under-jit).
+    ops = mp3mxu.mxu_operators()
 
+    def scan_fn(*args):
+        return scan_jit(ops, *args)
+
+    # expose the ops-as-argument core so wrappers (the esc sideband jits)
+    # can keep the bundle a runtime argument of THEIR executable too
+    scan_fn._jit_with_ops = scan_jit
+    scan_fn._ops = ops
     _SCAN_MXU_JIT[key] = scan_fn
     return scan_fn
 
@@ -378,6 +390,51 @@ def _scan_builder(tier: str):
 _SCAN_ESC_JIT: dict = {}
 
 
+def _widen_esc16(huff8_gs):
+    """int8 spectral plane (sign in bit 7) -> the int16-packed form the
+    tier scans consume (sign in bit 15, 7-bit magnitude)."""
+    v8 = huff8_gs.astype(jnp.int16)          # sign-extends bit 7
+    mag = v8 & 0x7F
+    return jnp.where(v8 < 0, mag | jnp.int16(-(2 ** 15)), mag)
+
+
+def _esc_wrap(scan_fn, fixup):
+    """Wrap a tier ``scan_fn`` into the int8+escape-sideband form: widen the
+    int8 plane and scatter the escape values ON DEVICE, then run the scan —
+    all under one jit so only the transport narrows.
+
+    When the tier carries a probed operator bundle (``_jit_with_ops``, the
+    MXU tier) the bundle rides as a runtime ARGUMENT of the combined
+    executable too: closing it over the outer jit would inline ~55MB of
+    matrices into the HLO as constants — and, pre-fix, ran the lazy probe
+    under the trace (round-4 regression, tests/test_mp3_fast.py)."""
+    jit_with_ops = getattr(scan_fn, "_jit_with_ops", None)
+    if jit_with_ops is None:
+        @jax.jit
+        def esc_fn(huff8_gs, esc_pos, esc_val, *rest):
+            return scan_fn(fixup(_widen_esc16(huff8_gs), esc_pos, esc_val),
+                           *rest)
+        return esc_fn
+
+    ops = scan_fn._ops
+
+    @jax.jit
+    def esc_ops_fn(ops, huff8_gs, esc_pos, esc_val, *rest):
+        return jit_with_ops(ops,
+                            fixup(_widen_esc16(huff8_gs), esc_pos, esc_val),
+                            *rest)
+
+    def esc_fn(*args):
+        return esc_ops_fn(ops, *args)
+    return esc_fn
+
+
+def _esc_fixup_flat(h16, esc_pos, esc_val):
+    """Global flat-index escape scatter (single-device layout)."""
+    return h16.reshape(-1).at[esc_pos].set(esc_val,
+                                           mode="drop").reshape(h16.shape)
+
+
 def _granules_scan_esc_for(ver: int, sr_idx: int, nch: int, cutoff: int,
                            fast: bool = False):
     """Sideband variant of :func:`_granules_scan_for`: the spectral plane
@@ -390,53 +447,38 @@ def _granules_scan_esc_for(ver: int, sr_idx: int, nch: int, cutoff: int,
     if fn is not None:
         return fn
     scan_fn = _scan_builder(_tier(fast))(ver, sr_idx, nch, cutoff)
-
-    @jax.jit
-    def esc_fn(huff8_gs, esc_pos, esc_val, side_gs, over, prev_type,
-               prev_win_switch, num_prev, vbuf, vindex0):
-        v8 = huff8_gs.astype(jnp.int16)          # sign-extends bit 7
-        mag = v8 & 0x7F
-        h16 = jnp.where(v8 < 0, mag | jnp.int16(-(2 ** 15)), mag)
-        h16 = h16.reshape(-1).at[esc_pos].set(esc_val, mode="drop")
-        return scan_fn(h16.reshape(huff8_gs.shape), side_gs, over, prev_type,
-                       prev_win_switch, num_prev, vbuf, vindex0)
-
-    _SCAN_ESC_JIT[key] = esc_fn
-    return esc_fn
+    fn = _esc_wrap(scan_fn, _esc_fixup_flat)
+    _SCAN_ESC_JIT[key] = fn
+    return fn
 
 
 _SCAN_ESC_SHARDED_JIT: dict = {}
 
 
+def _esc_fixup_sharded(h16, esc_pos, esc_val):
+    """Per-shard-local escape scatter: sideband rows are shard-local (see
+    ``_pack_huff8_sharded``) so the fixup is a vmap over the shard axis —
+    each chip fixes up only its own stream block and GSPMD partitions the
+    batched scatter without collectives."""
+    S = esc_pos.shape[0]
+    G = h16.shape[0]
+    hs = jnp.swapaxes(h16.reshape(G, S, -1), 0, 1).reshape(S, -1)
+    hs = jax.vmap(lambda w, p, v: w.at[p].set(v, mode="drop"))(
+        hs, esc_pos, esc_val)
+    return jnp.swapaxes(hs.reshape(S, G, -1), 0, 1).reshape(h16.shape)
+
+
 def _granules_scan_esc_sharded_for(ver: int, sr_idx: int, nch: int,
                                    cutoff: int, fast: bool = False):
-    """Mesh variant of :func:`_granules_scan_esc_for`: the sideband rows are
-    per-shard-local (see ``_pack_huff8_sharded``), so the widen+scatter is a
-    vmap over the shard axis — each chip fixes up only its own stream block
-    and GSPMD partitions the batched scatter without collectives."""
+    """Mesh variant of :func:`_granules_scan_esc_for` (shard-local fixup)."""
     key = (ver, sr_idx, nch, cutoff, _tier(fast))
     fn = _SCAN_ESC_SHARDED_JIT.get(key)
     if fn is not None:
         return fn
     scan_fn = _scan_builder(_tier(fast))(ver, sr_idx, nch, cutoff)
-
-    @jax.jit
-    def esc_fn(huff8_gs, esc_pos, esc_val, side_gs, over, prev_type,
-               prev_win_switch, num_prev, vbuf, vindex0):
-        v8 = huff8_gs.astype(jnp.int16)          # sign-extends bit 7
-        mag = v8 & 0x7F
-        h16 = jnp.where(v8 < 0, mag | jnp.int16(-(2 ** 15)), mag)
-        S = esc_pos.shape[0]
-        G, B = h16.shape[:2]
-        hs = jnp.swapaxes(h16.reshape(G, S, -1), 0, 1).reshape(S, -1)
-        hs = jax.vmap(lambda w, p, v: w.at[p].set(v, mode="drop"))(
-            hs, esc_pos, esc_val)
-        h16 = jnp.swapaxes(hs.reshape(S, G, -1), 0, 1).reshape(h16.shape)
-        return scan_fn(h16, side_gs, over, prev_type,
-                       prev_win_switch, num_prev, vbuf, vindex0)
-
-    _SCAN_ESC_SHARDED_JIT[key] = esc_fn
-    return esc_fn
+    fn = _esc_wrap(scan_fn, _esc_fixup_sharded)
+    _SCAN_ESC_SHARDED_JIT[key] = fn
+    return fn
 
 
 def decode_granules(huff, params, sf, frame, sfjs, state, n_granules=None):

@@ -34,6 +34,8 @@ if [ ! -f "$OUT_DIR/mp3_huff.h" ] || [ "$DIR/../tools/gen_huffman_tables.py" -nt
   fi
 fi
 
-g++ -O2 -fPIC -shared -std=c++17 -ffp-contract=off -Wall -pthread \
+# -O3: autovectorizes the residual min/max + narrowing copies and the
+# packers; float semantics stay pinned by -ffp-contract=off (no fast-math)
+g++ -O3 -fPIC -shared -std=c++17 -ffp-contract=off -Wall -pthread \
   "$DIR"/src/*.cpp -o "$OUT"
 echo "built $OUT"

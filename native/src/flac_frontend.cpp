@@ -168,6 +168,26 @@ struct FlacFrontend {
       }
       return;
     }
+    // Frame mode bulk refill: one unaligned 8-byte big-endian load replaces
+    // up to 8 dependent byte loads — same observable state as the byte loop
+    // (whole bytes only, navail%8 invariant preserved).  This is the refill
+    // under the Rice hot loop; the reference refills 32 bits byte-at-a-time
+    // (flac_decoder.cpp:1035-1047).
+    if (bytes_left >= 8) {
+      uint32_t nbytes = (64 - navail) >> 3;
+      if (nbytes) {
+        uint64_t chunk;
+        std::memcpy(&chunk, buffer + buffer_index, 8);
+        chunk = __builtin_bswap64(chunk);
+        // keep only the top nbytes*8 bits, append below the pending bits
+        chunk = (chunk >> (64 - nbytes * 8)) << (64 - nbytes * 8);
+        look |= chunk >> navail;
+        buffer_index += nbytes;
+        bytes_left -= nbytes;
+        navail += nbytes * 8;
+      }
+      return;
+    }
     while (navail <= 56 && bytes_left > 0) {
       look |= (uint64_t) buffer[buffer_index++] << (56 - navail);
       --bytes_left;
@@ -235,6 +255,32 @@ struct FlacFrontend {
     uint32_t r = read_uint(param);
     uint32_t zz = (q << param) | r;
     return (int32_t) ((zz >> 1) ^ (uint32_t) (-(int32_t) (zz & 1)));
+  }
+
+  // Bulk Rice partition decode: the e2e host-leg hot loop (VERDICT r4 #3).
+  // Per symbol the fast path is one refill check, one clz and one shift
+  // chain — no per-symbol function calls, no separate remainder read.  The
+  // slow path (long unary runs, stream tail, out-of-data) falls back to
+  // read_rice_sint, which preserves the exact streaming/accounting
+  // semantics.  Reference hot loop: flac_decoder.cpp:1018-1047 (bit-at-a-
+  // time unary + 32-bit refills); same zigzag/wrap arithmetic, bulk form.
+  void read_rice_block(int32_t *p, uint32_t n, uint32_t param) {
+    for (uint32_t j = 0; j < n; ++j) {
+      if (navail < 48) prime();
+      uint32_t lz = look ? (uint32_t) __builtin_clzll(look) : 64;
+      uint32_t need = lz + 1 + param;
+      if (need <= navail && lz < 48) {
+        uint64_t t = look << (lz + 1);           // lz+1 <= 49: defined
+        uint32_t r = param ? (uint32_t) (t >> (64 - param)) : 0;
+        look = t << param;
+        navail -= need;
+        uint32_t zz = (lz << param) | r;         // uint32 wrap == reference
+        p[j] = (int32_t) ((zz >> 1) ^ (uint32_t) (-(int32_t) (zz & 1)));
+      } else {
+        p[j] = read_rice_sint(param);
+        if (out_of_data) return;
+      }
+    }
   }
 
   uint32_t read_aligned_byte() { return read_uint(8); }
@@ -493,7 +539,8 @@ struct FlacFrontend {
       uint32_t n = part == 0 ? count0 : count;
       uint32_t param = read_uint(param_bits);
       if (param < escape) {
-        for (uint32_t j = 0; j < n; ++j) *p++ = read_rice_sint(param);
+        read_rice_block(p, n, param);
+        p += n;
       } else {
         uint32_t num_bits = read_uint(5);
         if (num_bits == 0) {

@@ -180,3 +180,45 @@ def test_fast_tier_ref_undef_inert():
     dec = BatchedMP3Decoder(1, fast=True)
     dec.decode_run([stream], 16)
     assert dec.last_frame_reference_defined == [True]
+
+
+@pytest.mark.parametrize("tier", [False, "mirror", "mxu"])
+@pytest.mark.parametrize("density", [-1.0, 1.0])
+def test_esc_sideband_every_tier(tier, density, monkeypatch):
+    """VERDICT r4 #1: the int8+escape-sideband transport path crossed with
+    EVERY granule tier (exact / mirror / mxu).  density=1.0 forces the
+    sideband pack on every run; -1.0 disables it (int16 upload;
+    0.0 would NOT disable: zero-escape content passes `0 > 0*size`).  Both must
+    decode identically to the exact-tier int16 baseline (bit-exact for the
+    exact tier, <= 1 LSB for the relaxed tiers) — the round-4 regression
+    (probe-under-jit in the esc wrapper) crashed exactly this combination."""
+    from esp_audio_libs_tpu.models import mp3_pipeline as pipe
+
+    cfg = dict(ver_bits=3, bitrate_idx=9, sr_idx=0, mode=0, mode_ext=0)
+    stream = _windows_stream(cfg, seed=42)
+
+    monkeypatch.setattr(pipe, "ESC_MAX_DENSITY", -1.0)
+    pcm_ref, errs_ref, cons_ref, np_ref = _run_pcm(BatchedMP3Decoder(1),
+                                                   stream)
+
+    monkeypatch.setattr(pipe, "ESC_MAX_DENSITY", density)
+    calls = {"pack": 0}
+    real = pipe._pack_huff8
+
+    def counting(*a, **k):
+        out = real(*a, **k)
+        if out is not None:
+            calls["pack"] += 1
+        return out
+
+    monkeypatch.setattr(pipe, "_pack_huff8", counting)
+    pcm, errs, cons, nxt = _run_pcm(BatchedMP3Decoder(1, fast=tier), stream)
+    if density == 1.0:
+        assert calls["pack"] >= 1, "sideband tier did not engage at density 1"
+    else:
+        assert calls["pack"] == 0, "sideband tier engaged while disabled"
+    assert errs == errs_ref and cons == cons_ref and nxt == np_ref
+    if tier is False:
+        np.testing.assert_array_equal(pcm, pcm_ref)
+    else:
+        _assert_tol(pcm, pcm_ref, f"esc x {tier}")
