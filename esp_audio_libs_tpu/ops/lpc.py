@@ -39,9 +39,10 @@ def _default_unroll() -> int:
     return 8 if jax.default_backend() == "tpu" else 2
 
 
-@functools.partial(jax.jit, static_argnames=("unroll", "use64"))
+@functools.partial(jax.jit, static_argnames=("unroll", "use64", "max_order"))
 def lpc_restore(data: jax.Array, coeffs: jax.Array, order: jax.Array, shift: jax.Array,
-                *, unroll: int | None = None, use64: bool = True) -> jax.Array:
+                *, unroll: int | None = None, use64: bool = True,
+                max_order: int = MAX_ORDER) -> jax.Array:
     """Restore LPC/fixed prediction for a batch of subframes.
 
     Args:
@@ -54,6 +55,13 @@ def lpc_restore(data: jax.Array, coeffs: jax.Array, order: jax.Array, shift: jax
       order: int32 ``[...]`` — predictor order (0 for constant/verbatim:
         the kernel passes data through untouched).
       shift: int32 ``[...]`` — quantization shift (0 for fixed predictors).
+      max_order: static upper bound on ``order`` across the batch (any
+        class in {4, 8, 12, 16, 32}).  The scan window and per-step dot
+        shrink to this width — the dominant orders of real encoders are
+        <= 8/12, so an order-bucketed dispatch does 1/4 the MAC work of
+        the fixed 32-wide window (the same specialization the reference's
+        Xtensa assembly gets from its per-order jump table,
+        flac_lpc_32_asm.S:42).  Bit-exact for any max_order >= max(order).
       use64: accumulate the predictor dot in int64.  Pass False only when
         every subframe in the batch passed the front-end's overflow analysis
         (``use64 == 0``, the reference's own 32-bit path selection,
@@ -69,14 +77,15 @@ def lpc_restore(data: jax.Array, coeffs: jax.Array, order: jax.Array, shift: jax
         raise RuntimeError("FLAC LPC restore requires jax_enable_x64 for exact int64 accumulation")
 
     acc_dtype = jnp.int64 if use64 else jnp.int32
+    W = int(max_order)
     T = data.shape[-1]
     batch_shape = data.shape[:-1]
     c_acc = coeffs.astype(acc_dtype)  # [..., 32]
     shift_acc = shift.astype(acc_dtype)
     order_b = order[..., None]  # [..., 1]
 
-    # window[..., k]: sample at time (i - 32 + k); newest at index 31
-    window0 = jnp.zeros(batch_shape + (MAX_ORDER,), jnp.int32)
+    # window[..., k]: sample at time (i - W + k); newest at index W-1
+    window0 = jnp.zeros(batch_shape + (W,), jnp.int32)
     data_t = jnp.moveaxis(data, -1, 0)  # [T, ...]
 
     def step(window, it):
@@ -108,14 +117,15 @@ def lpc_restore(data: jax.Array, coeffs: jax.Array, order: jax.Array, shift: jax
         return new_window, y
 
     # Pre-rotate coefficients once: c_aligned[k] pairs with window index k.
-    # window[k] holds the sample at lag (32 - k); reference pairing is
-    # c[j] <-> lag (order - j), i.e. window index 32 - order + j.
-    k_idx = jnp.arange(MAX_ORDER)
-    j_idx = k_idx[None, :] - (MAX_ORDER - order_b)  # [..., 32]
+    # window[k] holds the sample at lag (W - k); reference pairing is
+    # c[j] <-> lag (order - j), i.e. window index W - order + j.
+    k_idx = jnp.arange(W)
+    j_idx = k_idx[None, :] - (W - order_b)  # [..., W]
     valid = (j_idx >= 0) & (j_idx < order_b)
     j_safe = jnp.clip(j_idx, 0, MAX_ORDER - 1)
     c_aligned = jnp.where(valid, jnp.take_along_axis(
-        jnp.broadcast_to(c_acc, batch_shape + (MAX_ORDER,)), j_safe, axis=-1), 0)
+        jnp.broadcast_to(c_acc, batch_shape + (MAX_ORDER,)),
+        jnp.broadcast_to(j_safe, batch_shape + (W,)), axis=-1), 0)
 
     idx = jnp.arange(T, dtype=jnp.int32)
     _, y_t = jax.lax.scan(step, window0, (idx, data_t),

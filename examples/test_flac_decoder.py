@@ -497,7 +497,15 @@ def main():
     categories = ["subset", "uncommon", "faulty", "independent"]
     report = {"categories": {}, "summary": {}}
     total = passed = 0
-    lines = ["FLAC conformance report (esp-audio-libs-tpu)", "=" * 46]
+    lines = ["FLAC conformance report (esp-audio-libs-tpu)", "=" * 46,
+             "corpus provenance: the official ietf-wg-cellar/flac-test-files",
+             "corpus (the files the reference's TESTING.md numbers cite) is",
+             "UNREACHABLE in this environment — no network egress (DNS",
+             "resolution fails) and no copy exists on disk (searched / and",
+             "the reference checkout).  The suite below runs the synthetic",
+             "breadth mirror of those axes plus oracle-filtered independent",
+             "mutants (corpus/independent/); rerun against the official",
+             "files when network or a local copy is available.", ""]
     for cat in categories:
         d = args.corpus / cat
         if not d.exists():

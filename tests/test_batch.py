@@ -724,3 +724,75 @@ def test_mp3_pipelined_to_device_matches_sequential():
         # pipelined next_pos is ABSOLUTE within the original buffers
         abs_pos = [p + np_ for p, np_ in zip(abs_pos, e_next)]
         assert list(g.next_pos) == abs_pos, f"run {run}"
+
+
+def test_fleet_fault_isolation_mid_stream():
+    """VERDICT r4 #9: one stream of a fleet hits a MID-STREAM fault (CRC
+    mismatch in one; truncation in another) while the rest decode —
+    per-stream result codes isolate the faults, every healthy stream's PCM
+    is bit-identical to decoding it alone, and each faulty stream behaves
+    exactly as its own single-stream decode (the reference's degradation
+    model: per-instance result codes, include/flac_decoder.h:22-44).
+    Covers both the host-returning and the to_device(grouped) paths."""
+    from flacgen import SubframePlan, make_flac
+
+    B, bad_crc, bad_trunc = 32, 7, 19
+    n_frames = 4
+    blob, _ = make_flac(rng_seed=77, depth=16, channels=2, block_size=1024,
+                        n_frames=n_frames,
+                        plans=[[SubframePlan("lpc", order=8, fit=True)] * 2]
+                        * n_frames)
+    one = FLACDecoder()
+    one.read_header(blob)
+    hdr = one.get_bytes_index()
+    body = blob[hdr:]
+    frame_len = len(body) // n_frames  # equal-size frames (same plan/seed)
+
+    bodies = [body] * B
+    # CRC fault: flip a residual byte inside frame 2 (past its header) —
+    # frame parses but its CRC16 check fails
+    bc = bytearray(body)
+    bc[2 * frame_len + frame_len // 2] ^= 0x40
+    bodies[bad_crc] = bytes(bc)
+    # truncation fault: stream ends mid-frame-3
+    bodies[bad_trunc] = body[: 3 * frame_len + 10]
+
+    # single-stream expectations (shared decode path, trusted baseline)
+    def single(bodyb):
+        d = FLACDecoder()
+        d.read_header(blob)
+        return d.decode_stream(bodyb, verify_md5=True)
+
+    want = {s: single(bodies[s]) for s in (0, bad_crc, bad_trunc)}
+    assert FLACDecoderResult.ERROR_CRC_MISMATCH in \
+        want[bad_crc][1]["frame_results"], "corruption did not hit CRC"
+    assert any(c != FLACDecoderResult.SUCCESS
+               for c in want[bad_trunc][1]["frame_results"])
+
+    # host-returning fleet path
+    bat = BatchedFLACDecoder(B)
+    bat.read_headers([blob] * B)
+    res = bat.decode_streams(bodies, verify_md5=True)
+    for s in range(B):
+        w = want.get(s, want[0])
+        assert res[s][1]["frame_results"] == w[1]["frame_results"], s
+        assert res[s][0] == w[0], f"stream {s} PCM diverged"
+        assert res[s][1]["md5_ok"] == w[1]["md5_ok"], s
+    healthy = [s for s in range(B) if s not in (bad_crc, bad_trunc)]
+    assert all(res[s][1]["md5_ok"] for s in healthy)
+
+    # to_device path: the faulty streams land in their own signature
+    # groups; healthy streams' device PCM is untouched
+    bat2 = BatchedFLACDecoder(B)
+    bat2.read_headers([blob] * B)
+    group_list, results = bat2.decode_streams_to_device_grouped(bodies)
+    seen = sorted(sum((ids for ids, _ in group_list), []))
+    assert seen == list(range(B))
+    for ids, pcm_dev in group_list:
+        got = np.asarray(pcm_dev)
+        for k, s in enumerate(ids):
+            w = want.get(s, want[0])
+            np.testing.assert_array_equal(
+                got[k], np.frombuffer(w[0], np.uint8),
+                err_msg=f"stream {s} device PCM diverged")
+            assert results[s]["frame_results"] == w[1]["frame_results"]
