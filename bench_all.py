@@ -120,6 +120,27 @@ def bench_flac_e2e(B=256, n_frames=16, block=4096):
            sum(r[1]["num_samples"] for r in results_ab) / dt_ab,
            unit="Msamples/s (A/B: int8+escape sideband disabled)")
 
+    # serving-shaped e2e: host parse + int8 residual upload + device decode
+    # with the PCM LEFT ON DEVICE (what the composed serving chain consumes
+    # — the PCM-download row above pays a D2H this path never does).
+    # Completion barrier: a device-side reduction over every PCM byte whose
+    # 4-byte result is fetched — the sum cannot exist before the whole
+    # array does (block_until_ready is not trustworthy on this tunnel).
+    import jax.numpy as _jnp
+
+    def run_td():
+        pcm_dev, res_td = bat.decode_streams_to_device(bodies)
+        digest = int(_jnp.sum(pcm_dev.astype(_jnp.uint32)))
+        return res_td, digest
+
+    res_td, _ = run_td()   # warm
+    t0 = time.perf_counter()
+    res_td, _ = run_td()
+    dt_td = time.perf_counter() - t0
+    report("flac_decode_e2e_to_device",
+           sum(r["num_samples"] for r in res_td) / dt_td,
+           unit="Msamples/s (e2e, PCM device-resident, digest-verified)")
+
     # host front-end leg (native parse) at 1/2/4 pool threads — the
     # threaded parse pool is part of the production path (VERDICT r4 #3),
     # so the bench engages it explicitly instead of relying on the
@@ -478,6 +499,38 @@ def bench_flac_e2e_24b(B=128, n_frames=8, block=4096):
     dt = time.perf_counter() - t0
     samples = sum(r[1]["num_samples"] for r in results)
     report("flac_decode_e2e_24b_stereo", samples / dt)
+
+    # device-only 24-bit leg (VERDICT r4 #8): the int64-accumulator LPC
+    # scan with residuals resident — isolates the kernel the order-class
+    # specialization (ops/lpc.py max_order) targets from the transport.
+    import jax.numpy as jnp
+    from esp_audio_libs_tpu.models.flac import (_frame_kernel, _order_class,
+                                                _parse_streams)
+    groups, _, _ = _parse_streams(bat.decoders, bodies)
+    g = next(iter(groups.values()))
+    widths = (g.data8, g.data16, g.data32)
+    wsel = int(np.bincount(g.wide[: g.nf], minlength=3).argmax())
+    rows = np.nonzero(g.wide[: g.nf] == wsel)[0]
+    dev = [jnp.asarray(x) for x in (widths[wsel][g.slot[rows]],
+                                    g.coeffs[rows], g.order[rows],
+                                    g.shift[rows], g.wasted[rows],
+                                    g.ca[rows])]
+    jax.block_until_ready(dev)
+    morder = _order_class(g.order[rows])
+    kw = dict(depth=24, nch=2, mode32=False, use64=True, max_order=morder)
+    out = _frame_kernel(*dev, **kw)
+    _ = int(jnp.sum(out.astype(jnp.uint32)))   # completion barrier
+    t0 = time.perf_counter()
+    reps = 3
+    for _ in range(reps):
+        out = _frame_kernel(*dev, **kw)
+        _ = int(jnp.sum(out.astype(jnp.uint32)))
+    dev_dt = (time.perf_counter() - t0) / reps
+    dev_samples = len(rows) * 2 * block
+    rl = roofline(2.0 * morder, (1, 2, 4)[wsel] + 4 + 8 + 4 + 3,
+                  dev_samples / dev_dt, kind="vpu-int")
+    report("flac_decode_device_only_24b", dev_samples / dev_dt,
+           unit="Msamples/s/chip (device leg, int64 LPC)", extra=rl)
 
 
 def bench_flac_resample_composed(B=256, n_frames=16, block=4096):
