@@ -33,7 +33,8 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 from ..ops.polyphase import banded_weights_device, polyphase_banded
 
-__all__ = ["time_mesh", "sequence_parallel_resample", "sequence_parallel_iir2"]
+__all__ = ["time_mesh", "sequence_parallel_resample",
+           "sequence_parallel_iir2", "lpc_companion_scan"]
 
 TIME_AXIS = "time"
 
@@ -192,3 +193,84 @@ def sequence_parallel_iir2(f, p1, p2, y1, y2, mesh: Mesh):
 
     y, yl, yp = run(f, y1, y2)
     return y, (yl, yp)
+
+
+def lpc_companion_scan(data, coeffs, order, *, max_order: int = 4):
+    """Order-k companion-matrix LPC restoration as an ASSOCIATIVE SCAN —
+    the SURVEY §2/§5 sequence-parallel form for the FLAC predictor
+    recurrence, EXACT for ``shift == 0`` predictors (every fixed-prediction
+    subframe, reference flac_decoder.cpp:774-804, and LPC subframes whose
+    quantization shift is zero).
+
+    Why the restriction: the general LPC step applies an in-loop floor
+    (``(dot) >> shift``, flac_lpc.cpp:104-125), which breaks superposition
+    — prefix composition of affine maps no longer commutes with the
+    nonlinearity, so NO time-parallel decomposition of the shifted
+    recurrence can be exact (each step's floor needs the exact prior
+    samples).  With shift 0 the recurrence is affine over the ring
+    Z/2^64: y[i] = x[i] + sum_j c[j]*y[i-(order-j)].  Ring arithmetic is
+    exact under wraparound (mod is a homomorphism), and the true values
+    fit int32 by the reference's own overflow analysis, so the log-depth
+    prefix product equals the sequential result BIT-FOR-BIT.
+
+    The affine state rides as v_i = [y[i-k+1..i], 1]; step matrices M_i
+    shift the window, inject x[i] through the affine column, and emit
+    warm-ups verbatim for i < order.  y[i] is the affine column of the
+    prefix product — ``associative_scan`` evaluates all T in O(log T)
+    depth, so a long stream's time axis shards across a mesh with only
+    the scan's internal boundary exchanges (GSPMD inserts them over ICI).
+
+    This is the latency form (per-sample cost is (k+1)^2 ring MACs x the
+    scan's log factor); the batch-throughput form remains ops/lpc.py's
+    sequential scan, which amortizes across thousands of lanes.
+
+    Args:
+      data: int32 ``[..., T]`` warm-ups + residuals (shift-0 layout).
+      coeffs: int32 ``[..., 32]`` oldest-first zero-padded (ops/lpc.py).
+      order: int32 ``[...]`` predictor order, <= max_order.
+      max_order: static window k (4 covers every fixed predictor).
+    Returns: int32 ``[..., T]`` restored samples, bit-identical to
+      ``ops.lpc.lpc_restore(..., shift=0)``.
+    """
+    K = int(max_order)
+    T = data.shape[-1]
+    batch_shape = data.shape[:-1]
+    order_b = order[..., None]
+
+    # c_aligned[j] multiplies window slot j (slot j holds y[i-K+j]) — the
+    # same alignment as ops/lpc.py's sequential window.
+    k_idx = jnp.arange(K)
+    j_idx = k_idx[None, :] - (K - order_b)
+    valid = (j_idx >= 0) & (j_idx < order_b)
+    j_safe = jnp.clip(j_idx, 0, coeffs.shape[-1] - 1)
+    c_aligned = jnp.where(
+        valid,
+        jnp.take_along_axis(
+            jnp.broadcast_to(coeffs, batch_shape + (coeffs.shape[-1],)),
+            jnp.broadcast_to(j_safe, batch_shape + (K,)), axis=-1),
+        0).astype(jnp.int64)                                   # [..., K]
+
+    x_t = jnp.moveaxis(data, -1, 0).astype(jnp.int64)          # [T, ...]
+    i_t = jnp.arange(T, dtype=jnp.int32)
+    warm = i_t.reshape((T,) + (1,) * len(batch_shape)) < order  # [T, ...]
+
+    # M_i [(K+1),(K+1)]: rows 0..K-2 shift the window up; row K-1 is the
+    # new sample (c row, zeroed during warm-up, plus x[i] in the affine
+    # column); row K keeps the affine 1.
+    M = jnp.zeros((T,) + batch_shape + (K + 1, K + 1), jnp.int64)
+    shift_rows = jnp.eye(K + 1, k=1, dtype=jnp.int64)[: K - 1] if K > 1 \
+        else jnp.zeros((0, K + 1), jnp.int64)
+    M = M.at[..., : K - 1, :].set(shift_rows)
+    c_row = jnp.where(warm[..., None], 0,
+                      jnp.broadcast_to(c_aligned, (T,) + batch_shape + (K,)))
+    M = M.at[..., K - 1, :K].set(c_row)
+    M = M.at[..., K - 1, K].set(x_t)
+    M = M.at[..., K, K].set(1)
+
+    def combine(a, b):                       # a earlier, b later: b ∘ a
+        return jnp.einsum("...ij,...jk->...ik", b, a)
+
+    prefix = jax.lax.associative_scan(combine, M, axis=0)      # [T, ..., K+1, K+1]
+    # v0 = e_affine, so y[i] = (prefix_i @ v0)[K-1] = prefix_i[K-1, K]
+    y_t = prefix[..., K - 1, K].astype(jnp.int32)
+    return jnp.moveaxis(y_t, 0, -1)

@@ -148,3 +148,59 @@ def test_exact_iir2_cascade_composes():
     g2s, _ = sequence_parallel_iir2(g1s, p1, p2, z, z, mesh)
     np.testing.assert_array_equal(np.asarray(g2s).view(np.uint32),
                                   np.asarray(r2s).view(np.uint32))
+
+
+def test_lpc_companion_scan_bitexact_fixed_orders():
+    """SURVEY §2/§5 SP row: the order-k companion-matrix associative scan
+    restores shift-0 (fixed-predictor) subframes BIT-IDENTICALLY to the
+    sequential scan — exact because the shift-0 recurrence is affine over
+    Z/2^64 (the in-loop floor of shifted LPC is what makes the general
+    case impossible; see the docstring)."""
+    import jax.numpy as jnp
+    from esp_audio_libs_tpu.ops.lpc import lpc_restore
+    from esp_audio_libs_tpu.parallel.sequence import lpc_companion_scan
+
+    kFixed = {0: [], 1: [1], 2: [-1, 2], 3: [1, -3, 3], 4: [-1, 4, -6, 4]}
+    rng = np.random.default_rng(5)
+    B, T = 6, 256
+    data = rng.integers(-3000, 3000, (B, T)).astype(np.int32)
+    orders = np.array([0, 1, 2, 3, 4, 2], np.int32)
+    coeffs = np.zeros((B, 32), np.int32)
+    for b, o in enumerate(orders):
+        coeffs[b, :o] = kFixed[int(o)]
+
+    want = lpc_restore(jnp.asarray(data), jnp.asarray(coeffs),
+                       jnp.asarray(orders), jnp.zeros(B, jnp.int32),
+                       use64=True)
+    got = lpc_companion_scan(jnp.asarray(data), jnp.asarray(coeffs),
+                             jnp.asarray(orders))
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_lpc_companion_scan_time_sharded():
+    """The scan's time axis shards over the mesh: the same computation
+    with the sample axis distributed across 8 virtual devices (GSPMD
+    partitions associative_scan's log-depth combines with ICI boundary
+    exchanges) stays bit-identical."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from esp_audio_libs_tpu.parallel.sequence import (lpc_companion_scan,
+                                                      time_mesh)
+
+    rng = np.random.default_rng(7)
+    B, T = 2, 512
+    data = rng.integers(-2000, 2000, (B, T)).astype(np.int32)
+    coeffs = np.zeros((B, 32), np.int32)
+    coeffs[:, :2] = [-1, 2]
+    orders = np.full(B, 2, np.int32)
+
+    ref = np.asarray(lpc_companion_scan(jnp.asarray(data),
+                                        jnp.asarray(coeffs),
+                                        jnp.asarray(orders)))
+    mesh = time_mesh()
+    sharded = jax.device_put(
+        data, NamedSharding(mesh, P(None, "time")))
+    fn = jax.jit(lambda d, c, o: lpc_companion_scan(d, c, o))
+    got = np.asarray(fn(sharded, jnp.asarray(coeffs), jnp.asarray(orders)))
+    np.testing.assert_array_equal(got, ref)
