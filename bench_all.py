@@ -615,13 +615,23 @@ def bench_flac_resample_composed_mixed(B=256, n_frames=16):
     bodies = [b[d.get_bytes_index():] for b, d in zip(blobs, bat.decoders)]
     cfg = ResamplerConfiguration(44100.0, 16000.0, 16, 16, 2, True, True, 64, 32)
 
+    # per-group Resamplers live across reps (keyed by group batch size) —
+    # exactly like the uniform composed bench's single long-lived instance;
+    # constructing + initializing per call re-runs host filter design and
+    # re-traces the chunk fns inside the timed region
+    resamplers = {}
+
     def run():
         group_list, res = bat.decode_streams_to_device_grouped(bodies)
         outs = []
         for ids, pcm_dev in group_list:
             frames = res[ids[0]]["num_samples"] // 2
-            r = Resampler(batch=len(ids), exact=False)
-            r.initialize(cfg)
+            key = (len(ids), frames)
+            r = resamplers.get(key)
+            if r is None:
+                r = Resampler(batch=len(ids), exact=False)
+                r.initialize(cfg)
+                resamplers[key] = r
             out, _, _ = r.resample_stream(pcm_dev, frames, 1)
             outs.append(out)
         return outs, res
@@ -684,7 +694,12 @@ def bench_flac_resample_composed_host_reference(n_reps=3, n_frames=16,
         finally:
             lib.ref_flac_destroy(d)
 
-        r = lib.ref_resampler_create(frames_total + 1024, frames_total + 1024)
+        # Resampler(input_buffer_samples, output_buffer_samples) sizes its
+        # internal float buffers in SAMPLES (frames x channels), not frames
+        # (reference include/resampler.h:36-37 -> resampler.cpp:113-119
+        # writes frames_to_process * channels_ floats into them).
+        r = lib.ref_resampler_create((frames_total + 1024) * 2,
+                                     (frames_total + 1024) * 2)
         try:
             assert lib.ref_resampler_initialize(
                 r, 44100.0, 16000.0, 16, 16, 2, 1, 1, 64, 32) == 1

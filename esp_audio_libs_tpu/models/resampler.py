@@ -561,6 +561,19 @@ class Resampler:
 
                 from ..ops import polyphase_pallas as _pp
 
+                # A RecursionError during lowering is often just Python-frame
+                # depth (scales with the traced program AND the caller's own
+                # stack depth at compile time): retry once with the ceiling
+                # limit before abandoning the kernel for the whole process.
+                if (isinstance(e, RecursionError)
+                        and _pp.raise_recursion_ceiling()):
+                    try:
+                        return fn(*args)
+                    except Exception as e2:
+                        if not _is_pallas_lowering_failure(e2):
+                            raise
+                        e = e2
+
                 warnings.warn(
                     f"Pallas polyphase kernel failed to compile "
                     f"({type(e).__name__}: {e}); falling back to the XLA "

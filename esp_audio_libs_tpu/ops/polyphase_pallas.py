@@ -47,8 +47,28 @@ def _ensure_recursion_headroom() -> None:
     the limit there trades RecursionError for a possible hard segfault —
     keep the default and let the fallback machinery route deep lowerings
     to the XLA path instead."""
-    if sys.version_info >= (3, 11) and sys.getrecursionlimit() < 30_000:
-        sys.setrecursionlimit(30_000)
+    if sys.version_info >= (3, 11) and sys.getrecursionlimit() < 100_000:
+        sys.setrecursionlimit(100_000)
+
+
+def raise_recursion_ceiling() -> bool:
+    """Last-ditch headroom before abandoning Pallas for the process: the
+    BENCH_ALL_r05 run hit a RecursionError during chunk-fn lowering even
+    with the standard headroom in place (the lowering stack depth scales
+    with the traced program, and the *absolute* depth also includes
+    however deep the caller already was). Returns True when the limit was
+    actually raised — i.e. a retry is worth attempting; False when there
+    is no more Python-frame headroom to give (CPython < 3.11, or already
+    at the ceiling — e.g. the failure is C-frame recursion, which
+    ``sys.setrecursionlimit`` cannot extend on 3.12+)."""
+    if sys.version_info < (3, 11):
+        return False
+    cur = sys.getrecursionlimit()
+    ceiling = 1_000_000
+    if cur >= ceiling:
+        return False
+    sys.setrecursionlimit(ceiling)
+    return True
 
 
 def mark_unsupported() -> None:

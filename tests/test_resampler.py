@@ -389,3 +389,58 @@ def test_pallas_fallback_rebuilds_on_lowering_failure(monkeypatch, recwarn):
     assert list(g) == list(g_ref)
     np.testing.assert_array_equal(np.asarray(p), np.asarray(p_ref))
     np.testing.assert_array_equal(np.asarray(c), np.asarray(c_ref))
+
+
+def test_pallas_recursion_error_retries_with_raised_limit(monkeypatch, recwarn):
+    """A RecursionError during chunk-fn lowering gets ONE retry at the
+    ceiling recursion limit before the process-wide fallback (BENCH_ALL_r05
+    observed a depth the standard headroom didn't cover). When the retry
+    succeeds, Pallas stays enabled and no fallback warning fires."""
+    import sys
+
+    import esp_audio_libs_tpu.models.resampler as rmod
+    import esp_audio_libs_tpu.ops.polyphase_pallas as pp
+    from esp_audio_libs_tpu.models.resampler import (Resampler,
+                                                     ResamplerConfiguration)
+
+    B, frames, ch = 4, 256, 2
+    cfg = ResamplerConfiguration(44100.0, 16000.0, 16, 16, ch, True, True, 64, 32)
+    rng = np.random.default_rng(23)
+    pcm = rng.integers(-8192, 8192, (B, frames * ch)).astype(np.int16)
+    data = pcm.view(np.uint8).reshape(B, -1)
+
+    want = Resampler(batch=B, exact=False)
+    want.initialize(cfg)
+    p_ref, g_ref, c_ref = want.resample_stream(data, frames, 1)
+
+    monkeypatch.setattr(pp, "_FORCED_OFF", pp._FORCED_OFF)
+    monkeypatch.setattr(rmod, "pallas_supported", lambda: not pp._FORCED_OFF)
+
+    # On CPU the real guard path routes through the banded XLA fast path via
+    # the patched kernel symbol; first call simulates the deep-lowering
+    # RecursionError, the retry (with the raised limit) succeeds.
+    from esp_audio_libs_tpu.ops.polyphase import polyphase_banded
+    calls = {"n": 0}
+
+    def flaky(xext, Wt, starts, *, T, interpret=False):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise RecursionError("maximum recursion depth exceeded (simulated)")
+        return polyphase_banded(xext, Wt, starts, T=T)
+
+    monkeypatch.setattr(rmod, "polyphase_banded_pallas", flaky)
+    saved_limit = sys.getrecursionlimit()
+    try:
+        r = Resampler(batch=B, exact=False)
+        r.initialize(cfg)
+        p, g, c = r.resample_stream(data, frames, 1)
+    finally:
+        sys.setrecursionlimit(saved_limit)
+
+    assert calls["n"] >= 2, "guard must retry after RecursionError"
+    assert not any("falling back to the XLA banded path" in str(w.message)
+                   for w in recwarn.list)
+    assert not pp._FORCED_OFF
+    assert list(g) == list(g_ref)
+    np.testing.assert_array_equal(np.asarray(p), np.asarray(p_ref))
+    np.testing.assert_array_equal(np.asarray(c), np.asarray(c_ref))
