@@ -340,6 +340,27 @@ def bench_mp3(B=256, n_frames=8):
     samples = sum(len(x[1]) for rr in runs for x in rr if x[1] is not None)
     report("mp3_decode_run_stereo", samples / dt)
 
+    # host front-end leg (the MP3 analog of flac_host_parse): native sync +
+    # header/side-info + scalefactors + Huffman for the whole fleet, no
+    # device work — what bounds e2e once transport is free.  A fresh fleet
+    # keeps the timed parses independent of the run rows' reservoir state.
+    bat_p = BatchedMP3Decoder(B)
+    pviews = [bat_p._as_view(stream)] * B
+    bat_p._parse_run(pviews, [0] * B, n_frames)   # warm (allocators, pools)
+    t0 = time.perf_counter()
+    preps = 3
+    pframes = 0
+    for _ in range(preps):
+        parsed = bat_p._parse_run(pviews, [0] * B, n_frames)
+        pframes += sum(len(ps) for ps in parsed["perstream"])
+    host_dt = time.perf_counter() - t0
+    psamples = pframes * 1152 * 2
+    print(json.dumps({"metric": "mp3_host_parse",
+                      "value": round(psamples / host_dt / 1e6, 2),
+                      "unit": "Msamples/s (host leg: sync+side-info+"
+                              "scalefactors+Huffman, fleet batch, same "
+                              "silence corpus as the other mp3 rows)"}))
+
     # device-only leg: granule inputs RESIDENT on device, PCM left on device
     # (times the fused _granules_scan alone — what co-located serving
     # hardware would sustain per chip)
